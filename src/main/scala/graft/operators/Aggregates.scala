@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.{benchOnly, graded}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** D: aggregation.
+  *
+  * Scale notes (100 TB): every groupBy here compiles to partial (map-side)
+  * + final HashAggregate around one shuffle on the grouping key — the
+  * shuffle moves pre-aggregated groups, not raw rows. Exact
+  * count(distinct) expands to a two-phase aggregate; where exactness is
+  * not required at scale, the HLL sketch (d9) is the constant-memory
+  * mergeable alternative.
+  */
+object Aggregates {
+
+  // D1 — the flagship pricing-summary aggregate (TPC-H Q1 shape): filtered
+  // scan → 2-key hash aggregate. Also wired to SparkEntry.entry.
+  private val d1 = graded(
+    "d1_agg_group",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .where($"l_shipdate" <= to_timestamp_ntz(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2)
+          .as("sum_charge"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_extendedprice"), 6).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // D2 — exact multi-column distinct counting (expand + 2-phase aggregate).
+  private val d2 = graded(
+    "d2_agg_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS d_orders,
+      |  count(DISTINCT l_partkey) AS d_parts,
+      |  count(DISTINCT l_suppkey) AS d_supps,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("d_orders"),
+        countDistinct($"l_partkey").as("d_parts"),
+        countDistinct($"l_suppkey").as("d_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  // D3 — statistical aggregates.
+  private val d3 = graded(
+    "d3_agg_stats",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  // D4 — filtered/conditional aggregation over the events table.
+  private val d4 = graded(
+    "d4_agg_cond",
+    """SELECT event_type,
+      |  count(CASE WHEN value > 100 THEN 1 END) AS n_hi,
+      |  round(sum(CASE WHEN value <= 100 THEN value ELSE 0 END), 2) AS sum_lo,
+      |  round(avg(CASE WHEN value > 100 THEN value END), 6) AS avg_hi,
+      |  count(*) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.apply(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(when($"value" > 100, 1)).as("n_hi"),
+        round(sum(when($"value" <= 100, $"value").otherwise(0)), 2).as("sum_lo"),
+        round(avg(when($"value" > 100, $"value")), 6).as("avg_hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  // D5 — ROLLUP. Grouping-null keys are coalesced to a sentinel so the
+  // final ORDER BY is engine-independent (Spark sorts NULLS FIRST, DuckDB
+  // NULLS LAST — the sentinel sidesteps the divergence).
+  private val d5 = graded(
+    "d5_rollup",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"sum_qty", $"cnt")
+      .orderBy("rf", "ls")
+  }
+
+  // D6 — CUBE with grouping() markers (cast to int: Spark emits tinyint,
+  // DuckDB bigint).
+  private val d6 = graded(
+    "d6_cube_grouping",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  grouping(l_returnflag)::INT AS g_rf,
+      |  grouping(l_linestatus)::INT AS g_ls,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"g_rf", $"g_ls", $"sum_price", $"cnt")
+      .orderBy("g_rf", "g_ls", "rf", "ls")
+  }
+
+  // D7 — exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+  // linear interpolation in both).
+  private val d7 = graded(
+    "d7_percentile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // D8 — deterministic array collection: never bare collect_list in graded
+  // output (post-shuffle order is nondeterministic); distinct + sort makes
+  // the array value a pure function of the input set.
+  private val d8 = graded(
+    "d8_collect_sorted",
+    """SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS uniq_toks
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        sort_array(array_distinct(split($"text", " "))).as("uniq_toks"))
+      .orderBy("doc_id")
+  }
+
+  // D9 — bench-only: HLL++ approximate distinct. No DuckDB twin by design
+  // (different sketch algorithm); this is the constant-memory distinct for
+  // the 100 TB path, graded exactly via its twin d2.
+  private val d9 = benchOnly("d9_approx_distinct") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("ad_orders"),
+        approx_count_distinct($"l_partkey").as("ad_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C: the join surface.
+  *
+  * Scale notes (100 TB):
+  *  - dims (region/nation/customer-at-small-sf) are broadcast — no shuffle
+  *    of the fact side; `broadcast()` is explicit where the dim is provably
+  *    tiny, otherwise AQE's runtime size check decides.
+  *  - fact⋈fact (orders⋈lineitem) is a shuffle hash/sort-merge join on the
+  *    join key; at scale both sides would be bucketed by orderkey to make
+  *    this a zero-shuffle co-located join.
+  *  - the as-of join (C8) deliberately avoids the O(events × orders)
+  *    expansion: it is the union-merge formulation — one window pass over
+  *    (orders ∪ events) per user — which is O((n+m) log(n+m)) and survives
+  *    arbitrarily large right sides. This is the 100 TB-safe as-of.
+  */
+object Joins {
+
+  // C1 — star join, dims broadcast. Explicit broadcast() on nation keeps the
+  // plan shuffle-free on the dim side regardless of stats.
+  private val c1 = graded(
+    "c1_join_broadcast",
+    """SELECT n_name, round(sum(o_totalprice), 2) AS rev, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("rev"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  // C2 — fact⋈fact sort-merge join (hinted so the plan demonstrates SMJ even
+  // when AQE would pick something else at small sf).
+  private val c2 = graded(
+    "c2_join_sortmerge",
+    """SELECT o_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+      |  count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).hint("merge"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  // C3 — left outer join; unmatched left rows survive with count 0.
+  private val c3 = graded(
+    "c3_join_outer",
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_big,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS big_total
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val big = Tables.orders(spark, dir).where($"o_totalprice" > 400000)
+    Tables.customer(spark, dir)
+      .join(big, $"o_custkey" === $"c_custkey", "left_outer")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_big"),
+        round(coalesce(sum($"o_totalprice"), lit(0)), 2).as("big_total"))
+      .orderBy("c_custkey")
+  }
+
+  // C4 — left semi join (IN-subquery form on the oracle side). Catalyst
+  // rewrites IN (subquery) to exactly this semi join.
+  private val c4 = graded(
+    "c4_join_semi",
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir).where($"o_orderpriority".like("1%"))
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // C5 — left anti join (NOT EXISTS): customers with no 400k+ order.
+  private val c5 = graded(
+    "c5_join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val big = Tables.orders(spark, dir).where($"o_totalprice" > 400000)
+    Tables.customer(spark, dir)
+      .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // C6 — pure theta (non-equi) join → broadcast nested loop. Kept on the
+  // smallest table; at scale a non-equi join must be banded (join on a
+  // coarse bucket key, then filter) — see the banded pattern in g2/g5.
+  private val c6 = graded(
+    "c6_join_theta",
+    """SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b,
+      |  round(abs(a.s_acctbal - b.s_acctbal), 2) AS bal_diff
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_suppkey < b.s_suppkey
+      | AND abs(a.s_acctbal - b.s_acctbal) < 10
+      |ORDER BY sk_a, sk_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.supplier(spark, dir)
+    val a = s.select($"s_suppkey".as("sk_a"), $"s_acctbal".as("bal_a"))
+    val b = s.select($"s_suppkey".as("sk_b"), $"s_acctbal".as("bal_b"))
+    a.join(b, $"sk_a" < $"sk_b" && abs($"bal_a" - $"bal_b") < 10)
+      .select($"sk_a", $"sk_b", round(abs($"bal_a" - $"bal_b"), 2).as("bal_diff"))
+      .orderBy("sk_a", "sk_b")
+  }
+
+  // C7 — range join: equi key + time-interval predicate. The equi component
+  // keeps this a hash join with a residual range filter (never a cartesian).
+  private val c7 = graded(
+    "c7_join_range",
+    """SELECT o_orderkey, count(*) AS n_shipped_120d,
+      |  round(sum(l_extendedprice), 2) AS val_120d
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        $"l_orderkey" === $"o_orderkey"
+          && $"l_shipdate" >= $"o_orderdate"
+          && $"l_shipdate" <= expr("o_orderdate + interval 120 days"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_shipped_120d"),
+        round(sum($"l_extendedprice"), 2).as("val_120d"))
+      .orderBy("o_orderkey")
+  }
+
+  // C8 — as-of join via union-merge: latest order per user at each event
+  // time. One window pass over the per-user time-sorted union instead of an
+  // O(n×m) range-join expansion — the formulation that survives 100 TB.
+  // Tiebreak on equal order dates: ordering by (t, src, ok) makes
+  // last_value pick the max orderkey — deterministic in both engines.
+  private val c8 = graded(
+    "c8_join_asof",
+    """WITH u AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS src,
+      |         o_orderkey AS ok, o_orderdate AS od, CAST(NULL AS BIGINT) AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts AS t, 1 AS src,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), event_id
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, src,
+      |    last_value(ok IGNORE NULLS) OVER w AS asof_orderkey,
+      |    last_value(od IGNORE NULLS) OVER w AS asof_date
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, src, ok
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, asof_orderkey, asof_date
+      |FROM m WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      $"o_custkey".as("user_id"), $"o_orderdate".as("t"), lit(0).as("src"),
+      $"o_orderkey".as("ok"), $"o_orderdate".as("od"),
+      lit(null).cast("bigint").as("event_id"))
+    val events = Tables.eventsUs(spark, dir).select(
+      $"user_id", $"ts_us".as("t"), lit(1).as("src"),
+      lit(null).cast("bigint").as("ok"),
+      lit(null).cast("timestamp_ntz").as("od"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"src", $"ok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .select($"user_id", $"event_id", $"src",
+        last($"ok", ignoreNulls = true).over(w).as("asof_orderkey"),
+        last($"od", ignoreNulls = true).over(w).as("asof_date"))
+      .where($"src" === 1)
+      .select("event_id", "user_id", "asof_orderkey", "asof_date")
+      .orderBy("event_id")
+  }
+
+  // C9 — cross join against a 1-row aggregate: share-of-total report.
+  private val c9 = graded(
+    "c9_join_cross",
+    """WITH nat AS (
+      |  SELECT n_name, sum(o_totalprice) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |), tot AS (SELECT sum(rev) AS t FROM nat)
+      |SELECT n_name, round(rev, 2) AS rev, round(rev / t * 100, 6) AS pct
+      |FROM nat CROSS JOIN tot
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val nat = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"o_totalprice").as("rev0"))
+    val tot = nat.agg(sum($"rev0").as("t"))
+    nat.crossJoin(tot)
+      .select($"n_name", round($"rev0", 2).as("rev"),
+        round($"rev0" / $"t" * 100, 6).as("pct"))
+      .orderBy("n_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+}

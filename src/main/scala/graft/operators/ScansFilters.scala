@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** A: scans/sources. B: projection, filter, predicates.
+  *
+  * Scale notes (100 TB): every query here is a single parquet scan with the
+  * filter and projection pushed into the scan (`PushedFilters`/`ReadSchema`
+  * in `.explain("formatted")`) — row groups outside the predicate ranges are
+  * skipped via parquet min/max stats, so cost is proportional to the
+  * selected data, not the table.
+  */
+object ScansFilters {
+
+  // A1 — full-table projection scan. Column pruning keeps the scan at 4 of
+  // 11 lineitem columns.
+  private val a1 = graded(
+    "a1_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // A2 — the nanosecond-timestamp trap (SURVEY §1.3), surfaced as its own
+  // graded query: emit µs-normalized timestamps that match the oracle's
+  // truncated view exactly.
+  private val a2 = graded(
+    "a2_scan_events_ns",
+    """SELECT event_id, ts AS ts_us, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    Tables.eventsUs(spark, dir)
+      .select("event_id", "ts_us", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  // B1 — predicate zoo: range BETWEEN, LIKE-disjunction, IN-list,
+  // comparison, conjunction. All of it reaches the parquet scan as
+  // PushedFilters.
+  private val b1 = graded(
+    "b1_filter_pred",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+      |  AND o_orderstatus IN ('F', 'O')
+      |  AND o_totalprice > 50000
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .where($"o_orderdate".between(
+          to_timestamp_ntz(lit("1996-01-01")), to_timestamp_ntz(lit("1996-12-31")))
+        && ($"o_orderpriority".like("1%") || $"o_orderpriority".like("2%"))
+        && $"o_orderstatus".isin("F", "O")
+        && $"o_totalprice" > 50000)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // B2 — CASE WHEN conditional projection.
+  private val b2 = graded(
+    "b2_case_expr",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 300000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'low' END AS bucket,
+      |  o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        when($"o_totalprice" > 300000, "high")
+          .when($"o_totalprice" > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        $"o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // B3 — JSON field extraction from a string column (events.props is a JSON
+  // object string, FIXTURES.md).
+  private val b3 = graded(
+    "b3_json_extract",
+    """SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.apply(spark, dir, "events")
+      .select($"event_id", get_json_object($"props", "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E: window functions.
+  *
+  * Scale notes (100 TB): each query is exactly one shuffle on the window
+  * partition key, then a per-partition sort — WindowExec. Rank-filter
+  * queries (e5) additionally benefit from WindowGroupLimit pushdown, which
+  * drops rows below the rank cutoff before the final sort. Window
+  * orderings always carry a unique-key tiebreaker so ranks and frames are
+  * deterministic across engines.
+  */
+object Windows {
+
+  // E1 — rank within group, tiebroken to density.
+  private val e1 = graded(
+    "e1_win_rank",
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  rank() OVER (PARTITION BY c_nationkey
+      |               ORDER BY c_acctbal DESC, c_custkey)::INT AS rk
+      |FROM customer
+      |ORDER BY c_nationkey, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal", rank().over(w).as("rk"))
+      .orderBy("c_nationkey", "rk")
+  }
+
+  // E2 — lag/lead analytics with a day-gap derived column.
+  private val e2 = graded(
+    "e2_win_laglead",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_ok,
+      |  lead(o_orderkey) OVER w AS next_ok,
+      |  datediff('day', lag(o_orderdate) OVER w, o_orderdate)::INT AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        lag($"o_orderkey", 1).over(w).as("prev_ok"),
+        lead($"o_orderkey", 1).over(w).as("next_ok"),
+        datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // E3 — sliding row frame + ntile bucketing.
+  private val e3 = graded(
+    "e3_win_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+      |  ntile(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey)::INT AS quartile
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val wf = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    val wn = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        round(avg($"o_totalprice").over(wf), 6).as("mov_avg"),
+        ntile(4).over(wn).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // E4 — running total (explicit ROWS frame so both engines use identical
+  // frame semantics; prefix sums are order-deterministic by construction).
+  private val e4 = graded(
+    "e4_win_running",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        round(sum($"o_totalprice").over(w), 2).as("run_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // E5 — top-k per group: the idiomatic dedup/report primitive. Spark plans
+  // a WindowGroupLimit that prunes below-cutoff rows before the full sort.
+  private val e5 = graded(
+    "e5_topk_pergroup",
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rn"))
+      .where($"rn" <= 2)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5)
+}

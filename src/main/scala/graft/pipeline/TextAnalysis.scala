@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** G (text-analysis family): corpus statistics, TF-IDF, language-ID
+  * heuristics, quality scoring, token counting — the per-document scoring
+  * passes a training-data pipeline runs before filtering.
+  *
+  * Scale notes (100 TB): everything here is per-row scoring (no shuffle)
+  * followed by at most one aggregate shuffle on a low-cardinality key.
+  * TF-IDF shuffles (doc, word) pairs once for TF and reuses the same
+  * exploded relation for DF; the document-count side is a 1-row broadcast.
+  */
+object TextAnalysis {
+
+  private val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopSqlIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // g6 — TF-IDF scoring, pure relational pipeline (no MLlib needed):
+  // explode → TF per (doc, word), DF per word, idf = ln(N/df).
+  private val g6 = graded(
+    "g6_tfidf",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM w) dw GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT tf.doc_id, tf.word, tf.tf,
+      |  round(tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+      |FROM tf JOIN df USING (word) CROSS JOIN n
+      |ORDER BY doc_id, word""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"word", $"tf",
+        round($"tf" * log($"n".cast("double") / $"df".cast("double")), 6).as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  // g7 — corpus stats per language.
+  private val g7 = graded(
+    "g7_text_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_chars), 6) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 6) AS avg_words,
+      |  sum(n_chars)::BIGINT AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 6).as("avg_chars"),
+        round(avg(size(split($"text", " "))), 6).as("avg_words"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  // g9 — language-ID heuristic: stopword-hit ratio over distinct tokens
+  // (an n-gram/wordlist classifier reduced to set arithmetic; the corpus
+  // vocabulary is synthetic, so the score, not the label accuracy, is the
+  // graded behavior).
+  private val stopSqlList = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val g9 = graded(
+    "g9_langid",
+    s"""SELECT doc_id,
+      |  round(sc, 6) AS en_score,
+      |  CASE WHEN sc >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+      |  lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(tk, $stopSqlList))::DOUBLE / len(tk)::DOUBLE AS sc
+      |  FROM (SELECT doc_id, lang,
+      |          list_distinct(string_split(text, ' ')) AS tk FROM documents) t0) t
+      |ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val stopArr = array(stopList.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("tk", array_distinct(split($"text", " ")))
+      .withColumn("en_score0",
+        size(array_intersect($"tk", stopArr)).cast("double") / size($"tk").cast("double"))
+      .select($"doc_id",
+        round($"en_score0", 6).as("en_score"),
+        when($"en_score0" >= 0.05, "en").otherwise("other").as("pred_lang"),
+        $"lang")
+      .orderBy("doc_id")
+  }
+
+  // g10 — document quality scoring: length, stopword-density, and
+  // uniqueness signals combined into one bounded score; `keep` is the
+  // pipeline's filter decision. Identical expression trees both engines.
+  private val g10 = graded(
+    "g10_quality_score",
+    s"""SELECT doc_id,
+      |  n_words,
+      |  round(q, 6) AS quality,
+      |  CASE WHEN q >= 0.5 THEN true ELSE false END AS keep
+      |FROM (
+      |  SELECT doc_id, n_words,
+      |    0.4 * least(n_words / 50.0, 1.0)
+      |    + 0.3 * least(10.0 * n_stop / n_words, 1.0)
+      |    + 0.3 * (n_uniq / n_words) AS q
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(string_split(text, ' '))::DOUBLE AS n_words,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN $stopSqlIn))::DOUBLE AS n_stop,
+      |      len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_uniq
+      |    FROM documents) m) s
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val inList = stopSqlIn
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(split($"text", " ")).cast("double"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN $inList))").cast("double"))
+      .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast("double"))
+      .withColumn("q",
+        lit(0.4) * least($"n_words" / 50.0, lit(1.0))
+          + lit(0.3) * least(lit(10.0) * $"n_stop" / $"n_words", lit(1.0))
+          + lit(0.3) * ($"n_uniq" / $"n_words"))
+      .select($"doc_id", $"n_words",
+        round($"q", 6).as("quality"),
+        ($"q" >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // g11 — token counting: whitespace tokens vs. a BPE-ish regex token
+  // stream (alpha runs / digit runs), plus a chars-per-token ratio.
+  private val g11 = graded(
+    "g11_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::INT AS n_ws,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::INT AS n_re,
+      |  length(text)::INT AS n_chars_m,
+      |  round(length(text)::DOUBLE / len(string_split(text, ' '))::DOUBLE, 6)
+      |    AS chars_per_tok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re"),
+        length($"text").as("n_chars_m"),
+        round(length($"text").cast("double")
+          / size(split($"text", " ")).cast("double"), 6).as("chars_per_tok"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11)
+}

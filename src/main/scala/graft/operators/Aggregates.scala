@@ -188,16 +188,19 @@ object Aggregates {
 
   // D8 — deterministic array collection: never bare collect_list in graded
   // output (post-shuffle order is nondeterministic); distinct + sort makes
-  // the array value a pure function of the input set.
+  // the array value a pure function of the input set. The graded output
+  // serializes the array to a '|'-joined string: the driver's compare gate
+  // sorts result columns with pandas, which cannot hash array cells.
   private val d8 = graded(
     "d8_collect_sorted",
-    """SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS uniq_toks
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS uniq_toks
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
-        sort_array(array_distinct(split($"text", " "))).as("uniq_toks"))
+        array_join(sort_array(array_distinct(split($"text", " "))), "|").as("uniq_toks"))
       .orderBy("doc_id")
   }
 

@@ -41,11 +41,18 @@ object EventTime {
   // H2 — sliding window (2-day span, 1-day slide): each event lands in two
   // windows. The oracle reconstructs the same windows from a calendar
   // spine + range join; the inner join drops empty windows on both sides.
+  // The spine bounds derive from the data (not literals) so a regenerated
+  // fixture with a wider ts range cannot silently truncate the oracle.
   private val h2 = graded(
     "h2_win_sliding",
-    """SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
-      |FROM generate_series(TIMESTAMP '2023-12-25', TIMESTAMP '2024-02-28',
-      |                     INTERVAL 1 DAY) gs(win_start)
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, min(ts)) - INTERVAL 1 DAY AS lo,
+      |         time_bucket(INTERVAL 1 DAY, max(ts)) AS hi
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS win_start FROM b)
+      |SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM spine
       |JOIN events ON ts >= win_start AND ts < win_start + INTERVAL 2 DAY
       |GROUP BY win_start
       |ORDER BY win_start""".stripMargin) { (spark, dir) =>

@@ -42,11 +42,15 @@ object Joins {
   }
 
   // C2 — fact⋈fact sort-merge join (hinted so the plan demonstrates SMJ even
-  // when AQE would pick something else at small sf).
+  // when AQE would pick something else at small sf). The per-row double
+  // product (IEEE-identical across engines) is cast to DECIMAL(30,10) before
+  // summing so the aggregate is exact and order-insensitive — Spark's
+  // shuffle order vs DuckDB's scan order can no longer flip the rounding of
+  // boundary values.
   private val c2 = graded(
     "c2_join_sortmerge",
     """SELECT o_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2)::DOUBLE AS rev,
       |  count(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey
@@ -55,7 +59,8 @@ object Joins {
     Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir).hint("merge"), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("rev"),
+      .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("rev"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderkey")
   }
@@ -113,9 +118,13 @@ object Joins {
       .orderBy("c_custkey")
   }
 
-  // C6 — pure theta (non-equi) join → broadcast nested loop. Kept on the
-  // smallest table; at scale a non-equi join must be banded (join on a
-  // coarse bucket key, then filter) — see the banded pattern in g2/g5.
+  // C6 — theta (non-equi) join on a value proximity predicate. The theta
+  // condition is executed as a value-bucket equi-join
+  // ([[graft.operators.Banding.valueBandedPairs]]): bucket =
+  // floor(acctbal/10), left exploded to [bkt-1, bkt, bkt+1] — a
+  // hash-partitioned join with the original predicate as residual filter,
+  // instead of a nested loop over all pairs. Same result set as the
+  // oracle's pure theta SQL.
   private val c6 = graded(
     "c6_join_theta",
     """SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b,
@@ -128,7 +137,7 @@ object Joins {
     val s = Tables.supplier(spark, dir)
     val a = s.select($"s_suppkey".as("sk_a"), $"s_acctbal".as("bal_a"))
     val b = s.select($"s_suppkey".as("sk_b"), $"s_acctbal".as("bal_b"))
-    a.join(b, $"sk_a" < $"sk_b" && abs($"bal_a" - $"bal_b") < 10)
+    Banding.valueBandedPairs(a, b, "sk_a", "sk_b", "bal_a", "bal_b", 10.0)
       .select($"sk_a", $"sk_b", round(abs($"bal_a" - $"bal_b"), 2).as("bal_diff"))
       .orderBy("sk_a", "sk_b")
   }

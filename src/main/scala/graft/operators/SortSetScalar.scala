@@ -103,7 +103,9 @@ object SortSetScalar {
         month($"o_orderdate").as("mo"),
         dayofmonth($"o_orderdate").as("dom"),
         dayofweek($"o_orderdate").as("dow"),
-        date_trunc("month", $"o_orderdate").as("om"),
+        // DuckDB date_trunc('month', ts) yields DATE; Spark yields
+        // TIMESTAMP — cast so both sides carry the same logical type.
+        date_trunc("month", $"o_orderdate").cast("date").as("om"),
         date_add(to_date($"o_orderdate"), 30).as("ship_by"),
         datediff(to_date($"o_orderdate"), to_date(lit("1995-01-01"))).as("d_since"))
       .orderBy("o_orderkey")
@@ -184,16 +186,18 @@ object SortSetScalar {
   private val f8 = graded(
     "f8_map_funcs",
     """SELECT event_id,
-      |  json_keys(props) AS ks,
+      |  array_to_string(json_keys(props), '|') AS ks,
       |  json_extract_string(props, '$.k')::INTEGER AS k_val
       |FROM events
       |ORDER BY event_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // Keys are serialized to a '|'-joined string: the driver's compare gate
+    // cannot hash array-typed result cells (pandas factorize limitation).
     Tables.apply(spark, dir, "events")
       .withColumn("m", from_json($"props", org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
       .select($"event_id",
-        map_keys($"m").as("ks"),
+        array_join(map_keys($"m"), "|").as("ks"),
         expr("try_element_at(m, 'k')").as("k_val"))
       .orderBy("event_id")
   }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.QueryDef
 import graft.QueryDef.{benchOnly, graded}
+import graft.operators.Banding
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,10 +17,12 @@ import org.apache.spark.sql.functions._
   *  - content fingerprinting (g8) reduces exact-dedup of multi-KB text to
   *    a 16-byte-key groupBy: hash travels through the shuffle, not the
   *    document.
-  *  - all-pairs similarity (g2, g14) is quadratic and only runs banded: a
-  *    join-key band predicate bounds the candidate set to O(n·band). The
-  *    unbanded scale path is MinHash-LSH (g3): shingle → signature →
-  *    band-bucket join, candidates ∝ true near-duplicates, not n².
+  *  - all-pairs similarity (g2, g14) runs banded, and the band is an
+  *    EQUI-JOIN key (bucket = floor(doc_id/band), left side exploded to
+  *    [bkt, bkt+1] — [[graft.operators.Banding]]): the join is
+  *    hash-partitioned with O(n·band) candidates, never a nested loop over
+  *    n² pairs. The unbanded scale path is MinHash-LSH (g3): shingle →
+  *    signature → band-bucket join, candidates ∝ true near-duplicates.
   *  - the minhash signature itself (g13) is an exact, oracle-checkable
   *    per-document reduction (4 independent min-hashes over token hashes).
   */
@@ -71,7 +74,7 @@ object Dedup {
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
     val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
-    a.join(b, $"doc_a" < $"doc_b" && $"doc_b" - $"doc_a" <= 150)
+    Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
       .withColumn("jac",
         size(array_intersect($"tk_a", $"tk_b")).cast("double") /
           size(array_union($"tk_a", $"tk_b")).cast("double"))
@@ -80,26 +83,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  // g3 — bench-only: MinHash-LSH near-dup at scale (MLlib). Approximate by
-  // construction → no DuckDB twin; g2 is its graded correctness twin.
-  // Fixed seed keeps the run deterministic.
+  // g3 — bench-only: MinHash-LSH dedup at scale, DataFrame-native.
+  // Approximate candidate generation → no DuckDB twin; g2 is the graded
+  // correctness twin. Pipeline: tokens → 16 minhashes (xxhash64 with 16
+  // fixed seeds, elementwise min per doc) → 4 bands of 4 rows, band key =
+  // hash of the band's signature slice → CHAIN candidate edges (each doc
+  // links only to its predecessor in bucket doc_id order — a window lag,
+  // O(n·bands) edges that preserve exactly the bucket connectivity an
+  // all-pairs enumeration would give) → exact-Jaccard verification of
+  // each edge → connected components over verified edges via bounded
+  // pointer jumping → emit doc → component representative.
+  //
+  // Never enumerate intra-bucket pairs: that is quadratic in bucket size
+  // (this corpus has a 31-word vocabulary, so band signatures collide into
+  // ~2.6k-doc buckets at sf0.1 — the round-1 MLlib approxSimilarityJoin
+  // cost 235 s and a bucket-pair equi-join still cost 135 s; the chain
+  // form runs in ~2 s). Chaining under-merges only when a verified-edge
+  // path is broken by one failing edge — the documented approximation of
+  // LSH dedup, whose exhaustive graded twin is g2.
   private val g3 = benchOnly("g3_minhash_lsh") { (spark, dir) =>
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     import spark.implicits._
+    val nHashes = 16
+    val bandRows = 4
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
-    val tf = new HashingTF().setInputCol("tk").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(toks)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(5).setSeed(42)
-    val model = lsh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.1, "jaccard_dist")
-      .select(
-        $"datasetA.doc_id".as("doc_a"), $"datasetB.doc_id".as("doc_b"),
-        round($"jaccard_dist", 6).as("jaccard_dist"))
-      .where($"doc_a" < $"doc_b")
-      .orderBy("doc_a", "doc_b")
+    val tok = toks.select($"doc_id", explode($"tk").as("word"))
+    val mins = (0 until nHashes).map(i => min(xxhash64(lit(i), $"word")).as(s"h$i"))
+    val sig = tok.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until nHashes / bandRows).map { bnd =>
+      val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
+    }
+    val buckets = sig
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+    val wBkt = Window.partitionBy($"band", $"bk").orderBy($"doc_id")
+    val edges = buckets
+      .withColumn("prev", lag($"doc_id", 1).over(wBkt))
+      .where($"prev".isNotNull)
+      .select($"prev".as("doc_a"), $"doc_id".as("doc_b"))
+      .distinct()
+    val verified = edges
+      .join(toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a")), "doc_a")
+      .join(toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b")), "doc_b")
+      .where(size(array_intersect($"tk_a", $"tk_b")).cast("double") /
+        size(array_union($"tk_a", $"tk_b")).cast("double") >= 0.9)
+      .select($"doc_a", $"doc_b")
+    // initial labels: min verified in-neighbor, else self
+    val linked = toks.select($"doc_id")
+      .join(verified.groupBy($"doc_b").agg(min($"doc_a").as("rep0")),
+        $"doc_id" === $"doc_b", "left")
+      .select($"doc_id", coalesce($"rep0", $"doc_id").as("rep"))
+    // bounded pointer jumping: 3 rounds close chains up to 2^3 hops; each
+    // round is one hash equi-join on rep = doc_id
+    val jump = (l: org.apache.spark.sql.DataFrame) =>
+      l.as("a").join(l.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
+          $"a.rep" === $"r_doc")
+        .select($"a.doc_id".as("doc_id"), least($"a.rep", $"r_rep").as("rep"))
+    val closed = jump(jump(jump(linked)))
+    closed.where($"rep" < $"doc_id")
+      .select($"doc_id", $"rep")
+      .orderBy("doc_id")
   }
 
   // g8 — content fingerprinting: md5 over normalized text (identical
@@ -183,7 +227,7 @@ object Dedup {
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gr"))
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
-    a.join(b, $"doc_a" < $"doc_b" && $"doc_b" - $"doc_a" <= 50)
+    Banding.bandedPairs(a, b, "doc_a", "doc_b", 50)
       .withColumn("jac",
         size(array_intersect($"gr_a", $"gr_b")).cast("double") /
           size(array_union($"gr_a", $"gr_b")).cast("double"))

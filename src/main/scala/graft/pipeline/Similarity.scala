@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.QueryDef
 import graft.QueryDef.graded
+import graft.operators.Banding
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,7 +18,9 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - g4 is the brute-force exact-kNN baseline: one scan, per-row scoring,
   *    TakeOrderedAndProject top-k — embarrassingly parallel, no shuffle.
-  *  - g5 all-pairs runs banded (candidate set O(n·band), never n²).
+  *  - g5 all-pairs runs banded with the band as an equi-join key
+  *    ([[graft.operators.Banding]]): hash-partitioned, O(n·band)
+  *    candidates, never an n² nested loop.
   *  - g12 is the scale path: hyperplane-LSH bucketing prunes candidates to
   *    one bucket (~1/16 of the data per query) before exact re-scoring —
   *    the same partition-pruning shape an IVF index gives. The bucket id
@@ -85,7 +88,7 @@ object Similarity {
     val e = withVec(Tables.embeddings(spark, dir))
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, $"vec_a" < $"vec_b" && $"vec_b" - $"vec_a" <= 100)
+    Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)
       .withColumn("cs", dot("va", "vb") / ($"na" * $"nb"))
       .where($"cs" >= 0.35)
       .select($"vec_a", $"vec_b", round($"cs", 6).as("cos_sim"))

@@ -23,11 +23,21 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
     if type(v).__name__ == "Decimal":
         return float(v)
     return v
+
+
+def array_cols(rows):
+    """The driver's t2 gate sorts columns with pandas, which crashes on
+    array-typed cells (unhashable numpy.ndarray). Mirror that limitation:
+    any list-valued cell is a hard local failure BEFORE key declaration."""
+    bad = set()
+    for r in rows[:50]:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple)):
+                bad.add(i)
+    return bad
 
 
 def main():
@@ -58,6 +68,14 @@ def main():
             print(f"FAIL {key}: exec error: {e}")
             continue
 
+        bad = array_cols(srows) | array_cols(orows)
+        if bad:
+            failed.append(key)
+            names = sorted({scols[i] if i < len(scols) else str(i) for i in bad})
+            print(f"FAIL {key}: array-typed result columns {names} — "
+                  "the driver's pandas-based gate cannot hash these; "
+                  "serialize with array_join/array_to_string")
+            continue
         if sorted(scols) != sorted(ocols):
             failed.append(key)
             print(f"FAIL {key}: columns spark={sorted(scols)} oracle={sorted(ocols)}")

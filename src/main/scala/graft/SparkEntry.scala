@@ -19,6 +19,7 @@ object SparkEntry {
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++
+      pipeline.Multimodal.defs ++
       functions.Udfs.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

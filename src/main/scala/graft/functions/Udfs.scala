@@ -3,6 +3,8 @@ package graft.functions
 import graft.QueryDef
 import graft.QueryDef.graded
 import graft.sources.Tables
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** I: the extensibility surface.
@@ -37,5 +39,43 @@ object Udfs {
       .orderBy("p_partkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(i1)
+  /** Mergeable geometric-mean aggregator — the UDAF extension surface
+    * (SURVEY §2 I2). The buffer is (Σ ln x, n): associative and
+    * commutative, so partial aggregation (map-side combine) applies and the
+    * merge tree is shuffle-safe — the property any 100 TB custom aggregate
+    * must have.
+    */
+  case class GeoBuf(logSum: Double, n: Long)
+  object GeoMean extends Aggregator[java.lang.Double, GeoBuf, Double] {
+    def zero: GeoBuf = GeoBuf(0.0, 0L)
+    def reduce(b: GeoBuf, a: java.lang.Double): GeoBuf =
+      if (a == null || a <= 0) b else GeoBuf(b.logSum + math.log(a), b.n + 1)
+    def merge(x: GeoBuf, y: GeoBuf): GeoBuf = GeoBuf(x.logSum + y.logSum, x.n + y.n)
+    def finish(b: GeoBuf): Double = if (b.n == 0) 0.0 else math.exp(b.logSum / b.n)
+    def bufferEncoder: Encoder[GeoBuf] = Encoders.product[GeoBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  // i2 — UDAF via the typed Aggregator surface; oracle re-expression is
+  // exp(avg(ln x)). The log-sum folds in different orders across engines,
+  // but avg damps the error to ~1e-15 relative, far inside round(4).
+  private val i2 = graded(
+    "i2_udaf_geomean",
+    """SELECT l_returnflag,
+      |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val geo = udaf(GeoMean)
+    spark.udf.register("geo_mean", geo)
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(round(geo($"l_extendedprice"), 4).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(i1, i2)
 }

@@ -74,10 +74,12 @@ object Dedup {
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
     val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    // |A∪B| = |A|+|B|−|A∩B| (exact: arrays are distinct) — one hash-set
+    // pass per pair instead of two
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .withColumn("inter", size(array_intersect($"tk_a", $"tk_b")).cast("double"))
       .withColumn("jac",
-        size(array_intersect($"tk_a", $"tk_b")).cast("double") /
-          size(array_union($"tk_a", $"tk_b")).cast("double"))
+        $"inter" / (size($"tk_a") + size($"tk_b") - $"inter"))
       .where($"jac" >= 0.9)
       .select($"doc_a", $"doc_b", round($"jac", 6).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -170,10 +172,16 @@ object Dedup {
   private val mhAB = Seq((1L, 0L), (1664525L, 1013904223L),
     (22695477L, 1L), (1103515245L, 12345L))
 
-  private def duckHex8(col: String): String =
-    (1 to 8).map(i =>
-      s"(strpos('0123456789abcdef', substring($col, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+  /** DuckDB SQL: interpret 8 hex digits of `col` starting at 1-based
+    * `start` as a 32-bit unsigned value (DuckDB has no from_hex; this is
+    * positional arithmetic over the digit characters).
+    */
+  private def duckHex8At(col: String, start: Int): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substring($col, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     ).mkString("(", " + ", ")")
+
+  private def duckHex8(col: String): String = duckHex8At(col, 1)
 
   private val g13 = graded(
     "g13_minhash_sig", {
@@ -222,19 +230,136 @@ object Dedup {
       |WHERE jac >= 0.75
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // grams are hashed to int64 before the pairwise set ops: the intersect
+    // then compares 8-byte values instead of UTF8 strings, and Jaccard over
+    // an injectively-hashed set equals Jaccard over the strings (the corpus
+    // has only a few hundred distinct 3-grams; a 64-bit collision among
+    // them would be ~1e-14). |A∪B| is computed as |A|+|B|−|A∩B|.
     val sh = Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gr"))
+        """transform(sequence(1, length(text) - 2),
+          |          i -> xxhash64(substring(text, i, 3)))""".stripMargin)).as("gr"))
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 50)
+      .withColumn("inter", size(array_intersect($"gr_a", $"gr_b")).cast("double"))
       .withColumn("jac",
-        size(array_intersect($"gr_a", $"gr_b")).cast("double") /
-          size(array_union($"gr_a", $"gr_b")).cast("double"))
+        $"inter" / (size($"gr_a") + size($"gr_b") - $"inter"))
       .where($"jac" >= 0.75)
       .select($"doc_a", $"doc_b", round($"jac", 6).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14)
+  // Shared CTE prefix for the SimHash oracle (g15/g16): 64-bit SimHash per
+  // document as two 32-bit halves. Token hash = md5 hex chunks (identical
+  // in both engines); per-bit vote = +1/-1 over tokens; bit set iff the
+  // vote sum is strictly positive (pure integer arithmetic — no float
+  // determinism hazard anywhere).
+  private val simhashCte =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      |  FROM documents
+      |), hh AS (
+      |  SELECT doc_id,
+      |    ${duckHex8At("md5(word)", 1)} AS h1,
+      |    ${duckHex8At("md5(word)", 9)} AS h2
+      |  FROM tok
+      |), bits AS (
+      |  SELECT doc_id, gs.b,
+      |    CASE WHEN ((h1 >> gs.b) & 1) = 1 THEN 1 ELSE -1 END AS c1,
+      |    CASE WHEN ((h2 >> gs.b) & 1) = 1 THEN 1 ELSE -1 END AS c2
+      |  FROM hh, generate_series(0, 31) gs(b)
+      |), votes AS (
+      |  SELECT doc_id, b, sum(c1) AS s1, sum(c2) AS s2
+      |  FROM bits GROUP BY doc_id, b
+      |), sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh_lo,
+      |    sum(CASE WHEN s2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh_hi
+      |  FROM votes GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Spark side of the SimHash signature: doc_id, sh_lo, sh_hi. */
+  private def simhashSig(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+    val hh = tok
+      .withColumn("m", md5($"word"))
+      .withColumn("h1", conv(substring($"m", 1, 8), 16, 10).cast("bigint"))
+      .withColumn("h2", conv(substring($"m", 9, 8), 16, 10).cast("bigint"))
+    val bits = hh
+      .select($"doc_id", $"h1", $"h2",
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .select($"doc_id", $"b",
+        expr("CASE WHEN ((h1 >> b) & 1) = 1 THEN 1 ELSE -1 END").as("c1"),
+        expr("CASE WHEN ((h2 >> b) & 1) = 1 THEN 1 ELSE -1 END").as("c2"))
+    bits.groupBy($"doc_id", $"b")
+      .agg(sum($"c1").as("s1"), sum($"c2").as("s2"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when($"s1" > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("sh_lo"),
+        sum(when($"s2" > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("sh_hi"))
+  }
+
+  // g15 — SimHash document fingerprints. Unlike MinHash (set similarity),
+  // SimHash preserves weighted cosine-ish similarity in Hamming space:
+  // near-identical docs differ in a handful of bits. All-integer pipeline
+  // → exact oracle parity.
+  private val g15 = graded(
+    "g15_simhash",
+    s"""$simhashCte
+      |SELECT doc_id, sh_lo, sh_hi FROM sig ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      simhashSig(spark, dir).orderBy("doc_id")
+  }
+
+  // g16 — SimHash near-dup join via the classic block-permutation trick:
+  // split the 64-bit signature into 4 16-bit blocks; any pair within
+  // Hamming distance 3 has ≥ 1 block exactly equal (pigeonhole), so the
+  // candidate join is an EQUI-join on (block index, block value) — the
+  // same shuffle-on-key shape as Banding/LSH, never an n² bit comparison.
+  // Candidates are then verified with the exact popcount distance.
+  private val g16 = graded(
+    "g16_simhash_dedup",
+    s"""$simhashCte,
+      |blocks AS (
+      |  SELECT doc_id, sh_lo, sh_hi, gs.i AS blk,
+      |    CASE gs.i
+      |      WHEN 0 THEN sh_lo & 65535
+      |      WHEN 1 THEN (sh_lo >> 16) & 65535
+      |      WHEN 2 THEN sh_hi & 65535
+      |      ELSE (sh_hi >> 16) & 65535 END AS bv
+      |  FROM sig, generate_series(0, 3) gs(i)
+      |)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
+      |FROM blocks a JOIN blocks b
+      |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sig = simhashSig(spark, dir)
+    val blockCols = Seq(
+      $"sh_lo".bitwiseAND(65535),
+      expr("(sh_lo >> 16) & 65535"),
+      $"sh_hi".bitwiseAND(65535),
+      expr("(sh_hi >> 16) & 65535"))
+    val blocks = sig.select($"doc_id", $"sh_lo", $"sh_hi",
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
+    val a = blocks.select($"doc_id".as("doc_a"), $"sh_lo".as("lo_a"),
+      $"sh_hi".as("hi_a"), $"blk", $"bv")
+    val b = blocks.select($"doc_id".as("doc_b"), $"sh_lo".as("lo_b"),
+      $"sh_hi".as("hi_b"), $"blk", $"bv")
+    a.join(b, Seq("blk", "bv"))
+      .where($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"))
+      .where($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16)
 }

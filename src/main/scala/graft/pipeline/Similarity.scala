@@ -131,5 +131,42 @@ object Similarity {
       .limit(5)
   }
 
-  val defs: Seq[QueryDef] = Seq(g4, g5, g12)
+  // g17 — bench-only: IVF-style ANN. Index build: a deterministic coarse
+  // quantizer (16 "centroids" sampled by vec_id — a k-means stand-in;
+  // training is out of scope for a query engine) assigns every vector to
+  // its nearest centroid, i.e. one broadcast join + per-row argmax. Search:
+  // the query probes its nprobe=2 nearest centroids and re-scores
+  // exhaustively ONLY inside those inverted lists — at 100 TB the list id
+  // is a partition key, so probing is partition pruning and the scan never
+  // touches the other 14/16 of the data.
+  private val g17 = QueryDef.benchOnly("g17_ann_ivf") { (spark, dir) =>
+    import spark.implicits._
+    val e = withVec(Tables.embeddings(spark, dir))
+    val cents = e.where($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // build: assign each vector to its nearest centroid (cosine argmax)
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cscore".desc, $"cid")
+    val assigned = e.join(broadcast(cents))
+      .withColumn("cscore", dot("v", "cv") / ($"nrm" * $"cnrm"))
+      .withColumn("rk", row_number().over(wVec))
+      .where($"rk" === 1)
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    // search: query = vec_id 0; probe its 2 best centroids
+    val q = e.where($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("cscore", dot("cv", "qv") / ($"cnrm" * $"qnrm"))
+      .orderBy($"cscore".desc, $"cid").limit(2)
+      .select($"cid")
+    assigned.join(broadcast(probes), "cid")
+      .crossJoin(broadcast(q))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id", $"cid",
+        round(dot("v", "qv") / ($"nrm" * $"qnrm"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17)
 }

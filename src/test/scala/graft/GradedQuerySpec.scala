@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Mechanical gate-compatibility lint over EVERY declared query
+  * (SURVEY §1.4 + the round-1 d8/f8 failure): the driver's compare gate
+  * hashes scalar cells only, and hash-match requires deterministic output.
+  */
+class GradedQuerySpec extends SparkSpec {
+
+  private lazy val results = SparkEntry.all.map { d =>
+    d -> d.fn(spark, sfDir)
+  }
+
+  test("every query declares rows at sf0.001 (smoke)") {
+    // c6: the 10-supplier sf0.001 corpus has no acctbal pair within the
+    // theta band — legitimately empty at this sf, non-empty from sf0.01 up
+    val emptyOk = Set("c6_join_theta")
+    for ((d, df) <- results if !emptyOk(d.key))
+      assert(df.count() > 0, s"${d.key} returned 0 rows")
+  }
+
+  test("no graded query emits array/map/struct-typed output columns") {
+    for ((d, df) <- results if d.oracle.nonEmpty; f <- df.schema.fields)
+      assert(!f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType] &&
+        !f.dataType.isInstanceOf[StructType],
+        s"${d.key}.${f.name} is ${f.dataType.simpleString} — the driver's " +
+          "gate cannot hash it; serialize with array_join/to_json")
+  }
+
+  test("every graded query is globally ordered (plan ends in a Sort)") {
+    for ((d, df) <- results if d.oracle.nonEmpty) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.linesIterator.take(3).exists(l =>
+        l.contains("Sort") || l.contains("GlobalLimit")),
+        s"${d.key} has no top-level global Sort/Limit:\n$plan")
+    }
+  }
+
+  test("dedup family output is idempotent-stable (two runs, same result)") {
+    for (key <- Seq("g1_dedup_exact", "g3_minhash_lsh", "g16_simhash_dedup",
+        "g2_neardup_jaccard")) {
+      val r1 = SparkEntry.queries(key)(spark, sfDir).collect().toSeq
+      val r2 = SparkEntry.queries(key)(spark, sfDir).collect().toSeq
+      assert(r1 === r2, s"$key is nondeterministic across runs")
+    }
+  }
+
+  test("oracle SQL exists for every key except declared bench-only ops") {
+    val benchOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.key).toSet
+    val expected = Set("d9_approx_distinct", "g3_minhash_lsh",
+      "g17_ann_ivf", "m2_media_decode")
+    assert(benchOnly === expected,
+      s"bench-only drift: ${benchOnly.diff(expected)} / ${expected.diff(benchOnly)}")
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeBatch is deterministic and batch-shaped") {
+    val bytes = "hello multimodal".getBytes("UTF-8")
+    val out1 = Multimodal.decodeBatch(Iterator((1L, bytes))).toList
+    val out2 = Multimodal.decodeBatch(Iterator((1L, bytes))).toList
+    assert(out1 === out2)
+    val m = out1.head
+    assert(m.n_bytes === bytes.length)
+    assert(m.width >= 64 && m.width <= 64 + 15 * 64)
+    assert(m.height >= 64 && m.height <= 64 + 15 * 64)
+    assert(m.brightness >= 0.0 && m.brightness <= 1.0)
+  }
+
+  test("m2 pipeline: binary column survives distributed decode, one row per doc") {
+    val df = SparkEntry.queries("m2_media_decode")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(df.count() === docs)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "n_bytes", "width", "height", "brightness"))
+    // byte length must equal the source text's UTF-8 length — proves the
+    // binary payload reached the decoder intact
+    val joined = df.join(
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("expect")),
+      "doc_id")
+    assert(joined.where(col("n_bytes") =!= col("expect")).count() === 0)
+  }
+
+  test("m1 metadata agrees with decode output on byte counts") {
+    val meta = SparkEntry.queries("m1_media_meta")(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes").as("meta_bytes"))
+    val dec = SparkEntry.queries("m2_media_decode")(spark, sfDir)
+      .select(col("doc_id"), col("n_bytes").as("dec_bytes"))
+    assert(meta.join(dec, "doc_id")
+      .where(col("meta_bytes") =!= col("dec_bytes")).count() === 0)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.functions._
+
+/** H4: the streaming pipeline must produce the same answers as its graded
+  * batch twins once the (finite) file stream is fully consumed.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, mode: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming tumbling window equals batch h1 on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    assert(stream.isStreaming)
+    runToMemory(StreamingJobs.tumblingCounts(stream), "h4_tumble", "complete")
+    val streamed = spark.table("h4_tumble")
+      .select(col("win_start").cast("long"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("h1_win_tumbling")(spark, sfDir)
+      .select(col("day_start").cast("long"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming dedup emits each event_id once") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")
+    val out = spark.table("h4_dedup")
+    val batchDistinct = graft.sources.Tables
+      .eventsUs(spark, sfDir).select("event_id").distinct().count()
+    assert(out.select("event_id").distinct().count() === batchDistinct)
+    assert(out.count() === batchDistinct)
+  }
+}

@@ -217,5 +217,30 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+  // D10 — pivot (wide aggregation): explicit pivot values keep the output
+  // schema static, which is both the deterministic-contract requirement
+  // and the 100 TB requirement (a values-discovery pivot needs an extra
+  // distinct scan before planning).
+  private val d10 = graded(
+    "d10_pivot",
+    """SELECT l_returnflag,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+      |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+      |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+      |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum($"l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        $"F_qty".as("qty_f"), $"O_qty".as("qty_o"),
+        $"F_n".as("n_f"), $"O_n".as("n_o"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }

@@ -238,5 +238,29 @@ object Joins {
       .orderBy("n_name")
   }
 
-  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9)
+  // C10 — correlated scalar subqueries through the SQL surface. Catalyst's
+  // RewriteCorrelatedScalarSubquery decorrelates both into left outer
+  // joins over pre-aggregated subplans — at scale these are two shuffles
+  // on c_custkey, not a per-row re-execution (which is what a naive
+  // engine, and the reference's script model, would do).
+  private val c10 = graded(
+    "c10_subquery_scalar",
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  round(coalesce((SELECT max(o_totalprice) FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey), 0), 2) AS max_spend
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  round(coalesce((SELECT max(o_totalprice) FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey), 0), 2) AS max_spend
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
 }

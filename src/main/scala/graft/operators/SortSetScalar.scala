@@ -202,5 +202,22 @@ object SortSetScalar {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8)
+  // F9 — ordered string aggregation (listagg). collect_list order is
+  // shuffle-nondeterministic, so the graded form sorts the collected set
+  // before joining — the value is a pure function of the group's set.
+  private val f9 = graded(
+    "f9_listagg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"))
+      .orderBy("r_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
 }

@@ -115,5 +115,30 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5)
+  // E6 — distribution window functions: percent_rank / cume_dist over the
+  // acctbal distribution per market segment, plus first/last frame values.
+  // Tiebreak by c_custkey inside the frame functions' ORDER BY keeps the
+  // cross-engine ordering total.
+  private val e6 = graded(
+    "e6_win_dist",
+    """SELECT c_custkey, c_mktsegment,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd,
+      |  first_value(c_custkey) OVER w AS poorest,
+      |  nth_value(c_custkey, 2) OVER w AS second_poorest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first($"c_custkey").over(w).as("poorest"),
+        nth_value($"c_custkey", 2).over(w).as("second_poorest"))
+      .orderBy("c_custkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6)
 }

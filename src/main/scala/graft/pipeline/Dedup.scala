@@ -70,14 +70,20 @@ object Dedup {
       |WHERE jac >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    // tokens hashed to int64 and pre-sorted per doc: the pairwise kernel is
+    // then the zero-allocation sorted_intersect_size two-pointer merge
+    // (jaccard over an injectively-hashed set equals jaccard over the
+    // strings; the corpus vocabulary is 31 words, so 64-bit collisions are
+    // impossible in practice). |A∪B| = |A|+|B|−|A∩B| (arrays distinct).
     val toks = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+      .select($"doc_id", sort_array(array_distinct(
+        expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
     val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
-    // |A∪B| = |A|+|B|−|A∩B| (exact: arrays are distinct) — one hash-set
-    // pass per pair instead of two
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
-      .withColumn("inter", size(array_intersect($"tk_a", $"tk_b")).cast("double"))
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
       .withColumn("jac",
         $"inter" / (size($"tk_a") + size($"tk_b") - $"inter"))
       .where($"jac" >= 0.9)
@@ -230,19 +236,21 @@ object Dedup {
       |WHERE jac >= 0.75
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    // grams are hashed to int64 before the pairwise set ops: the intersect
-    // then compares 8-byte values instead of UTF8 strings, and Jaccard over
-    // an injectively-hashed set equals Jaccard over the strings (the corpus
-    // has only a few hundred distinct 3-grams; a 64-bit collision among
-    // them would be ~1e-14). |A∪B| is computed as |A|+|B|−|A∩B|.
+    graft.functions.SortedIntersectSize.register(spark)
+    // grams are hashed to int64 and pre-sorted per doc: the pairwise kernel
+    // is the zero-allocation sorted_intersect_size two-pointer merge
+    // instead of a per-pair hash set. Jaccard over an injectively-hashed
+    // set equals Jaccard over the strings (few hundred distinct 3-grams in
+    // corpus → 64-bit collision odds ~1e-14). |A∪B| = |A|+|B|−|A∩B|.
     val sh = Tables.documents(spark, dir)
-      .select($"doc_id", array_distinct(expr(
+      .select($"doc_id", sort_array(array_distinct(expr(
         """transform(sequence(1, length(text) - 2),
-          |          i -> xxhash64(substring(text, i, 3)))""".stripMargin)).as("gr"))
+          |          i -> xxhash64(substring(text, i, 3)))""".stripMargin))).as("gr"))
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 50)
-      .withColumn("inter", size(array_intersect($"gr_a", $"gr_b")).cast("double"))
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(gr_a, gr_b) as double)"))
       .withColumn("jac",
         $"inter" / (size($"gr_a") + size($"gr_b") - $"inter"))
       .where($"jac" >= 0.75)

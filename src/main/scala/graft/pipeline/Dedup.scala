@@ -369,5 +369,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16)
+  // g18 — winnowing fingerprints (the MOSS scheme): hash every 4-char
+  // shingle, then keep the MIN hash of each 8-hash sliding window. The
+  // selected set is position-robust — shared substrings between documents
+  // select the same fingerprints regardless of offset — and its size is
+  // ~2n/w, so multi-KB documents reduce to a few dozen comparable values.
+  // Per-document map-side computation only (one projection, no
+  // shuffle/join): at 100 TB this is the cheap pass that feeds an
+  // equi-join on exploded fingerprints. Output serialized (gate rule).
+  private val g18 = graded(
+    "g18_winnow_fp",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - 3), i ->
+      |      (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 1, 1)) - 1) * 268435456
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 2, 1)) - 1) * 16777216
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 3, 1)) - 1) * 1048576
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 4, 1)) - 1) * 65536
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 5, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 6, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 7, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substring(md5(substring(text, i, 4)), 8, 1)) - 1)) AS hs
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(
+      |      generate_series(1, len(hs) - 7), i ->
+      |        list_min(list_slice(hs, i, i + 7))))) AS fps
+      |  FROM h)
+      |SELECT doc_id, len(fps)::INT AS n_fp,
+      |  array_to_string(fps, '|') AS fps
+      |FROM fp
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(
+        """transform(sequence(1, length(text) - 3),
+          |  i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))""".stripMargin))
+      .withColumn("fps", sort_array(array_distinct(expr(
+        "transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))"))))
+      .select($"doc_id", size($"fps").as("n_fp"),
+        array_join($"fps", "|").as("fps"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18)
 }

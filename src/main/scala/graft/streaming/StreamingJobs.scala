@@ -61,4 +61,20 @@ object StreamingJobs {
     events
       .withWatermark("ts_us", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session windows (1 h inactivity gap) via the native
+    * `session_window` expression. The SAME call works on a batch
+    * DataFrame — `sessionCounts(batchEvents, streaming = false)` — which
+    * is Spark's batch/streaming unification in one line; `StreamingSpec`
+    * asserts the two agree. In streaming, state for a session is evicted
+    * once the watermark passes its close — bounded memory at any scale.
+    */
+  def sessionCounts(events: DataFrame, streaming: Boolean = true): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts_us", "1 hour") else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts_us"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
 }

@@ -32,6 +32,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("session_window: streaming output equals batch, except the watermark tail") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.sessionCounts(stream), "h4_sessions", "append")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("session_end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("h4_sessions"))
+    val batchEvents = graft.sources.Tables.eventsUs(spark, sfDir)
+    val batch = key(StreamingJobs.sessionCounts(batchEvents, streaming = false))
+    assert(streamed.nonEmpty)
+    // append mode only emits sessions closed by the final watermark (max
+    // event time − 1 h gap): everything emitted must match batch exactly,
+    // and everything withheld must lie inside that watermark tail.
+    assert(streamed.subsetOf(batch))
+    val maxUs = batchEvents.agg(max(col("ts_us").cast("long"))).head().getLong(0)
+    val tail = batch.diff(streamed)
+    assert(tail.forall { case (_, _, end, _) => end >= maxUs - 3600L * 1000000L },
+      s"withheld sessions outside the watermark tail: ${tail.take(3)}")
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

@@ -142,14 +142,32 @@ object Dedup {
       .join(verified.groupBy($"doc_b").agg(min($"doc_a").as("rep0")),
         $"doc_id" === $"doc_b", "left")
       .select($"doc_id", coalesce($"rep0", $"doc_id").as("rep"))
-    // bounded pointer jumping: 3 rounds close chains up to 2^3 hops; each
-    // round is one hash equi-join on rep = doc_id
-    val jump = (l: org.apache.spark.sql.DataFrame) =>
-      l.as("a").join(l.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
+    // pointer jumping to fixpoint (label doubling): each round halves the
+    // remaining chain depth, so rounds = O(log longest-chain). Each level
+    // is localCheckpoint'ed: a level is referenced twice by its self-join,
+    // and iterative self-reference otherwise grows the logical plan
+    // exponentially (the naive 3-round form compiled to 67 exchanges) and
+    // the analyze/optimize cost quadratically — checkpointing truncates
+    // the lineage to a materialized RDD each round, the standard Spark
+    // iterative-algorithm shape. Σrep strictly decreases until fixpoint,
+    // so it is the convergence metric (one scan of the checkpoint).
+    var labels = linked.localCheckpoint()
+    var lastSum = labels.agg(sum($"rep")).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = labels.as("a")
+        .join(labels.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
           $"a.rep" === $"r_doc")
         .select($"a.doc_id".as("doc_id"), least($"a.rep", $"r_rep").as("rep"))
-    val closed = jump(jump(jump(linked)))
-    closed.where($"rep" < $"doc_id")
+        .localCheckpoint()
+      val s = next.agg(sum($"rep")).head().getLong(0)
+      labels = next
+      converged = s == lastSum
+      lastSum = s
+      rounds += 1
+    }
+    labels.where($"rep" < $"doc_id")
       .select($"doc_id", $"rep")
       .orderBy("doc_id")
   }

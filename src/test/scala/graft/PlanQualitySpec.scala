@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape regression net: the plans that make the engine scale are
+  * asserted, not assumed (SURVEY §4). A change that silently turns an
+  * equi-join into a nested loop, or adds a cartesian product, fails here
+  * before it fails at 100 TB.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  // 1-row or constant-size broadcast sides where a nested-loop broadcast
+  // join is exactly right: c9 (25-row dim×dim cross), g4/g6/g17 (single
+  // query vector / corpus-count broadcast).
+  private val bnljOk = Set("c9_join_cross", "g4_cosine_topk", "g6_tfidf",
+    "g17_ann_ivf")
+
+  private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
+    d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a CartesianProduct") {
+    for ((key, plan) <- plans)
+      assert(!plan.contains("CartesianProduct"), s"$key plans a cartesian:\n$plan")
+  }
+
+  test("nested-loop joins appear only where the build side is constant-size") {
+    val offenders = plans.collect {
+      case (key, plan) if plan.contains("BroadcastNestedLoopJoin") => key
+    }.toSet
+    assert(offenders === bnljOk,
+      s"unexpected BNLJ in ${offenders.diff(bnljOk)}; " +
+        s"stale allowlist entries: ${bnljOk.diff(offenders)}")
+  }
+
+  test("filter pushdown reaches the parquet scan (b1)") {
+    val plan = plans.toMap.apply("b1_filter_pred")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull"), plan)
+  }
+
+  test("column pruning reaches the parquet scan (a1 reads only selected columns)") {
+    val plan = plans.toMap.apply("a1_scan_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // a1 projects a subset of lineitem; the scan must not read all 11 columns
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipelines") {
+    // AQE materializes the final plan (with codegen stages) only after
+    // execution — run the query, then inspect
+    val df = SparkEntry.queries("b1_filter_pred")(spark, sfDir)
+    df.collect() // count() would spawn a separate QueryExecution
+    // after execution AQE renders the final plan; codegen stages appear as
+    // "*(n)" markers in compact form (or WholeStageCodegen in tree form)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      """\*\(\d+\)""".r.findFirstIn(plan).nonEmpty, plan)
+  }
+}

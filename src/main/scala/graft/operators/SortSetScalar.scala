@@ -219,5 +219,30 @@ object SortSetScalar {
       .orderBy("r_name")
   }
 
-  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
+  // F10 — null-handling scalars over synthesized nulls (the corpus is
+  // null-free, so nullif manufactures them): coalesce / nullif / nvl2
+  // shapes plus greatest/least null semantics (both engines skip nulls in
+  // greatest/least rather than propagate).
+  private val f10 = graded(
+    "f10_null_funcs",
+    """SELECT p_partkey,
+      |  nullif(p_size, 25) AS size_nn,
+      |  coalesce(nullif(p_size, 25), -1) AS size_filled,
+      |  CASE WHEN nullif(p_size, 25) IS NULL THEN 'was_25' ELSE 'other' END AS tag,
+      |  greatest(p_size, 25) AS g25,
+      |  least(nullif(p_size, 25), 10) AS l10
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        nullif($"p_size", lit(25)).as("size_nn"),
+        coalesce(nullif($"p_size", lit(25)), lit(-1)).as("size_filled"),
+        when(nullif($"p_size", lit(25)).isNull, "was_25").otherwise("other").as("tag"),
+        greatest($"p_size", lit(25)).as("g25"),
+        least(nullif($"p_size", lit(25)), lit(10)).as("l10"))
+      .orderBy("p_partkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
 }

@@ -81,7 +81,12 @@ object Dedup {
         expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
     val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    // length prefilter: jac ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    // size ratio is below the threshold cannot qualify — the intersect
+    // kernel never runs for them (pure pruning, result-identical)
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
+        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
       .withColumn("inter",
         expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
       .withColumn("jac",
@@ -266,7 +271,10 @@ object Dedup {
           |          i -> xxhash64(substring(text, i, 3)))""".stripMargin))).as("gr"))
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
+    // length prefilter (see g2): size ratio < threshold ⇒ jac < threshold
     Banding.bandedPairs(a, b, "doc_a", "doc_b", 50)
+      .where(least(size($"gr_a"), size($"gr_b")).cast("double") >=
+        greatest(size($"gr_a"), size($"gr_b")) * 0.75)
       .withColumn("inter",
         expr("cast(sorted_intersect_size(gr_a, gr_b) as double)"))
       .withColumn("jac",

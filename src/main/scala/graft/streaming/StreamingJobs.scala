@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** H4: true Structured Streaming over the events table (non-graded — the
@@ -61,6 +62,38 @@ object StreamingJobs {
     events
       .withWatermark("ts_us", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running aggregate state record for [[statefulUserTotals]]. */
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing via `flatMapGroupsWithState` — the
+    * escape hatch when no built-in aggregate/window expresses the state
+    * machine. Here the "machine" is a running (count, sum) per user so the
+    * spec can cross-check against a batch groupBy; a real pipeline would
+    * put e.g. per-session ML feature accumulation or cross-event pattern
+    * matching here.
+    *
+    * Scale notes: state lives in the state store keyed by user — update
+    * cost is O(batch rows), memory is O(distinct active keys). With no
+    * natural expiry, production code sets `GroupStateTimeout` (event-time
+    * timeout + watermark) so abandoned keys are evicted; NoTimeout here
+    * because the finite spec stream ends immediately.
+    */
+  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          var (n, v) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator(UserTotals(user, n, v))
+      }
+  }
 
   /** Per-user session windows (1 h inactivity gap) via the native
     * `session_window` expression. The SAME call works on a batch

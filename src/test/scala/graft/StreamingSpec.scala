@@ -53,6 +53,27 @@ class StreamingSpec extends SparkSpec {
       s"withheld sessions outside the watermark tail: ${tail.take(3)}")
   }
 
+  test("flatMapGroupsWithState totals equal batch groupBy on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.statefulUserTotals(stream).toDF(), "h4_state", "update")
+    // finite stream → one update emission per user; compare against batch
+    val streamed = spark.table("h4_state")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("total_value").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.sources.Tables.eventsUs(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("tv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    for ((u, (n, tv)) <- batch) {
+      assert(streamed(u)._1 === n, s"user $u count")
+      // double-sum fold order differs between the state machine and the
+      // hash aggregate — compare within float tolerance
+      assert(math.abs(streamed(u)._2 - tv) < 1e-6, s"user $u total")
+    }
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

@@ -82,11 +82,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object SortedIntersectSize {
   /** Register into the session's FunctionRegistry so pipelines call it as
-    * `expr("sorted_intersect_size(a, b)")`. Idempotent.
+    * `expr("sorted_intersect_size(a, b)")`. Idempotent. Cluster deploys
+    * get the same function via `spark.sql.extensions=graft.GraftExtensions`
+    * ([[graft.GraftExtensions]] shares this builder).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1)))
+  def register(spark: SparkSession): Unit = {
+    val (name, info, builder) = graft.GraftExtensions.sortedIntersectSize
+    spark.sessionState.functionRegistry.registerFunction(name, info, builder)
+  }
 }

@@ -242,5 +242,23 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+  // D11 — bench-only: approximate percentiles (the mergeable quantile
+  // sketch, Greenwald-Khanna in Spark). Like d9's HLL, the 100 TB answer
+  // when exactness isn't required: constant memory per group, one pass,
+  // partial-aggregation mergeable. No DuckDB twin (different sketch).
+  private val d11 = benchOnly("d11_approx_pctl") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+          .as("pctl"))
+      .select($"l_returnflag",
+        round(element_at($"pctl", 1), 2).as("p50"),
+        round(element_at($"pctl", 2), 2).as("p95"),
+        round(element_at($"pctl", 3), 2).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }

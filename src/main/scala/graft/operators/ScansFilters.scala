@@ -96,5 +96,18 @@ object ScansFilters {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3)
+  // B4 — bench-only: seeded Bernoulli sampling. At 100 TB, sampling is the
+  // front door of every profiling/estimation pass; `sample` applies at the
+  // scan iterator (no shuffle, no materialization of the rejected rows).
+  // Seeded, so reruns over the same files are reproducible, but the value
+  // set depends on Spark's partitioning → no cross-engine oracle.
+  private val b4 = QueryDef.benchOnly("b4_sample") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg($"l_extendedprice"), 2).as("est_avg_price"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4)
 }

@@ -10,21 +10,26 @@ class BandingSpec extends SparkSpec {
 
   private def ids(n: Int, seed: Long) = {
     import spark.implicits._
-    // deterministic scattered ids/values
-    (0 until n).map(i => (math.abs((i * 2654435761L + seed) % 10000), i.toLong))
+    // deterministic scattered ids/values (true RNG, not an arithmetic
+    // progression — a progression's pairwise gaps never go below its
+    // three-distance minimum, starving small bands of any pairs)
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (rnd.nextInt(10000).toLong, i.toLong))
       .toDF("id", "payload")
   }
 
-  test("bandedPairs equals the naive theta self-join") {
-    val df = ids(500, seed = 7)
-    val a = df.select(col("id").as("ida"), col("payload").as("pa"))
-    val b = df.select(col("id").as("idb"), col("payload").as("pb"))
-    val naive = a.join(b, col("ida") < col("idb") && col("idb") - col("ida") <= 37)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = Banding.bandedPairs(a, b, "ida", "idb", 37)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded === naive)
-    assert(naive.nonEmpty) // the fixture must actually exercise the band
+  test("bandedPairs equals the naive theta self-join across band sizes") {
+    for ((seed, band) <- Seq((7L, 37), (11L, 9), (13L, 500), (17L, 9999))) {
+      val df = ids(500, seed)
+      val a = df.select(col("id").as("ida"), col("payload").as("pa"))
+      val b = df.select(col("id").as("idb"), col("payload").as("pb"))
+      val naive = a.join(b, col("ida") < col("idb") && col("idb") - col("ida") <= band)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Banding.bandedPairs(a, b, "ida", "idb", band)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === naive, s"seed=$seed band=$band")
+      assert(naive.nonEmpty, s"seed=$seed band=$band fixture is degenerate")
+    }
   }
 
   test("valueBandedPairs equals the naive |va-vb|<w theta self-join") {

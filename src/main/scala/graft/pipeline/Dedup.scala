@@ -76,7 +76,7 @@ object Dedup {
     // (jaccard over an injectively-hashed set equals jaccard over the
     // strings; the corpus vocabulary is 31 words, so 64-bit collisions are
     // impossible in practice). |A∪B| = |A|+|B|−|A∩B| (arrays distinct).
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsDist(spark, dir)
       .select($"doc_id", sort_array(array_distinct(
         expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
@@ -118,7 +118,7 @@ object Dedup {
     import spark.implicits._
     val nHashes = 16
     val bandRows = 4
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsDist(spark, dir)
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
     val tok = toks.select($"doc_id", explode($"tk").as("word"))
     val mins = (0 until nHashes).map(i => min(xxhash64(lit(i), $"word")).as(s"h$i"))
@@ -265,7 +265,7 @@ object Dedup {
     // instead of a per-pair hash set. Jaccard over an injectively-hashed
     // set equals Jaccard over the strings (few hundred distinct 3-grams in
     // corpus → 64-bit collision odds ~1e-14). |A∪B| = |A|+|B|−|A∩B|.
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.documentsDist(spark, dir)
       .select($"doc_id", sort_array(array_distinct(expr(
         """transform(sequence(1, length(text) - 2),
           |          i -> xxhash64(substring(text, i, 3)))""".stripMargin))).as("gr"))
@@ -316,7 +316,7 @@ object Dedup {
   /** Spark side of the SimHash signature: doc_id, sh_lo, sh_hi. */
   private def simhashSig(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.documentsDist(spark, dir)
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
     val hh = tok
       .withColumn("m", md5($"word"))

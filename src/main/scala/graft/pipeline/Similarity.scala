@@ -59,7 +59,7 @@ object Similarity {
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, dir))
+    val e = withVec(Tables.embeddingsDist(spark, dir))
     val q = e.where($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qnrm"))
     e.where($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
@@ -85,7 +85,7 @@ object Similarity {
       |WHERE cs >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, dir))
+    val e = withVec(Tables.embeddingsDist(spark, dir))
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
     Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)
@@ -120,7 +120,7 @@ object Similarity {
         (element_at($"embedding", 17) >= 0).cast("int") * 4 +
         (element_at($"embedding", 33) >= 0).cast("int") * 2 +
         (element_at($"embedding", 49) >= 0).cast("int")
-    val e = withVec(Tables.embeddings(spark, dir)).withColumn("bkt", bkt)
+    val e = withVec(Tables.embeddingsDist(spark, dir)).withColumn("bkt", bkt)
     val q = e.where($"vec_id" === 0)
       .select($"v".as("qv"), $"nrm".as("qnrm"), $"bkt".as("qbkt"))
     e.join(broadcast(q), $"bkt" === $"qbkt")
@@ -141,7 +141,7 @@ object Similarity {
   // touches the other 14/16 of the data.
   private val g17 = QueryDef.benchOnly("g17_ann_ivf") { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddings(spark, dir))
+    val e = withVec(Tables.embeddingsDist(spark, dir))
     val cents = e.where($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
     // build: assign each vector to its nearest centroid (cosine argmax)

@@ -47,4 +47,24 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "lineitem")
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** The corpus ships each table as ONE parquet file with one row group,
+    * so the scan is a single partition and any per-row-expensive pipeline
+    * (shingling, hashing, vector math) serializes onto one core — measured
+    * 4× slower than a spread scan even at sf0.1. These loaders hash-
+    * repartition on the key right after the scan: a ~MB shuffle that buys
+    * full-core parallelism downstream. At 100 TB the scan has thousands of
+    * row groups and natural parallelism — this is specifically the
+    * small/single-file fixup, which is why it is opt-in per pipeline
+    * rather than folded into the plain loaders.
+    */
+  def documentsDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    d.repartition(spark.sparkContext.defaultParallelism, d("doc_id"))
+  }
+
+  def embeddingsDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    e.repartition(spark.sparkContext.defaultParallelism, e("vec_id"))
+  }
 }

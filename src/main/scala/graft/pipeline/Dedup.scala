@@ -79,6 +79,7 @@ object Dedup {
     val toks = Tables.documentsDist(spark, dir)
       .select($"doc_id", sort_array(array_distinct(
         expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
+      .persist() // read by both join sides; avoids recomputing the hash+sort
     val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
     val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
     // length prefilter: jac ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
@@ -269,6 +270,7 @@ object Dedup {
       .select($"doc_id", sort_array(array_distinct(expr(
         """transform(sequence(1, length(text) - 2),
           |          i -> xxhash64(substring(text, i, 3)))""".stripMargin))).as("gr"))
+      .persist() // read by both join sides; avoids recomputing the shingle hash+sort
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
     // length prefilter (see g2): size ratio < threshold ⇒ jac < threshold
@@ -379,8 +381,12 @@ object Dedup {
       expr("(sh_lo >> 16) & 65535"),
       $"sh_hi".bitwiseAND(65535),
       expr("(sh_hi >> 16) & 65535"))
+    // persisted: both join sides read `blocks`, and without the cache the
+    // whole signature pipeline (2 explodes + 2 aggregations) is compiled
+    // and executed once per side
     val blocks = sig.select($"doc_id", $"sh_lo", $"sh_hi",
       posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
+      .persist()
     val a = blocks.select($"doc_id".as("doc_a"), $"sh_lo".as("lo_a"),
       $"sh_hi".as("hi_a"), $"blk", $"bv")
     val b = blocks.select($"doc_id".as("doc_b"), $"sh_lo".as("lo_b"),

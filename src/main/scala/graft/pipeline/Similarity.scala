@@ -86,6 +86,7 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val e = withVec(Tables.embeddingsDist(spark, dir))
+      .persist() // read by both join sides; avoids recomputing the cast+norm
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
     Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)

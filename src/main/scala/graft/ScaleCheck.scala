@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale audit: materialize a k×-scaled copy of the corpus
+  * (union of k id-shifted copies, written as multi-file parquet) and
+  * compare per-query wall-clock against the base — a query whose cost is
+  * linear shows ratio ≈ k on 32 cores; anything super-linear is a bug the
+  * 100 TB deployment would hit.
+  *
+  * Id shifts are large (1e7) so banded self-joins do not pair across
+  * copies: the true output grows k×, not k². Dimension tables (region,
+  * nation, customer, supplier, part) are copied as-is.
+  *
+  * Usage: tools/run.sh graft.ScaleCheck [k] [baseSfDir] [keys...]
+  */
+object ScaleCheck {
+  private val shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val keys = if (args.length > 2) args.drop(2).toSeq else Seq(
+      "d1_agg_group", "c2_join_sortmerge", "e1_win_rank", "h3_sessionize",
+      "g1_dedup_exact", "g2_neardup_jaccard", "g3_minhash_lsh",
+      "g14_ngram_jaccard", "g15_simhash", "g5_simjoin_threshold",
+      "g6_tfidf", "g18_winnow_fp")
+    val out = s"/tmp/graft_scale_${k}x"
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def scaled(df: DataFrame, idCols: Seq[String]): DataFrame =
+      (0 until k).map { i =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+      }.reduce(_ union _)
+
+    // materialize the scaled corpus (repartition → several parquet files,
+    // the multi-file layout a real table would have)
+    val specs: Seq[(String, Seq[String])] = Seq(
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "region" -> Nil, "nation" -> Nil, "customer" -> Nil,
+      "supplier" -> Nil, "part" -> Nil)
+    for ((t, idCols) <- specs) {
+      val df0 = graft.sources.Tables(spark, base, t)
+      val df = if (idCols.isEmpty) df0 else scaled(df0, idCols).repartition(32)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    println(s"[scale] wrote ${k}x corpus to $out")
+
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up
+    SparkEntry.queries("d1_agg_group")(spark, base).count()
+    println(f"${"key"}%-22s ${"base_s"}%8s ${"scaled_s"}%9s ${"ratio"}%6s  (k=$k)")
+    for (key <- keys) {
+      val fn = SparkEntry.queries(key)
+      val tb = time(fn(spark, base).count())
+      val ts = time(fn(spark, out).count())
+      println(f"$key%-22s $tb%8.2f $ts%9.2f ${ts / tb}%6.1f")
+    }
+    spark.stop()
+  }
+}

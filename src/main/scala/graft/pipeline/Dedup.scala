@@ -143,37 +143,13 @@ object Dedup {
       .where(size(array_intersect($"tk_a", $"tk_b")).cast("double") /
         size(array_union($"tk_a", $"tk_b")).cast("double") >= 0.9)
       .select($"doc_a", $"doc_b")
-    // initial labels: min verified in-neighbor, else self
-    val linked = toks.select($"doc_id")
-      .join(verified.groupBy($"doc_b").agg(min($"doc_a").as("rep0")),
-        $"doc_id" === $"doc_b", "left")
-      .select($"doc_id", coalesce($"rep0", $"doc_id").as("rep"))
-    // pointer jumping to fixpoint (label doubling): each round halves the
-    // remaining chain depth, so rounds = O(log longest-chain). Each level
-    // is localCheckpoint'ed: a level is referenced twice by its self-join,
-    // and iterative self-reference otherwise grows the logical plan
-    // exponentially (the naive 3-round form compiled to 67 exchanges) and
-    // the analyze/optimize cost quadratically — checkpointing truncates
-    // the lineage to a materialized RDD each round, the standard Spark
-    // iterative-algorithm shape. Σrep strictly decreases until fixpoint,
-    // so it is the convergence metric (one scan of the checkpoint).
-    var labels = linked.localCheckpoint()
-    var lastSum = labels.agg(sum($"rep")).head().getLong(0)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val next = labels.as("a")
-        .join(labels.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
-          $"a.rep" === $"r_doc")
-        .select($"a.doc_id".as("doc_id"), least($"a.rep", $"r_rep").as("rep"))
-        .localCheckpoint()
-      val s = next.agg(sum($"rep")).head().getLong(0)
-      labels = next
-      converged = s == lastSum
-      lastSum = s
-      rounds += 1
-    }
-    labels.where($"rep" < $"doc_id")
+    // exact connected components over the verified edges
+    // ([[graft.operators.Components]]: neighbor-min propagation + pointer
+    // jumping to fixpoint, localCheckpoint'd per round) — the surviving
+    // approximation in g3 is only the chain-edge candidate generation
+    val comp = graft.operators.Components.connectedComponents(
+      toks.select($"doc_id"), verified)
+    comp.where($"rep" < $"doc_id")
       .select($"doc_id", $"rep")
       .orderBy("doc_id")
   }

@@ -121,9 +121,14 @@ object Dedup {
     val bandRows = 4
     val toks = Tables.documentsDist(spark, dir)
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
-    val tok = toks.select($"doc_id", explode($"tk").as("word"))
-    val mins = (0 until nHashes).map(i => min(xxhash64(lit(i), $"word")).as(s"h$i"))
-    val sig = tok.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    // per-row HOF min over the token array — same values as an
+    // explode + groupBy(min) formulation but with ZERO shuffle: the
+    // signature is a projection, which is the shape that matters when the
+    // corpus is 100 TB (the only shuffles left in g3 are the bucket
+    // window and the component rounds)
+    val sigCols = (0 until nHashes).map(i =>
+      expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
+    val sig = toks.select(($"doc_id" +: sigCols): _*)
     val bandCols = (0 until nHashes / bandRows).map { bnd =>
       val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
@@ -421,5 +426,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18)
+  // g19 — bench-only: the full training-data dedup pipeline composed end
+  // to end, the maintenance job a user of this engine actually schedules.
+  // Stages: (1) exact dedup on content fingerprints (one groupBy on a
+  // 16-byte key); (2) MinHash-LSH near-dedup over the survivors (chain
+  // candidates → exact verify → Components); (3) quality gate. Emits one
+  // verdict row per document: keep + reason — deterministic end to end.
+  private val g19 = benchOnly("g19_dedup_pipeline") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text", md5($"text").as("fp"),
+        array_distinct(split($"text", " ")).as("tk"))
+      .persist()
+    // stage 1: exact dedup — keep min doc_id per fingerprint
+    val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+    val exact = docs.withColumn("fp_rep",
+        first($"doc_id").over(wFp))
+      .select($"doc_id", $"tk", $"fp_rep")
+    val exactDups = exact.where($"fp_rep" < $"doc_id")
+      .select($"doc_id", lit("exact_dup").as("reason"))
+    val survivors = exact.where($"fp_rep" === $"doc_id").select($"doc_id", $"tk")
+    // stage 2: near-dedup over survivors (LSH chain candidates → exact
+    // Jaccard verify → connected components; rep = kept document)
+    val nHashes = 16; val bandRows = 4
+    val sigCols = (0 until nHashes).map(i =>
+      expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
+    val sig = survivors.select(($"doc_id" +: sigCols): _*)
+    val bandCols = (0 until nHashes / bandRows).map { bnd =>
+      val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
+      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
+    val wBkt = Window.partitionBy($"band", $"bk").orderBy($"doc_id")
+    val cand = buckets.withColumn("prev", lag($"doc_id", 1).over(wBkt))
+      .where($"prev".isNotNull)
+      .select($"prev".as("doc_a"), $"doc_id".as("doc_b")).distinct()
+    val verified = cand
+      .join(survivors.select($"doc_id".as("doc_a"), $"tk".as("tk_a")), "doc_a")
+      .join(survivors.select($"doc_id".as("doc_b"), $"tk".as("tk_b")), "doc_b")
+      .where(size(array_intersect($"tk_a", $"tk_b")).cast("double") /
+        size(array_union($"tk_a", $"tk_b")).cast("double") >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val nearDups = graft.operators.Components
+      .connectedComponents(survivors.select($"doc_id"), verified)
+      .where($"rep" < $"doc_id")
+      .select($"doc_id", lit("near_dup").as("reason"))
+    // stage 3: quality gate on what's left
+    val quality = docs
+      .join(exactDups.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(nearDups.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("n_words", size(split($"text", " ")).cast("double"))
+      .withColumn("q",
+        lit(0.4) * least($"n_words" / 50.0, lit(1.0))
+          + lit(0.6) * (size($"tk") / $"n_words"))
+      .select($"doc_id",
+        when($"q" < 0.5, "low_quality").otherwise("kept").as("reason"))
+    exactDups.union(nearDups).union(quality)
+      .withColumn("keep", $"reason" === "kept")
+      .select($"doc_id", $"keep", $"reason")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18, g19)
 }

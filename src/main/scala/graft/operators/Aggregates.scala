@@ -260,5 +260,49 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+  // D12 — unpivot (melt): wide numeric columns → (metric, value) rows.
+  // The inverse of d10's pivot; Spark's native `unpivot` compiles to a
+  // single Expand (one pass, no join), the oracle states the same thing
+  // as UNION ALL.
+  private val d12 = graded(
+    "d12_unpivot",
+    """SELECT p_partkey, metric, round(value, 2) AS value
+      |FROM (
+      |  SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part) u
+      |ORDER BY p_partkey, metric""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_size".cast("double").as("p_size"), $"p_retailprice")
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+        "metric", "value")
+      .select($"p_partkey", $"metric", round($"value", 2).as("value"))
+      .orderBy("p_partkey", "metric")
+  }
+
+  // D13 — explicit GROUPING SETS (the general form behind rollup/cube):
+  // two one-dimension marginals plus the grand total in one pass.
+  private val d13 = graded(
+    "d13_grouping_sets",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      |  coalesce(l_linestatus, '(all)') AS ls,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
+    d11, d12, d13)
 }

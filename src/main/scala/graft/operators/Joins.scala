@@ -262,5 +262,28 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10)
+  // C11 — LATERAL correlated derived table (top-1-per-outer-row), the SQL
+  // surface for "for each customer, their single largest order". Catalyst
+  // plans the correlated limit as a window/rank under the hood — the same
+  // single-shuffle shape as e5 — rather than per-row re-execution.
+  private val c11 = graded(
+    "c11_lateral",
+    """SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+      |FROM customer c,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |           WHERE o.o_custkey = c.c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS top_price
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11)
 }

@@ -244,5 +244,30 @@ object SortSetScalar {
       .orderBy("p_partkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
+  // F11 — multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL keep
+  // duplicate multiplicity, which the distinct forms (f2) destroy. The
+  // probe multiset is orders.o_custkey (many per customer) against the
+  // customer key list; output rows are tagged per operation.
+  private val f11 = graded(
+    "f11_setops_all",
+    """SELECT 'except_all' AS op, k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  EXCEPT ALL
+      |  SELECT c_custkey FROM customer) e
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  INTERSECT ALL
+      |  SELECT c_custkey FROM customer) i
+      |ORDER BY op, k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_custkey".as("k"))
+    val c = Tables.customer(spark, dir).select($"c_custkey".as("k"))
+    o.exceptAll(c).withColumn("op", lit("except_all"))
+      .union(o.intersectAll(c).withColumn("op", lit("intersect_all")))
+      .select($"op", $"k")
+      .orderBy("op", "k")
+  }
+
+  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11)
 }

@@ -140,5 +140,30 @@ object Windows {
       .orderBy("c_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6)
+  // E7 — value-RANGE frame (vs e3's row-count frame): the frame is every
+  // peer within 500.0 of the current acctbal, so tied/near values share
+  // identical frames — deterministic under ties by construction, unlike
+  // ROWS frames which need a unique ordering.
+  private val e7 = graded(
+    "e7_win_rangeframe",
+    """SELECT c_custkey, c_mktsegment,
+      |  round(sum(c_acctbal) OVER (
+      |    PARTITION BY c_mktsegment ORDER BY c_acctbal
+      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+      |  count(*) OVER (
+      |    PARTITION BY c_mktsegment ORDER BY c_acctbal
+      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS near_cnt
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+      .rangeBetween(-500, 0)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        round(sum($"c_acctbal").over(w), 2).as("near_sum"),
+        count(lit(1)).over(w).as("near_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7)
 }

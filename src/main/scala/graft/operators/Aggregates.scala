@@ -303,6 +303,32 @@ object Aggregates {
         |ORDER BY rf, ls""".stripMargin)
   }
 
+  // D14 — boolean and bitwise aggregates: universal/existential tests and
+  // bit-folds per group (all codegen'd built-ins; AND/OR/XOR folds are
+  // order-insensitive, so no determinism hazard).
+  private val d14 = graded(
+    "d14_bool_bit_agg",
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_discount > 0.09) AS any_big_disc,
+      |  bit_and(l_linenumber) AS band,
+      |  bit_or(l_linenumber) AS bor,
+      |  bit_xor(l_linenumber) AS bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        every($"l_quantity" > 0).as("all_pos"),
+        some($"l_discount" > 0.09).as("any_big_disc"),
+        expr("bit_and(l_linenumber)").as("band"),
+        expr("bit_or(l_linenumber)").as("bor"),
+        expr("bit_xor(l_linenumber)").as("bxor"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13)
+    d11, d12, d13, d14)
 }

@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-microbatch stream (1 file per trigger) equals batch") {
+    // split events into 4 time-ordered chunk files so the stream arrives
+    // over 4 micro-batches — exercising incremental state updates and
+    // watermark advancement, which a single-file stream never does
+    val chunkDir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    val ev = graft.sources.Tables.eventsUs(spark, sfDir)
+    ev.withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts_us"))))
+      .write.mode("overwrite").partitionBy("chunk").parquet(chunkDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(chunkDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunkDir)
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingJobs.tumblingCounts(stream).writeStream
+      .format("memory").queryName("h4_chunks").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length > 1, "expected multiple micro-batches")
+    val streamed = spark.table("h4_chunks")
+      .select(col("win_start").cast("long"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("h1_win_tumbling")(spark, sfDir)
+      .select(col("day_start").cast("long"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

@@ -269,5 +269,28 @@ object SortSetScalar {
       .orderBy("op", "k")
   }
 
-  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11)
+  // F12 — error-safe scalar evaluation: division by zero and bad casts
+  // yield NULL instead of failing the job — at 100 TB one malformed row
+  // must never kill a pipeline. Spark's try_* family ↔ DuckDB's
+  // TRY_CAST / nullif-guarded division (identical null semantics).
+  private val f12 = graded(
+    "f12_try_funcs",
+    """SELECT p_partkey,
+      |  p_retailprice / nullif(p_size - p_size, 0) AS div_by_zero,
+      |  round(p_retailprice / nullif(p_size, 0), 4) AS per_unit,
+      |  TRY_CAST(p_type AS INTEGER) AS bad_cast,
+      |  TRY_CAST(p_size AS SMALLINT) AS ok_cast
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div_by_zero"),
+        round(expr("try_divide(p_retailprice, p_size)"), 4).as("per_unit"),
+        expr("try_cast(p_type AS INT)").as("bad_cast"),
+        expr("try_cast(p_size AS SHORT)").as("ok_cast"))
+      .orderBy("p_partkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12)
 }

@@ -31,6 +31,15 @@ class SourcesSpec extends SparkSpec {
     assert(asSet(back) === asSet(src))
   }
 
+  test("json round-trip preserves ntz timestamps (orders)") {
+    val src = Tables.orders(spark, sfDir)
+    val path = tmp("json_ts")
+    Formats.writeJson(src, path)
+    val back = Formats.readJson(spark, path, src.schema)
+    assert(back.schema === src.schema)
+    assert(asSet(back) === asSet(src))
+  }
+
   test("partitioned parquet write prunes partitions at the scan") {
     val src = Tables.documents(spark, sfDir)
     val path = tmp("part")

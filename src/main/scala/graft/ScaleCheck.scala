@@ -36,9 +36,17 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // ids are shifted per copy; text is SALTED per copy (one appended
+    // token) so content-hash pipelines (minhash/simhash/fingerprints) do
+    // not see k−1 verbatim twins of every document — cross-copy duplicate
+    // structure would otherwise be an artifact of this harness, inflating
+    // LSH bucket sizes ~k× beyond what genuine scale-up produces
     def scaled(df: DataFrame, idCols: Seq[String]): DataFrame =
       (0 until k).map { i =>
-        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+        val shifted = idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+        if (df.columns.contains("text"))
+          shifted.withColumn("text", concat(col("text"), lit(s" copysalt$i")))
+        else shifted
       }.reduce(_ union _)
 
     // materialize the scaled corpus (repartition → several parquet files,

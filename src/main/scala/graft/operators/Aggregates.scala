@@ -236,9 +236,13 @@ object Aggregates {
       .groupBy($"l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(round(sum($"l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      // empty pivot cells: Spark count yields NULL, the oracle's
+      // count(CASE ...) yields 0 — coalesce so an unpopulated cell in a
+      // future fixture cannot flip parity (sums are NULL on both sides)
       .select($"l_returnflag",
         $"F_qty".as("qty_f"), $"O_qty".as("qty_o"),
-        $"F_n".as("n_f"), $"O_n".as("n_o"))
+        coalesce($"F_n", lit(0L)).as("n_f"),
+        coalesce($"O_n", lit(0L)).as("n_o"))
       .orderBy("l_returnflag")
   }
 

@@ -115,39 +115,49 @@ object Dedup {
   // form runs in ~2 s). Chaining under-merges only when a verified-edge
   // path is broken by one failing edge — the documented approximation of
   // LSH dedup, whose exhaustive graded twin is g2.
-  private val g3 = benchOnly("g3_minhash_lsh") { (spark, dir) =>
-    import spark.implicits._
-    val nHashes = 16
-    val bandRows = 4
-    val toks = Tables.documentsDist(spark, dir)
-      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
-    // per-row HOF min over the token array — same values as an
-    // explode + groupBy(min) formulation but with ZERO shuffle: the
-    // signature is a projection, which is the shape that matters when the
-    // corpus is 100 TB (the only shuffles left in g3 are the bucket
-    // window and the component rounds)
+  /** MinHash-LSH chain candidates, verified by exact token-set Jaccard —
+    * the shared machinery of g3 and g19.
+    *
+    * Input: (doc_id, tk) with tk = distinct token array. Signatures are
+    * per-row HOF mins (`array_min(transform(...))`) — a pure projection,
+    * ZERO shuffle; the only shuffles are the bucket window and the joins.
+    * Candidates are CHAIN edges (lag over bucket order), which preserve
+    * bucket connectivity with O(n·bands) edges instead of O(bucket²)
+    * pairs. Output: verified edges (doc_a, doc_b) with Jaccard ≥
+    * `threshold`.
+    */
+  private def lshVerifiedEdges(toks: org.apache.spark.sql.DataFrame,
+      nHashes: Int = 16, bandRows: Int = 4,
+      threshold: Double = 0.9): org.apache.spark.sql.DataFrame = {
     val sigCols = (0 until nHashes).map(i =>
       expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
-    val sig = toks.select(($"doc_id" +: sigCols): _*)
+    val sig = toks.select((col("doc_id") +: sigCols): _*)
     val bandCols = (0 until nHashes / bandRows).map { bnd =>
       val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
     }
     val buckets = sig
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
-    val wBkt = Window.partitionBy($"band", $"bk").orderBy($"doc_id")
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val wBkt = Window.partitionBy(col("band"), col("bk")).orderBy(col("doc_id"))
     val edges = buckets
-      .withColumn("prev", lag($"doc_id", 1).over(wBkt))
-      .where($"prev".isNotNull)
-      .select($"prev".as("doc_a"), $"doc_id".as("doc_b"))
+      .withColumn("prev", lag(col("doc_id"), 1).over(wBkt))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    val verified = edges
-      .join(toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a")), "doc_a")
-      .join(toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b")), "doc_b")
-      .where(size(array_intersect($"tk_a", $"tk_b")).cast("double") /
-        size(array_union($"tk_a", $"tk_b")).cast("double") >= 0.9)
-      .select($"doc_a", $"doc_b")
+    edges
+      .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")), "doc_b")
+      .where(size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+        size(array_union(col("tk_a"), col("tk_b"))).cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private val g3 = benchOnly("g3_minhash_lsh") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
+    val verified = lshVerifiedEdges(toks)
     // exact connected components over the verified edges
     // ([[graft.operators.Components]]: neighbor-min propagation + pointer
     // jumping to fixpoint, localCheckpoint'd per round) — the surviving
@@ -247,10 +257,15 @@ object Dedup {
     // instead of a per-pair hash set. Jaccard over an injectively-hashed
     // set equals Jaccard over the strings (few hundred distinct 3-grams in
     // corpus → 64-bit collision odds ~1e-14). |A∪B| = |A|+|B|−|A∩B|.
+    // the length(text) >= 3 guard mirrors the oracle's empty
+    // generate_series for sub-shingle docs (Spark's sequence(1, n<1)
+    // would descend through 0 instead of being empty)
     val sh = Tables.documentsDist(spark, dir)
       .select($"doc_id", sort_array(array_distinct(expr(
-        """transform(sequence(1, length(text) - 2),
-          |          i -> xxhash64(substring(text, i, 3)))""".stripMargin))).as("gr"))
+        """CASE WHEN length(text) >= 3 THEN
+          |  transform(sequence(1, length(text) - 2),
+          |            i -> xxhash64(substring(text, i, 3)))
+          |ELSE cast(array() as array<bigint>) END""".stripMargin))).as("gr"))
       .persist() // read by both join sides; avoids recomputing the shingle hash+sort
     val a = sh.select($"doc_id".as("doc_a"), $"gr".as("gr_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"gr".as("gr_b"))
@@ -416,11 +431,19 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables.documents(spark, dir)
+      // short-document guards: Spark's sequence(1, n) is DESCENDING (and
+      // crashes slice) when n < 1, while the oracle's generate_series is
+      // simply empty — the CASE keeps both sides at "empty fingerprint
+      // set" for docs under the shingle/window size
       .withColumn("hs", expr(
-        """transform(sequence(1, length(text) - 3),
-          |  i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))""".stripMargin))
+        """CASE WHEN length(text) >= 4 THEN
+          |  transform(sequence(1, length(text) - 3),
+          |    i -> cast(conv(substring(md5(substring(text, i, 4)), 1, 8), 16, 10) as bigint))
+          |ELSE cast(array() as array<bigint>) END""".stripMargin))
       .withColumn("fps", sort_array(array_distinct(expr(
-        "transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))"))))
+        """CASE WHEN size(hs) >= 8 THEN
+          |  transform(sequence(1, size(hs) - 7), i -> array_min(slice(hs, i, 8)))
+          |ELSE cast(array() as array<bigint>) END""".stripMargin))))
       .select($"doc_id", size($"fps").as("n_fp"),
         array_join($"fps", "|").as("fps"))
       .orderBy("doc_id")
@@ -446,28 +469,9 @@ object Dedup {
     val exactDups = exact.where($"fp_rep" < $"doc_id")
       .select($"doc_id", lit("exact_dup").as("reason"))
     val survivors = exact.where($"fp_rep" === $"doc_id").select($"doc_id", $"tk")
-    // stage 2: near-dedup over survivors (LSH chain candidates → exact
-    // Jaccard verify → connected components; rep = kept document)
-    val nHashes = 16; val bandRows = 4
-    val sigCols = (0 until nHashes).map(i =>
-      expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
-    val sig = survivors.select(($"doc_id" +: sigCols): _*)
-    val bandCols = (0 until nHashes / bandRows).map { bnd =>
-      val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
-      struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
-    }
-    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bk".as("bk"))
-    val wBkt = Window.partitionBy($"band", $"bk").orderBy($"doc_id")
-    val cand = buckets.withColumn("prev", lag($"doc_id", 1).over(wBkt))
-      .where($"prev".isNotNull)
-      .select($"prev".as("doc_a"), $"doc_id".as("doc_b")).distinct()
-    val verified = cand
-      .join(survivors.select($"doc_id".as("doc_a"), $"tk".as("tk_a")), "doc_a")
-      .join(survivors.select($"doc_id".as("doc_b"), $"tk".as("tk_b")), "doc_b")
-      .where(size(array_intersect($"tk_a", $"tk_b")).cast("double") /
-        size(array_union($"tk_a", $"tk_b")).cast("double") >= 0.9)
-      .select($"doc_a", $"doc_b")
+    // stage 2: near-dedup over survivors (shared [[lshVerifiedEdges]]
+    // machinery → connected components; rep = kept document)
+    val verified = lshVerifiedEdges(survivors)
     val nearDups = graft.operators.Components
       .connectedComponents(survivors.select($"doc_id"), verified)
       .where($"rep" < $"doc_id")

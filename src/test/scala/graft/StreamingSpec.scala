@@ -47,9 +47,10 @@ class StreamingSpec extends SparkSpec {
     // event time − 1 h gap): everything emitted must match batch exactly,
     // and everything withheld must lie inside that watermark tail.
     assert(streamed.subsetOf(batch))
-    val maxUs = batchEvents.agg(max(col("ts_us").cast("long"))).head().getLong(0)
+    // timestamp→long cast yields epoch SECONDS; the 1 h gap is 3600 s
+    val maxSec = batchEvents.agg(max(col("ts_us").cast("long"))).head().getLong(0)
     val tail = batch.diff(streamed)
-    assert(tail.forall { case (_, _, end, _) => end >= maxUs - 3600L * 1000000L },
+    assert(tail.forall { case (_, _, end, _) => end >= maxSec - 3600L },
       s"withheld sessions outside the watermark tail: ${tail.take(3)}")
   }
 

@@ -31,9 +31,11 @@ def norm(v):
 def array_cols(rows):
     """The driver's t2 gate sorts columns with pandas, which crashes on
     array-typed cells (unhashable numpy.ndarray). Mirror that limitation:
-    any list-valued cell is a hard local failure BEFORE key declaration."""
+    any list-valued cell is a hard local failure BEFORE key declaration.
+    Scans EVERY row (cheap at sf0.01): a column whose leading cells are
+    NULL would slip past a sampled check and diverge from the driver."""
     bad = set()
-    for r in rows[:50]:
+    for r in rows:
         for i, v in enumerate(r):
             if isinstance(v, (list, tuple)):
                 bad.add(i)

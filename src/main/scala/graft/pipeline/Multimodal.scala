@@ -85,5 +85,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2)
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, brightness: Double)
+
+  /** Per-partition 1→N frame sampling. STUB decoder (see [[decodeBatch]]):
+    * a real pipeline would seek/decode k frames per video here; the
+    * iterator-flatMap shape (each input row yields k output rows, batched
+    * per partition, never materialized on the driver) is the real part.
+    */
+  def sampleFrames(k: Int)(it: Iterator[(Long, Array[Byte])]): Iterator[Frame] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    it.flatMap { case (id, bytes) =>
+      val d = digest.digest(bytes)
+      (0 until k).iterator.map { f =>
+        Frame(id, f, java.lang.Byte.toUnsignedInt(d(f % d.length)) / 255.0)
+      }
+    }
+  }
+
+  // m3 — bench-only: frame sampling, the 1→N twin of m2's 1→1 decode.
+  // At 100 TB the output is k× the input row count but each frame row is
+  // tiny metadata — the heavy binary column is dropped before the rows
+  // fan out.
+  private val m3 = benchOnly("m3_frame_sample") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(sampleFrames(4))
+      .toDF()
+      .select($"doc_id", $"frame_idx", round($"brightness", 6).as("brightness"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3)
 }

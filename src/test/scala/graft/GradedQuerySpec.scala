@@ -50,7 +50,8 @@ class GradedQuerySpec extends SparkSpec {
   test("oracle SQL exists for every key except declared bench-only ops") {
     val benchOnly = SparkEntry.all.filter(_.oracle.isEmpty).map(_.key).toSet
     val expected = Set("d9_approx_distinct", "d11_approx_pctl", "b4_sample",
-      "g3_minhash_lsh", "g17_ann_ivf", "g19_dedup_pipeline", "m2_media_decode")
+      "g3_minhash_lsh", "g17_ann_ivf", "g19_dedup_pipeline",
+      "m2_media_decode", "m3_frame_sample")
     assert(benchOnly === expected,
       s"bench-only drift: ${benchOnly.diff(expected)} / ${expected.diff(benchOnly)}")
   }

@@ -32,6 +32,14 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.where(col("n_bytes") =!= col("expect")).count() === 0)
   }
 
+  test("m3 frame sampling yields exactly k rows per document") {
+    val df = SparkEntry.queries("m3_frame_sample")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(df.count() === docs * 4)
+    assert(df.groupBy("doc_id").count()
+      .where(col("count") =!= 4).count() === 0)
+  }
+
   test("m1 metadata agrees with decode output on byte counts") {
     val meta = SparkEntry.queries("m1_media_meta")(spark, sfDir)
       .select(col("doc_id"), col("n_bytes").as("meta_bytes"))

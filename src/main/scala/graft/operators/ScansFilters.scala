@@ -109,5 +109,36 @@ object ScansFilters {
         round(avg($"l_extendedprice"), 2).as("est_avg_price"))
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4)
+  // A5 — upsert/merge (the database-maintenance primitive: apply an
+  // update batch to a snapshot). Spark-side shape is the real operator —
+  // updates ∪ (snapshot ⟕̸ updates) with the anti-join on the key — which
+  // at 100 TB is one shuffle on the merge key (or zero with co-bucketed
+  // snapshot+updates, BucketingSpec). The oracle states the same result
+  // as a predicate partition, proving the merge semantics rather than
+  // mirroring the plan.
+  private val a5 = QueryDef.graded(
+    "a5_upsert",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, updated
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, true AS updated
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, false FROM orders
+      |  WHERE o_orderkey % 10 <> 0) m
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val snapshot = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+    // the incoming change batch: re-priced rows for every 10th order
+    val updates = snapshot.where($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"))
+    updates.withColumn("updated", lit(true))
+      .union(
+        snapshot.join(updates.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .withColumn("updated", lit(false)))
+      .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"), $"updated")
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.time.{LocalDateTime, ZoneOffset}
+
+/** Hand-built-fixture tests for the event-time semantics that oracle
+  * parity exercises only statistically: the as-of tie at an exactly
+  * equal timestamp, the no-prior-order null, and the session gap landing
+  * exactly on the 1 h threshold.
+  */
+class EventTimeFixtureSpec extends SparkSpec {
+
+  private val S = 1000000000L // ns per second
+  private val H = 3600L * S
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_fix").toString
+    // as-of users 1,2 (second-scale); sessionize users 11-13 (hour-scale)
+    Seq(
+      (1L, 5L * S, 1L, "x", 1.0, """{"k": 1}"""),
+      (2L, 10L * S, 1L, "x", 1.0, """{"k": 1}"""),
+      (3L, 15L * S, 1L, "x", 1.0, """{"k": 1}"""),
+      (4L, 25L * S, 1L, "x", 1.0, """{"k": 1}"""),
+      (5L, 7L * S, 2L, "x", 1.0, """{"k": 1}"""),
+      (11L, 0L, 11L, "x", 1.0, """{"k": 1}"""),
+      (12L, H / 2, 11L, "x", 1.0, """{"k": 1}"""),
+      (13L, 2L * H, 11L, "x", 1.0, """{"k": 1}"""),
+      (14L, 0L, 12L, "x", 1.0, """{"k": 1}"""),
+      (15L, 0L, 13L, "x", 1.0, """{"k": 1}"""),
+      (16L, H, 13L, "x", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    def ntz(sec: Long) = LocalDateTime.ofEpochSecond(sec, 0, ZoneOffset.UTC)
+    Seq(
+      (101L, 1L, "O", 100.0, ntz(10), "1-URGENT"),
+      (102L, 1L, "O", 200.0, ntz(20), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("as-of join: equal-timestamp order counts, no-prior-order is null") {
+    val got = SparkEntry.queries("c8_join_asof")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // event 2 is at exactly the order-101 timestamp → the order counts
+    assert(got(1L) === None)
+    assert(got(2L) === Some(101L))
+    assert(got(3L) === Some(101L))
+    assert(got(4L) === Some(102L))
+    assert(got(5L) === None) // user 2 has no orders at all
+    assert(got(11L) === None)
+  }
+
+  test("sessionize: gap of exactly the threshold stays in-session") {
+    val got = SparkEntry.queries("h3_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 11: 30 min gap chains, 1.5 h gap splits
+    assert(got((11L, 1L)) === 2L)
+    assert(got((11L, 2L)) === 1L)
+    // user 12: single event, single session
+    assert(got((12L, 1L)) === 1L)
+    // user 13: gap is exactly 1 h — the rule is strict '>' → same session
+    assert(got((13L, 1L)) === 2L)
+    assert(!got.contains((13L, 2L)))
+  }
+}

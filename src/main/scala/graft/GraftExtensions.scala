@@ -18,15 +18,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * The injection points used/available here:
   *  - `injectFunction` — native expressions (used: sorted_intersect_size)
-  *  - `injectOptimizerRule` / `injectPlannerStrategy` — reserved for a
-  *    future whole-operator (e.g. similarity-join planning) rule; nothing
-  *    in the current inventory needs one (SURVEY §4.2: every graded key
-  *    compiles to built-ins + the one expression).
+  *  - `injectOptimizerRule` — used: [[graft.plans.BandJoinRule]] rewrites
+  *    naive band theta-joins into bucket equi-joins (the optimization the
+  *    pipelines apply by hand via [[graft.operators.Banding]], made
+  *    automatic for user-written queries)
+  *  - `injectPlannerStrategy` — unused; no inventory operator needs a
+  *    custom physical strategy (SURVEY §4.2)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+  }
 }
 
 object GraftExtensions {

@@ -41,6 +41,9 @@ object BandJoinRule extends Rule[LogicalPlan] {
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
+  private def numeric(e: Expression): Boolean =
+    integral(e) || e.dataType == org.apache.spark.sql.types.DoubleType
+
   private object BandLiteral {
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(v: Int, IntegerType) if v > 0 => Some(v.toLong)
@@ -50,28 +53,66 @@ object BandJoinRule extends Rule[LogicalPlan] {
     }
   }
 
+  private object WidthLiteral {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, org.apache.spark.sql.types.DoubleType) if v > 0 => Some(v)
+      case BandLiteral(v) => Some(v.toDouble)
+      case Cast(WidthLiteral(v), org.apache.spark.sql.types.DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Rebuild the join with the left side exploded over `leftBuckets` and
+    * the right side projecting its single `rightBucket`; the original
+    * condition stays as the residual filter.
+    */
+  private def bucketed(j: Join, leftBuckets: Seq[Expression],
+      rightBucket: Expression): LogicalPlan = {
+    val bktL = AttributeReference("_graft_bkt", LongType, nullable = true)()
+    val gen = Generate(
+      Explode(CreateArray(leftBuckets)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bktL), child = j.left)
+    val bktRAlias = Alias(rightBucket, "_graft_bkt_r")()
+    val projR = Project(j.right.output :+ bktRAlias, j.right)
+    val newCond = And(EqualTo(bktL, bktRAlias.toAttribute), j.condition.get)
+    Project(j.output, Join(gen, projR, Inner, Some(newCond), j.hint))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // id band: a < b AND b - a <= k  ⇒  bucket = a div k, explode [bkt, bkt+1]
     case j @ Join(left, right, Inner, Some(
         And(LessThan(a: AttributeReference, b: AttributeReference),
             LessThanOrEqual(Subtract(b2: AttributeReference, a2: AttributeReference, _),
-              BandLiteral(k)))), hint)
+              BandLiteral(k)))), _)
         if a.semanticEquals(a2) && b.semanticEquals(b2) &&
           integral(a) && integral(b) &&
           left.outputSet.contains(a) && right.outputSet.contains(b) =>
       val kLit = Literal(k, LongType)
-      def bucketOf(x: Expression) =
-        IntegralDivide(Cast(x, LongType), kLit)
-      // left: explode [bkt, bkt+1]
-      val bktL = AttributeReference("_graft_bkt", LongType, nullable = true)()
-      val gen = Generate(
-        Explode(CreateArray(Seq(
-          bucketOf(a), Add(bucketOf(a), Literal(1L, LongType))))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(bktL), child = left)
-      // right: project bkt
-      val bktRAlias = Alias(bucketOf(b), "_graft_bkt_r")()
-      val projR = Project(right.output :+ bktRAlias, right)
-      val newCond = And(EqualTo(bktL, bktRAlias.toAttribute), j.condition.get)
-      Project(j.output, Join(gen, projR, Inner, Some(newCond), hint))
+      def bucketOf(x: Expression) = IntegralDivide(Cast(x, LongType), kLit)
+      bucketed(j,
+        leftBuckets = Seq(bucketOf(a), Add(bucketOf(a), Literal(1L, LongType))),
+        rightBucket = bucketOf(b))
+
+    // value band: tie AND abs(x - y) < w  ⇒  bucket = floor(x/w), explode
+    // [bkt-1, bkt, bkt+1] (|x−y| < w spans at most one boundary per side)
+    case j @ Join(left, right, Inner, Some(
+        And(tie @ LessThan(_: AttributeReference, _: AttributeReference),
+            LessThan(Abs(Subtract(x: AttributeReference, y: AttributeReference, _), _),
+              WidthLiteral(w)))), _)
+        if numeric(x) && numeric(y) &&
+          ((left.outputSet.contains(x) && right.outputSet.contains(y)) ||
+            (left.outputSet.contains(y) && right.outputSet.contains(x))) =>
+      val (lv, rv) =
+        if (left.outputSet.contains(x)) (x, y) else (y, x)
+      val wLit = Literal(w, org.apache.spark.sql.types.DoubleType)
+      def bucketOf(e: Expression) = Cast(Floor(Divide(
+        Cast(e, org.apache.spark.sql.types.DoubleType), wLit)), LongType)
+      bucketed(j,
+        leftBuckets = Seq(
+          Subtract(bucketOf(lv), Literal(1L, LongType)),
+          bucketOf(lv),
+          Add(bucketOf(lv), Literal(1L, LongType))),
+        rightBucket = bucketOf(rv))
   }
 }

@@ -46,15 +46,34 @@ class BandJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("value-band (abs) joins are rewritten and row-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 300).map(i => (i.toLong, rnd.nextDouble() * 100.0)).toDF("id", "v")
+    val a = df.select($"id".as("ida"), $"v".as("va"))
+    val b = df.select($"id".as("idb"), $"v".as("vb"))
+    val cond = col("ida") < col("idb") && abs(col("va") - col("vb")) < lit(2.5)
+    val naive = a.join(b, cond)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    withRule {
+      val j = a.join(b, cond)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val ruled = j.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+      assert(ruled === naive)
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("non-matching theta joins are left untouched") {
     val (a, b) = pairsDf
     withRule {
-      // |a-b| shape is NOT the matcher's pattern — must not be rewritten
-      val j = a.join(b, abs(col("ida") - col("idb")) <= 5 && col("ida") < col("idb"))
-      assert(j.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-      // and a band of 0 (non-positive) must not match either
+      // a band of 0 (non-positive) must not match
       val j0 = a.join(b, col("ida") < col("idb") && col("idb") - col("ida") <= 0)
       assert(j0.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      // an OR condition must not match
+      val jOr = a.join(b, col("ida") < col("idb") || col("idb") - col("ida") <= 5)
+      assert(jOr.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     }
   }
 }

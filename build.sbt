@@ -15,6 +15,11 @@ run / fork := true
 // driver parses Bench's one-line JSON from stdout, and sbt's default
 // logger decoration breaks that parse (BENCH_r01.json: "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time: …" line, which lands
+// AFTER Bench's JSON and broke the driver's parse in r2 ("parsed": null —
+// the driver reads the last stdout line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

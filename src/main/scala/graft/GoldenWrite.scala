@@ -23,7 +23,10 @@ object GoldenWrite {
   def rowsHash(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     val rows = df.collect()
     val md = MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update(r.mkString("").getBytes("UTF-8")))
+    // field (\u0001) AND row (\n) delimiters: without the row break,
+    // values migrating across row boundaries could hash identically,
+    // weakening the coupled-drift gate this manifest exists to provide
+    rows.foreach(r => md.update((r.mkString("") + "\n").getBytes("UTF-8")))
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 
@@ -38,6 +41,7 @@ object GoldenWrite {
     spark.sparkContext.setLogLevel("ERROR")
     val entries = SparkEntry.all.sortBy(_.key).map { d =>
       val (n, h) = rowsHash(d.fn(spark, sfDir))
+      spark.catalog.clearCache() // drop per-query persist()ed blocks
       s"""  "${d.key}": {"rows": $n, "hash": "$h"}"""
     }
     Files.writeString(Paths.get(out), entries.mkString("{\n", ",\n", "\n}\n"))

@@ -29,9 +29,15 @@ object Banding {
     */
   def bandedPairs(left: DataFrame, right: DataFrame,
                   idA: String, idB: String, band: Int): DataFrame = {
-    val bktA = floor(col(idA) / band)
+    // integral (`div`) not floor(double-division): for int64 ids above
+    // 2^53 the double rounds, and floor can shift the two sides into
+    // different buckets, silently dropping a qualifying pair. `div` is
+    // exact at any id magnitude and matches BandJoinRule's
+    // IntegralDivide (trunc-vs-floor is safe: ids are nonnegative, and
+    // bucket jumps stay >= band apart either way).
+    val bktA = expr(s"$idA div $band")
     val a = left.withColumn("bkt", explode(array(bktA, bktA + 1)))
-    val b = right.withColumn("bkt", floor(col(idB) / band))
+    val b = right.withColumn("bkt", expr(s"$idB div $band"))
     a.join(b, "bkt")
       .where(col(idA) < col(idB) && col(idB) - col(idA) <= band)
       .drop("bkt")

@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways.
-    * The salt is derived by hashing the large side's whole row (xxhash64)
-    * — deterministic, uniform, and independent of the join key.
+    * The salt mixes the row content with the row's physical position
+    * (partition id + per-partition index): content-only hashing fails on
+    * the common skew shape where a hot key's rows are byte-identical
+    * duplicates — every copy would get the same salt and the key would
+    * still land in one task. The position terms make the salt row-unique
+    * at the cost of run-to-run determinism of the ASSIGNMENT (which rows
+    * land in which salt bucket); the join RESULT is unaffected — every
+    * matching (large, small) pair still matches on exactly one salt.
     */
   def saltedJoin(large: DataFrame, small: DataFrame,
       key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(large.columns.map(col): _*),
+        spark_partition_id(), monotonically_increasing_id()),
+        lit(salts.toLong)))
     val replicatedSmall = small.withColumn("_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

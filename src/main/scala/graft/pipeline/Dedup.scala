@@ -338,10 +338,17 @@ object Dedup {
   // SimHash preserves weighted cosine-ish similarity in Hamming space:
   // near-identical docs differ in a handful of bits. All-integer pipeline
   // → exact oracle parity.
+  // The ::BIGINT casts matter: DuckDB's sum(BIGINT) returns HUGEINT,
+  // which pandas (the driver's hasher) converts to float64 — so the
+  // driver hashed `4294967295.0` against Spark's int64 `4294967295` and
+  // failed r2 despite identical values (the local fetchall-based gate
+  // saw python ints on both sides and passed; parity.py now checks
+  // pandas dtype kinds too).
   private val g15 = graded(
     "g15_simhash",
     s"""$simhashCte
-      |SELECT doc_id, sh_lo, sh_hi FROM sig ORDER BY doc_id""".stripMargin) {
+      |SELECT doc_id, sh_lo::BIGINT AS sh_lo, sh_hi::BIGINT AS sh_hi
+      |FROM sig ORDER BY doc_id""".stripMargin) {
     (spark, dir) =>
       simhashSig(spark, dir).orderBy("doc_id")
   }

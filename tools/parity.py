@@ -82,6 +82,27 @@ def main():
             failed.append(key)
             print(f"FAIL {key}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
             continue
+        # Driver-faithful dtype check: the driver hashes PANDAS frames, and
+        # duckdb->pandas dtype conversions differ from fetchall's python
+        # objects (e.g. HUGEINT -> float64, so an oracle sum(BIGINT) hashed
+        # as `...95.0` against Spark's int64 `...95` and failed r2's g15
+        # while this fetchall-based gate passed). Compare dtype KINDS
+        # (int/uint vs float vs bool vs object) per column name.
+        try:
+            skinds = {c: d.kind for c, d in scon.execute(
+                f"SELECT * FROM '{out_dir}/{key}/*.parquet'").df().dtypes.items()}
+            okinds = {c: d.kind for c, d in con.execute(sql).df().dtypes.items()}
+            num = {"i": "i", "u": "i"}  # int vs uint: same hash text
+            kind_bad = [c for c in scols
+                        if num.get(skinds[c], skinds[c]) != num.get(okinds[c], okinds[c])]
+        except Exception:
+            kind_bad = []  # pandas conversion itself failed: fall through
+        if kind_bad:
+            failed.append(key)
+            print(f"FAIL {key}: pandas dtype kind mismatch "
+                  + ", ".join(f"{c}: spark={skinds[c]} oracle={okinds[c]}"
+                              for c in kind_bad))
+            continue
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
         s = [tuple(norm(r[i]) for i in sidx) for r in srows]

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *  2. **pointer jump** — `rep(v) ← min(rep(v), rep(rep(v)))`: halves
   *     remaining chain depth, purely an accelerator (without it the
   *     neighbor-min fixpoint needs O(diameter) rounds; with it,
-  *     O(log diameter)).
+  *     O(log diameter)). Applied `jumpsPerRound` times per round: each
+  *     application is one more tiny label-table self-join INSIDE the same
+  *     checkpointed round, while each saved ROUND costs two scheduled
+  *     jobs — at 3 jumps the per-round depth reduction is ~8× (measured:
+  *     a 2000-node path converges in 5 rounds vs 11 with one jump).
   *  3. rounds stop when Σrep stops decreasing (it strictly decreases
   *     until the fixpoint, and the fixpoint of the combined round implies
   *     the neighbor-min fixpoint).
@@ -28,8 +32,28 @@ import org.apache.spark.sql.functions._
   * Each round's label table is `localCheckpoint`'d: self-referencing
   * joins otherwise grow the logical plan exponentially and the
   * analyze/optimize cost quadratically.
+  *
+  * CRITICAL detail: the in-loop checkpoints are wrapped in
+  * [[freshStatsCheckpoint]]. Spark's `localCheckpoint` truncates the
+  * LINEAGE but carries the origin plan's STATISTICS onto the resulting
+  * `LogicalRDD` — so a loop that feeds checkpoint(joins(checkpoint(...)))
+  * back into itself compounds the size estimate every round
+  * (estimate^2 per self-join — ^8 with 3 jumps). By round ~4 the
+  * sizeInBytes BigInt has millions of digits and the optimizer's stats
+  * visitor (`SizeInBytesOnlyStatsPlanVisitor`, via InjectRuntimeFilter /
+  * join selection) burns minutes in BigInteger multiplication — observed
+  * as a >240 s hang on a 500-node graph. Rebuilding the DataFrame from
+  * the checkpointed RDD resets stats to the session default at the cost
+  * of an InternalRow↔Row conversion per consumption — negligible for a
+  * label table, and bounded at any scale because it never compounds.
   */
 object Components {
+
+  /** localCheckpoint + detach the origin-plan statistics (see class doc). */
+  private def freshStatsCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
 
   /** @param nodes single-column DataFrame of node ids (long)
     * @param edges  two-column DataFrame of undirected edges; column names
@@ -45,48 +69,133 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30,
-      loopShufflePartitions: Option[Int] = Some(4)): DataFrame = {
+      loopShufflePartitions: Option[Int] = Some(4),
+      jumpsPerRound: Int = 3): DataFrame = {
+    require(jumpsPerRound >= 1)
     val spark = nodes.sparkSession
     val oldShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     loopShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
-    try connectedComponentsImpl(nodes, edges, maxRounds)
+    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound)
     finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
   }
 
-  private def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int): DataFrame = {
-    val idCol = nodes.columns.head
+  /** Phase 1 — partition-local contraction: union-find over each
+    * partition's edge subset (`mapPartitions`, one pass, path-halving),
+    * emitting (node, local component min) pairs. The loop then iterates
+    * over THIS bipartite pair set instead of the raw edges: every original
+    * edge was already merged locally, so each partition's subgraph
+    * collapses to stars and the join loop only reconciles components that
+    * straddle partitions. This is the standard local-contraction move for
+    * distributed CC — the per-partition pass is memory-bounded by the
+    * partition size (pick edge partitioning so a partition's node set
+    * fits an executor; at 100 TB that is the same sizing exercise as any
+    * hash aggregation), and it converts O(diameter) join rounds into
+    * O(log #partitions-straddled) — measured 10 rounds → 2 on the sf0.01
+    * dedup graph (the loop reaches the fixpoint in round 1 and round 2
+    * verifies it), with identical output.
+    */
+  private def localContract(edges: DataFrame, parts: Int): DataFrame = {
+    import edges.sparkSession.implicits._
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
-    val und = edges
-      .select(col(srcCol).as("v"), col(dstCol).as("u"))
-      .union(edges.select(col(dstCol).as("v"), col(srcCol).as("u")))
-      .localCheckpoint()
+    edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      // RANGE partition by source id: contraction only helps when edges of
+      // the same component co-locate, and similarity edges overwhelmingly
+      // connect nearby ids (banded/chained candidates) — hash partitioning
+      // scatters a chain's edges across partitions and contracts nothing
+      // (measured: zero round reduction), range partitioning collapses
+      // each id-range's subgraph completely
+      .repartitionByRange(parts, col("s"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p) // path halving
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min: keep the smaller id as root
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+        }
+        parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+      }
+      .toDF("doc", "lrep")
+  }
 
-    var labels = nodes.select(col(idCol).cast("long").as("doc"))
-      .withColumn("rep", col("doc")).localCheckpoint()
+  private def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int, jumpsPerRound: Int): DataFrame = {
+    val idCol = nodes.columns.head
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    if (debug) println("[cc] building und")
+    // components over (node, local-rep) pairs ≡ components over the raw
+    // edges: a partition's UF links exactly the nodes its edges connect,
+    // and the pairs connect those nodes through their local rep.
+    // checkpointed: consumed by both the edge list and the label seed —
+    // uncheckpointed, the second consumer re-runs the whole upstream
+    // edge-producing pipeline (for the LSH callers that is the full
+    // signature+verify plan)
+    val contracted = freshStatsCheckpoint(
+      localContract(edges, edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt)
+        .where(col("doc") =!= col("lrep")))
+    val und = contracted
+      .select(col("doc").as("v"), col("lrep").as("u"))
+      .union(contracted.select(col("lrep").as("v"), col("doc").as("u")))
+      .localCheckpoint()
+    if (debug) println("[cc] und done")
+
+    // seed labels with the locally-contracted rep where one exists.
+    // contracted has one row PER PARTITION a node appears in — aggregate
+    // to one seed per node BEFORE the join, or nodes straddling
+    // partitions would be duplicated in the label table (and every
+    // downstream row containing them doubled).
+    val seed = contracted.groupBy(col("doc")).agg(min(col("lrep")).as("lrep"))
+    var labels = freshStatsCheckpoint(
+      nodes.select(col(idCol).cast("long").as("doc"))
+        .join(seed, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("lrep"), col("doc")).as("rep")))
+    if (debug) println("[cc] labels done")
     var lastSum = labels.agg(sum("rep")).head().getLong(0)
+    if (debug) println(s"[cc] init sum=$lastSum")
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      val tR = System.nanoTime()
       // neighbor-min: min label over each node's neighbors
       val nbrMin = und
         .join(labels.select(col("doc").as("u"), col("rep").as("urep")), "u")
         .groupBy(col("v").as("doc")).agg(min("urep").as("nrep"))
-      val l1 = labels.join(nbrMin, Seq("doc"), "left")
+      // materialize before jumping: each jump SELF-joins its input, so an
+      // unmaterialized chain doubles the (edge-join + aggregate) subtree
+      // per jump — 2^k copies. Over the checkpointed table every jump is
+      // a join of in-memory scans, and k jumps compress label-path depth
+      // by 2^k within one scheduled round.
+      val l1 = freshStatsCheckpoint(labels.join(nbrMin, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // pointer jump: follow rep → rep(rep)
-      val next = l1.as("a")
-        .join(l1.select(col("doc").as("rdoc"), col("rep").as("rrep")),
-          col("a.rep") === col("rdoc"))
-        .select(col("a.doc").as("doc"), least(col("a.rep"), col("rrep")).as("rep"))
-        .localCheckpoint()
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
+      val jumped = (1 to jumpsPerRound).foldLeft(l1) { (cur, _) =>
+        cur.as("a")
+          .join(cur.select(col("doc").as("rdoc"), col("rep").as("rrep")),
+            col("a.rep") === col("rdoc"))
+          .select(col("a.doc").as("doc"),
+            least(col("a.rep"), col("rrep")).as("rep"))
+      }
+      val next = freshStatsCheckpoint(jumped)
       val s = next.agg(sum("rep")).head().getLong(0)
       labels = next
       converged = s == lastSum
       lastSum = s
       rounds += 1
+      if (debug) println(f"[cc] round $rounds sum=$s ${(System.nanoTime() - tR) / 1e9}%.2f s")
     }
     labels.select(col("doc").as(idCol), col("rep"))
   }

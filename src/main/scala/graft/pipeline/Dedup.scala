@@ -123,12 +123,18 @@ object Dedup {
     * ZERO shuffle; the only shuffles are the bucket window and the joins.
     * Candidates are CHAIN edges (lag over bucket order), which preserve
     * bucket connectivity with O(n·bands) edges instead of O(bucket²)
-    * pairs. Output: verified edges (doc_a, doc_b) with Jaccard ≥
-    * `threshold`.
+    * pairs.
+    *
+    * Output: verified edges (doc_a, doc_b) with Jaccard ≥ `threshold`.
+    * (A per-bucket verified-run seeding of the component labels was
+    * measured and rejected: the convergence tail comes from paths that
+    * hop ACROSS bands, which run seeds cannot shorten — it saved 1 of 10
+    * rounds while costing ~2 s of extra windows/joins at sf0.1. The
+    * round count is instead controlled by Components' multi-jump.)
     */
   private def lshVerifiedEdges(toks: org.apache.spark.sql.DataFrame,
-      nHashes: Int = 16, bandRows: Int = 4,
-      threshold: Double = 0.9): org.apache.spark.sql.DataFrame = {
+      nHashes: Int = 16, bandRows: Int = 4, threshold: Double = 0.9)
+      : org.apache.spark.sql.DataFrame = {
     val sigCols = (0 until nHashes).map(i =>
       expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
     val sig = toks.select((col("doc_id") +: sigCols): _*)
@@ -159,9 +165,10 @@ object Dedup {
       .select($"doc_id", array_distinct(split($"text", " ")).as("tk"))
     val verified = lshVerifiedEdges(toks)
     // exact connected components over the verified edges
-    // ([[graft.operators.Components]]: neighbor-min propagation + pointer
-    // jumping to fixpoint, localCheckpoint'd per round) — the surviving
-    // approximation in g3 is only the chain-edge candidate generation
+    // ([[graft.operators.Components]]: neighbor-min propagation + multi-
+    // step pointer jumping to fixpoint, localCheckpoint'd per round) —
+    // the surviving approximation in g3 is only the chain-edge candidate
+    // generation
     val comp = graft.operators.Components.connectedComponents(
       toks.select($"doc_id"), verified)
     comp.where($"rep" < $"doc_id")

@@ -35,6 +35,19 @@ class ComponentsSpec extends SparkSpec {
     assert(got(99L) == 99L)
   }
 
+  test("label table has exactly one row per node (partition-straddling chain)") {
+    // regression: the local-contraction pass emits one (node, lrep) pair
+    // per partition a node appears in; an unaggregated seed join once
+    // duplicated straddling nodes in the label table — toMap-based
+    // assertions (above) cannot see that, so pin the raw row count
+    import spark.implicits._
+    val n = 200L
+    val labels = Components.connectedComponents(
+      (1L to n).toDF("id"), (1L until n).map(i => (i, i + 1)).toDF("src", "dst"))
+    assert(labels.count() === n)
+    assert(labels.select("id").distinct().count() === n)
+  }
+
   test("random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(5)
     val n = 300

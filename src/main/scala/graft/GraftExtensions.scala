@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
+    ext.injectFunction(GraftExtensions.vecCosine)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }
@@ -43,4 +44,14 @@ object GraftExtensions {
       "sorted_intersect_size"),
     (exprs: Seq[Expression]) =>
       graft.functions.SortedIntersectSize(exprs(0), exprs(1)))
+
+  /** (name, info, builder) triple for vec_cosine. */
+  val vecCosine: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_cosine"),
+    new ExpressionInfo(
+      classOf[graft.functions.VecCosine].getName,
+      "vec_cosine"),
+    (exprs: Seq[Expression]) =>
+      graft.functions.VecCosine(exprs(0), exprs(1)))
 }

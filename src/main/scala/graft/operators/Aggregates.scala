@@ -333,6 +333,37 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // D15 — mode (most frequent value) per group, with a deterministic
+  // tie-break (smallest value among the tied counts). Built from
+  // count + one window instead of an opaque `mode()` aggregate: both
+  // engines ship a native mode() but neither defines tie order, and an
+  // arbitrary-tie answer cannot be hash-gated. Two shuffles total
+  // (group count, then per-group rank) — both on pre-aggregated rows.
+  private val d15 = graded(
+    "d15_mode",
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, l_quantity, n,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY n DESC, l_quantity) AS rk
+      |  FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_rows
+      |FROM r WHERE rk = 1
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"n".desc, $"l_quantity")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n".as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14)
+    d11, d12, d13, d14, d15)
 }

@@ -292,5 +292,29 @@ object SortSetScalar {
       .orderBy("p_partkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11, f12)
+  // F13 — bitwise scalar functions (mask/xor/shift — the id-manipulation
+  // toolkit every salting/bucketing scheme leans on). Dialect note:
+  // Spark's `^` is XOR while DuckDB's `^` is exponentiation — the oracle
+  // must spell `xor()`.
+  private val f13 = graded(
+    "f13_bit_funcs",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS low_byte,
+      |  xor(o_orderkey, 12345) AS xored,
+      |  (o_orderkey & 15) << 4 AS shifted_l,
+      |  o_orderkey >> 3 AS shifted_r
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        expr("o_orderkey & 255").as("low_byte"),
+        expr("o_orderkey ^ 12345").as("xored"),
+        expr("shiftleft(o_orderkey & 15, 4)").as("shifted_l"),
+        expr("shiftright(o_orderkey, 3)").as("shifted_r"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
+    f11, f12, f13)
 }

@@ -506,5 +506,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18, g19)
+  // g22 — dedup cluster profile: the report a dedup run is judged by.
+  // Cluster = documents sharing a content fingerprint; emit the cluster
+  // SIZE histogram (how many clusters of 1, of 2, …) plus how many docs
+  // they hold. Two cheap aggregations over 16-byte keys; at 100 TB the
+  // histogram has a handful of rows however large the corpus. The
+  // ::BIGINT cast keeps DuckDB's HUGEINT sum out of the hashed output
+  // (g15 lesson).
+  private val g22 = graded(
+    "g22_cluster_stats",
+    """WITH cl AS (
+      |  SELECT md5(text) AS fp, count(*) AS sz
+      |  FROM documents GROUP BY 1)
+      |SELECT sz, count(*) AS n_clusters, sum(sz)::BIGINT AS n_docs
+      |FROM cl GROUP BY sz
+      |ORDER BY sz""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("fp"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"sz")
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
+      .orderBy("sz")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
+    g19, g22)
 }

@@ -118,5 +118,29 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3)
+  // m4 — media dedup by content digest: the binary-column twin of exact
+  // text dedup. The 16-byte digest — not the payload — travels through
+  // the shuffle (one groupBy + one join back), which is what makes exact
+  // media dedup feasible at 100 TB: the multi-MB blobs stay columnar in
+  // the scan and never ride a shuffle. Keeper = min doc_id per digest.
+  private val m4 = graded(
+    "m4_media_dedup",
+    """WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+      |k AS (
+      |  SELECT digest, min(doc_id) AS keeper, count(*) AS copies
+      |  FROM h GROUP BY 1)
+      |SELECT h.doc_id, k.keeper, k.copies, h.doc_id = k.keeper AS keep
+      |FROM h JOIN k USING (digest)
+      |ORDER BY h.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val h = Tables.documents(spark, dir)
+      .select($"doc_id", md5(encode($"text", "UTF-8")).as("digest"))
+    val k = h.groupBy($"digest")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("copies"))
+    h.join(k, "digest")
+      .select($"doc_id", $"keeper", $"copies", ($"doc_id" === $"keeper").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4)
 }

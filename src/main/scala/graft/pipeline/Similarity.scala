@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
 /** G (similarity family): vector similarity search over the embedding
   * column (`array<float>`, 64-dim).
   *
-  * All element arithmetic casts float→double inside the lambda: Spark
-  * would otherwise accumulate in float32 while the DuckDB oracle promotes
-  * to double (SURVEY §1.4). Dot products fold left-to-right in both
-  * engines, so unrounded doubles are bit-identical and safe to threshold.
+  * All scoring goes through [[graft.functions.VecCosine]] — a native
+  * codegen expression that fuses the float→double widening, dot product
+  * and both norms into one pass over the raw arrays (the declarative
+  * `transform`/`zip_with`/`aggregate` formulation evaluates three
+  * interpreted lambdas per pair). The operation sequence is IEEE-identical
+  * to the HOF form and to the DuckDB oracle's `list_sum(list_transform)`,
+  * so unrounded scores remain bit-identical across engines and safe to
+  * threshold (SURVEY §1.4).
   *
   * Scale notes (100 TB):
   *  - g4 is the brute-force exact-kNN baseline: one scan, per-row scoring,
@@ -26,22 +30,24 @@ import org.apache.spark.sql.functions._
   *    the same partition-pruning shape an IVF index gives. The bucket id
   *    is a join/partition key, so a batch of queries becomes a bucket
   *    equi-join instead of a cross join.
+  *  - g21 is the batched form: a query SET joined against the corpus
+  *    (queries broadcast), ranked per query with one window — the shape a
+  *    production retrieval job uses, where the per-query top-k never
+  *    leaves the executors.
   */
 object Similarity {
 
-  /** embedding (float) → v (double) plus its precomputed L2 norm. */
-  private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(v, cast(0 as double), (a, x) -> a + x * x)")))
+  private def cos(a: String, b: String): Column = expr(s"vec_cosine($a, $b)")
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (a, x) -> a + x)")
-
-  // DuckDB twins of the vector helpers (1-based list indexing).
+  // DuckDB twins (1-based list indexing).
   private val duckV = "list_transform(embedding, x -> x::DOUBLE)"
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecCosine.register(spark)
+    Tables.embeddingsDist(spark, dir)
+  }
 
   // g4 — exact cosine top-k for one query vector (vec_id = 0), brute force
   // over the whole table. Ordering uses the rounded score + vec_id so the
@@ -59,11 +65,11 @@ object Similarity {
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddingsDist(spark, dir))
-    val q = e.where($"vec_id" === 0).select($"v".as("qv"), $"nrm".as("qnrm"))
+    val e = embeddings(spark, dir)
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
     e.where($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .select($"vec_id", round(dot("v", "qv") / ($"nrm" * $"qnrm"), 6).as("cos_sim"))
+      .select($"vec_id", round(cos("embedding", "qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }
@@ -85,12 +91,11 @@ object Similarity {
       |WHERE cs >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddingsDist(spark, dir))
-      .persist() // read by both join sides; avoids recomputing the cast+norm
-    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
+    val e = embeddings(spark, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
     Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)
-      .withColumn("cs", dot("va", "vb") / ($"na" * $"nb"))
+      .withColumn("cs", cos("ea", "eb"))
       .where($"cs" >= 0.35)
       .select($"vec_a", $"vec_b", round($"cs", 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
@@ -121,13 +126,12 @@ object Similarity {
         (element_at($"embedding", 17) >= 0).cast("int") * 4 +
         (element_at($"embedding", 33) >= 0).cast("int") * 2 +
         (element_at($"embedding", 49) >= 0).cast("int")
-    val e = withVec(Tables.embeddingsDist(spark, dir)).withColumn("bkt", bkt)
+    val e = embeddings(spark, dir).withColumn("bkt", bkt)
     val q = e.where($"vec_id" === 0)
-      .select($"v".as("qv"), $"nrm".as("qnrm"), $"bkt".as("qbkt"))
+      .select($"embedding".as("qe"), $"bkt".as("qbkt"))
     e.join(broadcast(q), $"bkt" === $"qbkt")
       .where($"vec_id" =!= 0)
-      .select($"vec_id", $"bkt",
-        round(dot("v", "qv") / ($"nrm" * $"qnrm"), 6).as("cos_sim"))
+      .select($"vec_id", $"bkt", round(cos("embedding", "qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(5)
   }
@@ -142,32 +146,87 @@ object Similarity {
   // touches the other 14/16 of the data.
   private val g17 = QueryDef.benchOnly("g17_ann_ivf") { (spark, dir) =>
     import spark.implicits._
-    val e = withVec(Tables.embeddingsDist(spark, dir))
+    val e = embeddings(spark, dir)
     val cents = e.where($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
     // build: assign each vector to its nearest centroid (cosine argmax)
     val wVec = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"cscore".desc, $"cid")
     val assigned = e.join(broadcast(cents))
-      .withColumn("cscore", dot("v", "cv") / ($"nrm" * $"cnrm"))
+      .withColumn("cscore", cos("embedding", "ce"))
       .withColumn("rk", row_number().over(wVec))
       .where($"rk" === 1)
-      .select($"vec_id", $"cid", $"v", $"nrm")
+      .select($"vec_id", $"cid", $"embedding")
     // search: query = vec_id 0; probe its 2 best centroids
-    val q = e.where($"vec_id" === 0)
-      .select($"v".as("qv"), $"nrm".as("qnrm"))
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
     val probes = cents.crossJoin(broadcast(q))
-      .withColumn("cscore", dot("cv", "qv") / ($"cnrm" * $"qnrm"))
+      .withColumn("cscore", cos("ce", "qe"))
       .orderBy($"cscore".desc, $"cid").limit(2)
       .select($"cid")
     assigned.join(broadcast(probes), "cid")
       .crossJoin(broadcast(q))
       .where($"vec_id" =!= 0)
-      .select($"vec_id", $"cid",
-        round(dot("v", "qv") / ($"nrm" * $"qnrm"), 6).as("cos_sim"))
+      .select($"vec_id", $"cid", round(cos("embedding", "qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(10)
   }
 
-  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17)
+  // g21 — kNN JOIN: top-3 cosine neighbors for EACH query in a query set
+  // (vec_id < 10), in one batched plan — broadcast the query set, score
+  // every (query, candidate) pair, rank per query with a window. Ranking
+  // uses the unrounded score (bit-identical across engines) + vec_id
+  // tiebreak; the emitted score is rounded.
+  private val g21 = graded(
+    "g21_knn_join",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    ${duckDot("v", "qv")} / (nrm * qnrm) AS cs,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY ${duckDot("v", "qv")} / (nrm * qnrm) DESC, vec_id) AS rk
+      |  FROM e JOIN q ON e.vec_id <> q.qid)
+      |SELECT qid, rk, vec_id AS neighbor, round(cs, 6) AS cos_sim
+      |FROM scored WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val q = e.where($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("cs", cos("embedding", "qe"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"qid", $"rk", $"vec_id".as("neighbor"),
+        round($"cs", 6).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
+  // g20 — per-label embedding centroids (the "class prototype" reduction
+  // every clustering/labeling pipeline needs): posexplode the vector to
+  // (label, dim, x) rows, average per (label, dim). One shuffle on a
+  // (10 × 64)-key space regardless of corpus size — map-side partial
+  // aggregation does the heavy lifting, so this scales like any hash
+  // aggregate. Output is long-form (label, dim, c) — array-typed results
+  // would crash the driver's gate (SURVEY gate rule).
+  private val g20 = graded(
+    "g20_embed_centroid",
+    """SELECT label, gs.i AS dim,
+      |  round(avg(embedding[gs.i + 1]::DOUBLE), 6) AS c
+      |FROM embeddings, generate_series(0, 63) gs(i)
+      |GROUP BY label, gs.i
+      |ORDER BY label, dim""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.embeddingsDist(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"x".cast("double")), 6).as("c"))
+      .orderBy("label", "dim")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21)
 }

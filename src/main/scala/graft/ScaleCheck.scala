@@ -25,7 +25,9 @@ object ScaleCheck {
       "d1_agg_group", "c2_join_sortmerge", "e1_win_rank", "h3_sessionize",
       "g1_dedup_exact", "g2_neardup_jaccard", "g3_minhash_lsh",
       "g14_ngram_jaccard", "g15_simhash", "g5_simjoin_threshold",
-      "g6_tfidf", "g18_winnow_fp")
+      "g6_tfidf", "g18_winnow_fp", "g16_simhash_dedup",
+      "g19_dedup_pipeline", "g20_embed_centroid", "g21_knn_join",
+      "m4_media_dedup", "h5_gap_fill")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Windows.defs ++
       operators.SortSetScalar.defs ++
       operators.EventTime.defs ++
+      operators.Reports.defs ++
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++

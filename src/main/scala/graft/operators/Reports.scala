@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** R: composite report queries — the end-to-end shapes a maintenance/
+  * analytics user actually schedules (TPC-H-style plans over this corpus's
+  * columns: multi-table joins + filtered aggregation + top-k).
+  *
+  * These exist to grade operator COMPOSITION: scan pruning feeding
+  * broadcast dims feeding a fact-fact sort-merge join feeding a hash
+  * aggregate feeding TakeOrderedAndProject — each verified individually in
+  * categories A–F, here verified end-to-end against the oracle.
+  *
+  * Scale notes (100 TB): dims (region/nation/customer/supplier) broadcast
+  * (auto below the 10 MB threshold, hinted where the planner lacks stats);
+  * orders⋈lineitem is the only real shuffle and AQE handles its skew. The
+  * date filters push to the parquet scans (PlanQualitySpec pins pushdown
+  * on the same scan nodes).
+  */
+object Reports {
+
+  // R1 — "shipping priority" (TPC-H Q3 shape): segment-filtered customers'
+  // unshipped orders, top 10 by accrued revenue. Ordering is on the
+  // ROUNDED revenue + unique l_orderkey so the cutoff row is
+  // engine-independent.
+  private val r1 = graded(
+    "r1_report_top_orders",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cut = to_timestamp_ntz(lit("1998-06-01"))
+    Tables.customer(spark, dir).where($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, dir).where($"o_orderdate" < cut),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir).where($"l_shipdate" > cut),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  // R2 — "local supplier volume" (TPC-H Q5 shape): revenue by nation for
+  // one region-year, where the supplier must sit in the customer's nation
+  // (the second equi-condition that makes this a 6-table star-with-a-twist).
+  private val r2 = graded(
+    "r2_report_region_volume",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where($"o_orderdate" >= to_timestamp_ntz(lit("1997-01-01")) &&
+            $"o_orderdate" < to_timestamp_ntz(lit("1998-01-01"))),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir).where($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  // R3 — "returned items" (TPC-H Q10 shape): customers who returned goods
+  // in a half-year window, top 20 by lost revenue.
+  private val r3 = graded(
+    "r3_report_returns",
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(max(c_acctbal), 2) AS acctbal
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where($"o_orderdate" >= to_timestamp_ntz(lit("1999-01-01")) &&
+            $"o_orderdate" < to_timestamp_ntz(lit("1999-07-01"))),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir).where($"l_returnflag" === "R"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        round(max($"c_acctbal"), 2).as("acctbal"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** Property-based invariants (SURVEY §5.3) — algebraic laws that must hold
+  * for ANY input, checked over scalacheck-generated corpora:
+  * dedup idempotence, Jaccard bounds/symmetry, rollup row-count law,
+  * connected-components label laws.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Run a scalacheck property and fail the scalatest test on falsification. */
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  test("jaccard is symmetric, bounded, and 1 iff equal (on generated token sets)") {
+    val tok = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.toSet)
+    check(Prop.forAll(tok, tok) { (a: Set[String], b: Set[String]) =>
+      val j = jaccard(a, b)
+      j >= 0.0 && j <= 1.0 && j == jaccard(b, a) && ((j == 1.0) == (a == b))
+    })
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    val rows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 4L))).sample.get
+    val df = rows.toDF("k", "v")
+    def dedup(d: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"v", $"k")
+      d.withColumn("rn", row_number().over(w)).where($"rn" === 1).drop("rn")
+    }
+    val once = dedup(df).collect().toSet
+    val twice = dedup(dedup(df)).collect().toSet
+    assert(once.map(r => (r.getLong(0), r.getLong(1))) ===
+      twice.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("rollup row-count law: |rollup| == |groups| + |first-key groups| + 1") {
+    import spark.implicits._
+    val rows = Gen.listOfN(80,
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(0, 3))).sample.get
+    val df = rows.toDF("a", "b")
+    val full = df.groupBy($"a", $"b").count().count()
+    val firstOnly = df.groupBy($"a").count().count()
+    val rolled = df.rollup($"a", $"b").count().count()
+    assert(rolled === full + firstOnly + 1)
+  }
+
+  test("components: rep <= id, rep is a member, labels constant across edges") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L))).map(_.filter(e => e._1 != e._2))
+    val edges = edgeGen.sample.get
+    val nodes = (0L until 30L)
+    val labels = operators.Components.connectedComponents(
+      nodes.toDF("id"), edges.toDF("s", "d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === nodes.toSet)            // exactly one row per node
+    assert(labels.forall { case (id, rep) => rep <= id }) // min-based label
+    assert(labels.values.forall(labels.keySet.contains))  // rep is a real node
+    assert(edges.forall { case (s, d) => labels(s) == labels(d) }) // fixpoint
+    assert(labels.forall { case (_, rep) => labels(rep) == rep })  // rep is root
+  }
+}

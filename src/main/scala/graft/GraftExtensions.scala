@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
     ext.injectFunction(GraftExtensions.vecCosine)
+    ext.injectFunction(GraftExtensions.charShingles)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }
@@ -44,6 +45,16 @@ object GraftExtensions {
       "sorted_intersect_size"),
     (exprs: Seq[Expression]) =>
       graft.functions.SortedIntersectSize(exprs(0), exprs(1)))
+
+  /** (name, info, builder) triple for char_shingles (Generator/UDTF). */
+  val charShingles: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_shingles"),
+    new ExpressionInfo(
+      classOf[graft.functions.CharShingles].getName,
+      "char_shingles"),
+    (exprs: Seq[Expression]) =>
+      graft.functions.CharShingles(exprs(0), exprs(1)))
 
   /** (name, info, builder) triple for vec_cosine. */
   val vecCosine: (FunctionIdentifier, ExpressionInfo,

@@ -23,4 +23,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(got === 2)
   }
+
+  test("vec_cosine and char_shingles register and evaluate through SQL") {
+    graft.functions.VecCosine.register(spark)
+    graft.functions.CharShingles.register(spark)
+    val cos = spark.sql(
+      """SELECT vec_cosine(cast(array(1.0, 0.0) as array<float>),
+        |                  cast(array(1.0, 0.0) as array<float>))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val sh = spark.sql("SELECT char_shingles('abcd', 3)")
+      .collect().map(_.getString(0)).toSeq
+    assert(sh === Seq("abc", "bcd"))
+  }
 }

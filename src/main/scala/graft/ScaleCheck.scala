@@ -27,7 +27,8 @@ object ScaleCheck {
       "g14_ngram_jaccard", "g15_simhash", "g5_simjoin_threshold",
       "g6_tfidf", "g18_winnow_fp", "g16_simhash_dedup",
       "g19_dedup_pipeline", "g20_embed_centroid", "g21_knn_join",
-      "m4_media_dedup", "h5_gap_fill")
+      "m4_media_dedup", "h5_gap_fill", "r1_report_top_orders",
+      "r2_report_region_volume", "r3_report_returns", "i3_udtf_shingles")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -160,5 +160,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11)
+  // g23 — token-distribution entropy per document: H = −Σ p ln p over the
+  // token frequency distribution (low entropy ⇒ repetitive/boilerplate
+  // text — a standard pre-training quality gate next to g10's
+  // length/ratio score). One (doc, token) count shuffle + one per-doc
+  // aggregate; the ln/division arithmetic is double-exact in both
+  // engines, output rounded to 6dp.
+  private val g23 = graded(
+    "g23_doc_entropy",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (
+      |  SELECT doc_id, word, count(*)::DOUBLE AS n FROM w GROUP BY doc_id, word),
+      |tot AS (SELECT doc_id, sum(n) AS total FROM tf GROUP BY doc_id)
+      |SELECT tf.doc_id,
+      |  round(sum(-(n / total) * ln(n / total)), 6) AS entropy,
+      |  count(*) AS n_distinct
+      |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+      |GROUP BY tf.doc_id
+      |ORDER BY tf.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val tot = tf.groupBy($"doc_id").agg(sum($"n").as("total"))
+    tf.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(
+        round(sum(-($"n" / $"total") * log($"n" / $"total")), 6).as("entropy"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23)
 }

@@ -32,6 +32,15 @@ class PlanQualitySpec extends SparkSpec {
         s"stale allowlist entries: ${bnljOk.diff(offenders)}")
   }
 
+  test("report queries broadcast every dim and push the date filters (r2)") {
+    val p = plans.toMap.apply("r2_report_region_volume")
+    // customer/supplier/nation/region all broadcast; only orders⋈lineitem
+    // may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), p)
+  }
+
   test("filter pushdown reaches the parquet scan (b1)") {
     val plan = plans.toMap.apply("b1_filter_pred")
     assert(plan.contains("PushedFilters: ["), plan)

@@ -135,5 +135,35 @@ object EventTime {
       .orderBy("day")
   }
 
-  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5)
+  // H6 — forward-fill (LOCF: last observation carried forward), the other
+  // half of gap handling next to h5's zero-fill. A sparse reading (value
+  // observed only when value > 120, deterministically derived so both
+  // engines see identical nulls) is carried forward per user in event
+  // order via `last_value(... IGNORE NULLS)` over a running frame — one
+  // window pass, shuffle on user_id only, the same layout sessionize
+  // uses.
+  private val h6 = graded(
+    "h6_locf",
+    """SELECT user_id, event_id,
+      |  round(reading, 2) AS reading,
+      |  round(last_value(reading IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN value > 120 THEN value END AS reading
+      |  FROM events) t
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .withColumn("reading", when($"value" > 120, $"value"))
+      .select($"user_id", $"event_id",
+        round($"reading", 2).as("reading"),
+        round(last($"reading", ignoreNulls = true).over(w), 2).as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6)
 }

@@ -285,5 +285,53 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11)
+  // C12 — FORWARD as-of join (first order at-or-after each event), the
+  // mirror of c8's backward as-of and the same zero-join formulation:
+  // union both streams, one sorted window per user, `first_value IGNORE
+  // NULLS` over the FOLLOWING frame. Same-timestamp orders sort after
+  // events (src DESC) so "at-or-after" includes exact ties; `ok` in the
+  // sort makes the tie winner deterministic.
+  private val c12 = graded(
+    "c12_join_asof_fwd",
+    """WITH u AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS src,
+      |         o_orderkey AS ok, o_orderdate AS od, CAST(NULL AS BIGINT) AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts AS t, 1 AS src,
+      |         CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), event_id
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, src,
+      |    first_value(ok IGNORE NULLS) OVER w AS next_orderkey,
+      |    first_value(od IGNORE NULLS) OVER w AS next_date
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, src DESC, ok
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, next_orderkey, next_date
+      |FROM m WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      $"o_custkey".as("user_id"), $"o_orderdate".as("t"), lit(0).as("src"),
+      $"o_orderkey".as("ok"), $"o_orderdate".as("od"),
+      lit(null).cast("bigint").as("event_id"))
+    val events = Tables.eventsUs(spark, dir).select(
+      $"user_id", $"ts_us".as("t"), lit(1).as("src"),
+      lit(null).cast("bigint").as("ok"),
+      lit(null).cast("timestamp_ntz").as("od"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"src".desc, $"ok")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    orders.unionByName(events)
+      .select($"user_id", $"event_id", $"src",
+        first($"ok", ignoreNulls = true).over(w).as("next_orderkey"),
+        first($"od", ignoreNulls = true).over(w).as("next_date"))
+      .where($"src" === 1)
+      .select("event_id", "user_id", "next_orderkey", "next_date")
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
+    c11, c12)
 }

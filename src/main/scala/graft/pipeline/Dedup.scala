@@ -530,6 +530,44 @@ object Dedup {
       .orderBy("sz")
   }
 
+  // g24 — containment near-dup: |A∩B| / min(|A|,|B|) ≥ threshold. Jaccard
+  // misses near-SUBSETS (a doc embedded inside a larger one scores low on
+  // union-normalized similarity); containment is the metric contamination
+  // and excerpt detection actually need. Same banded equi-join + sorted
+  // two-pointer kernel as g2 — only the normalizer changes; the
+  // threshold compares the exact int/int ratio.
+  private val g24 = graded(
+    "g24_containment",
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents)
+      |SELECT doc_a, doc_b, round(cont, 6) AS containment
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.tk, b.tk))::DOUBLE /
+      |    least(len(a.tk), len(b.tk))::DOUBLE AS cont
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150) p
+      |WHERE cont >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", sort_array(array_distinct(
+        expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
+      .persist()
+    val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
+    val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
+      .withColumn("cont",
+        $"inter" / least(size($"tk_a"), size($"tk_b")).cast("double"))
+      .where($"cont" >= 0.9)
+      .select($"doc_a", $"doc_b", round($"cont", 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22)
+    g19, g22, g24)
 }

@@ -28,7 +28,8 @@ object ScaleCheck {
       "g6_tfidf", "g18_winnow_fp", "g16_simhash_dedup",
       "g19_dedup_pipeline", "g20_embed_centroid", "g21_knn_join",
       "m4_media_dedup", "h5_gap_fill", "r1_report_top_orders",
-      "r2_report_region_volume", "r3_report_returns", "i3_udtf_shingles")
+      "r2_report_region_volume", "r3_report_returns", "i3_udtf_shingles",
+      "g23_doc_entropy", "g24_containment", "c12_join_asof_fwd", "h6_locf")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

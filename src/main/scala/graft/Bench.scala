@@ -19,17 +19,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query persist()ed blocks so the suite's memory footprint
-      // stays flat (the unpersist cost is counted against the query that
-      // cached — fair, since a lone run would pay it too)
+      // drop per-query persist()ed blocks BEFORE taking the time, so the
+      // unpersist cost is counted against the query that cached — fair,
+      // since a lone run would pay it too — and the suite's memory
+      // footprint stays flat
       spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // protocol: the harness keeps only the TAIL of stdout, so the per-query
+    // detail (a multi-KB map) goes out FIRST and the LAST line is a compact
+    // machine-parseable total that always fits the tail window.
+    println(s"""{"detail":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,10 +23,12 @@ object GoldenWrite {
   def rowsHash(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     val rows = df.collect()
     val md = MessageDigest.getInstance("MD5")
-    // field (\u0001) AND row (\n) delimiters: without the row break,
-    // values migrating across row boundaries could hash identically,
+    // field (\u0001 — written as an ESCAPE, a raw control byte here reads
+    // as mkString("") and looks like a missing delimiter) AND row (\n)
+    // delimiters: without them, values migrating across field or row
+    // boundaries could hash identically,
     // weakening the coupled-drift gate this manifest exists to provide
-    rows.foreach(r => md.update((r.mkString("") + "\n").getBytes("UTF-8")))
+    rows.foreach(r => md.update((r.mkString("\u0001") + "\n").getBytes("UTF-8")))
     (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
   }
 

@@ -48,9 +48,25 @@ case class CharShingles(child: Expression, kExpr: Expression)
     if (raw == null || k <= 0) Iterator.empty
     else {
       val s = raw.asInstanceOf[UTF8String].toString
-      if (s.length < k) Iterator.empty
-      else (0 to s.length - k).iterator
-        .map(i => InternalRow(UTF8String.fromString(s.substring(i, i + k))))
+      // character = Unicode CODE POINT, matching Spark's and DuckDB's
+      // substring semantics — Java String.substring counts UTF-16 code
+      // units, which diverges on supplementary-plane text (emoji etc.),
+      // so shingle boundaries are precomputed at code-point granularity
+      val n = s.codePointCount(0, s.length)
+      if (n < k) Iterator.empty
+      else {
+        val offs = new Array[Int](n + 1)
+        var o = 0
+        var i = 0
+        while (i < n) {
+          offs(i) = o
+          o += Character.charCount(s.codePointAt(o))
+          i += 1
+        }
+        offs(n) = s.length
+        (0 to n - k).iterator
+          .map(i => InternalRow(UTF8String.fromString(s.substring(offs(i), offs(i + k)))))
+      }
     }
   }
 

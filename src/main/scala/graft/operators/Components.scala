@@ -74,9 +74,16 @@ object Components {
     require(jumpsPerRound >= 1)
     val spark = nodes.sparkSession
     val oldShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // localContract's partition count is captured BEFORE the loop narrows
+    // shuffle.partitions: the contraction's per-partition union-find memory
+    // is bounded by the partition's node set, so it must use the SESSION
+    // sizing (e.g. 32), not the label-loop's deliberately-small count (4) —
+    // at scale the narrowed count would concentrate ~1/4 of all edges'
+    // nodes into each in-memory map.
+    val contractParts = oldShuffle.toInt
     loopShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n))
-    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound)
+    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound, contractParts)
     finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
   }
 
@@ -132,7 +139,7 @@ object Components {
   }
 
   private def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int, jumpsPerRound: Int): DataFrame = {
+      maxRounds: Int, jumpsPerRound: Int, contractParts: Int): DataFrame = {
     val idCol = nodes.columns.head
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     if (debug) println("[cc] building und")
@@ -144,8 +151,7 @@ object Components {
     // edge-producing pipeline (for the LSH callers that is the full
     // signature+verify plan)
     val contracted = freshStatsCheckpoint(
-      localContract(edges, edges.sparkSession.conf
-          .get("spark.sql.shuffle.partitions").toInt)
+      localContract(edges, contractParts)
         .where(col("doc") =!= col("lrep")))
     val und = contracted
       .select(col("doc").as("v"), col("lrep").as("u"))

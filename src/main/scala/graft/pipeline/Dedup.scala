@@ -386,29 +386,59 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val sig = simhashSig(spark, dir)
+    // Collapse IDENTICAL signatures first: a low-entropy corpus (31-word
+    // vocabulary here) produces clusters of docs sharing one exact 64-bit
+    // SimHash, and block-joining raw doc rows emits |cluster|² candidates
+    // per block (×4 blocks) before dedup — quadratic in cluster size, the
+    // r3 scale-killer. Joining one representative row per DISTINCT
+    // signature keeps the join linear in the number of signatures; the
+    // member lists expand back to doc pairs afterwards, which is
+    // output-sized work (those pairs ARE the result), not join blowup.
+    val clusters = sig.groupBy($"sh_lo", $"sh_hi")
+      .agg(sort_array(collect_list($"doc_id")).as("members"))
+      .persist() // read by the intra-pair expansion and both join sides
+    // intra-cluster pairs: identical signature ⇒ hamming 0; enumerate each
+    // sorted member list's ordered pairs directly (no join at all)
+    val intra = clusters.where(size($"members") > 1)
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select($"p.doc_a", $"p.doc_b", lit(0).as("hamming"))
+    // inter-cluster candidates: the classic block equi-join, but over one
+    // row per distinct signature. Signature pairs are strictly ordered (so
+    // each unordered pair appears once) and distinct'd across the ≤4
+    // blocks that can surface them.
     val blockCols = Seq(
       $"sh_lo".bitwiseAND(65535),
       expr("(sh_lo >> 16) & 65535"),
       $"sh_hi".bitwiseAND(65535),
       expr("(sh_hi >> 16) & 65535"))
-    // persisted: both join sides read `blocks`, and without the cache the
-    // whole signature pipeline (2 explodes + 2 aggregations) is compiled
-    // and executed once per side
-    val blocks = sig.select($"doc_id", $"sh_lo", $"sh_hi",
+    val blocks = clusters.select($"sh_lo", $"sh_hi", $"members",
       posexplode(array(blockCols: _*)).as(Seq("blk", "bv")))
-      .persist()
-    val a = blocks.select($"doc_id".as("doc_a"), $"sh_lo".as("lo_a"),
-      $"sh_hi".as("hi_a"), $"blk", $"bv")
-    val b = blocks.select($"doc_id".as("doc_b"), $"sh_lo".as("lo_b"),
-      $"sh_hi".as("hi_b"), $"blk", $"bv")
-    a.join(b, Seq("blk", "bv"))
-      .where($"doc_a" < $"doc_b")
+    val a = blocks.select($"sh_lo".as("lo_a"), $"sh_hi".as("hi_a"),
+      $"members".as("m_a"), $"blk", $"bv")
+    val b = blocks.select($"sh_lo".as("lo_b"), $"sh_hi".as("hi_b"),
+      $"members".as("m_b"), $"blk", $"bv")
+    val sigPairs = a.join(b, Seq("blk", "bv"))
+      .where($"lo_a" < $"lo_b" || ($"lo_a" === $"lo_b" && $"hi_a" < $"hi_b"))
       .withColumn("hamming",
         expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"))
       .where($"hamming" <= 3)
-      .select($"doc_a", $"doc_b", $"hamming")
+      .select($"m_a", $"m_b", $"hamming")
       .distinct()
-      .orderBy("doc_a", "doc_b")
+    // expansion: every member of cluster A pairs with every member of
+    // cluster B; ids interleave across clusters, so normalize with
+    // least/greatest (hamming is symmetric). Pairs are unique by
+    // construction — intra pairs enumerate within one cluster, inter pairs
+    // come from exactly one distinct'd signature pair — so no final
+    // distinct() pass over the full output is needed.
+    val inter = sigPairs
+      .select(explode($"m_a").as("x"), $"m_b", $"hamming")
+      .select($"x", explode($"m_b").as("y"), $"hamming")
+      .select(least($"x", $"y").as("doc_a"),
+        greatest($"x", $"y").as("doc_b"), $"hamming")
+    intra.union(inter).orderBy("doc_a", "doc_b")
   }
 
   // g18 — winnowing fingerprints (the MOSS scheme): hash every 4-char

@@ -22,6 +22,23 @@ class CharShinglesSpec extends SparkSpec {
     assert(gen.map(_._1).toSet === Set(1L, 3L)) // short/empty docs emit nothing
   }
 
+  test("non-BMP text shingles by code point, matching Spark substring") {
+    import spark.implicits._
+    graft.functions.CharShingles.register(spark)
+    // 😀 and 𝄞 are supplementary-plane (2 UTF-16 units each): UTF-16-unit
+    // slicing would split surrogate pairs and emit 5 mangled shingles for
+    // the first doc; code-point slicing emits 3 clean ones
+    val docs = Seq((1L, "a😀b𝄞c"), (2L, "😀😀")).toDF("id", "t")
+    val gen = docs.select($"id", expr("char_shingles(t, 3)").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val ref = docs.where(expr("char_length(t)") >= 3)
+      .select($"id", explode(expr(
+        "transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(gen === ref)
+    assert(gen === Seq((1L, "a😀b"), (1L, "b𝄞c"), (1L, "😀b𝄞")).sorted)
+  }
+
   test("position order and overlap semantics") {
     import spark.implicits._
     graft.functions.CharShingles.register(spark)

@@ -140,5 +140,32 @@ object ScansFilters {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5)
+  // A6 — small-file compaction (the file-maintenance primitive next to
+  // A5's upsert): fragment the orders table into 64 tiny files (the
+  // "streaming ingest left a mess" fixture), compact to ~1 MiB target
+  // files via [[graft.sources.Formats.compact]], and emit the compacted
+  // table's content. The oracle grades the invariant that matters —
+  // compaction preserves content exactly — while CompactionSpec pins the
+  // file-count arithmetic. Temp dirs are keyed by sf so concurrent runs
+  // at different scales don't collide; every write is Overwrite-idempotent.
+  private val a6 = QueryDef.graded(
+    "a6_compact",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = s"/tmp/graft_compact/$sfTag/fragmented"
+    val out = s"/tmp/graft_compact/$sfTag/compacted"
+    Tables.orders(spark, dir).repartition(64)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+    graft.sources.Formats.compact(spark, frag, out, targetBytes = 1L << 20)
+    spark.read.parquet(out)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6)
 }

@@ -102,7 +102,16 @@ object Similarity {
   }
 
   // g12 — LSH-bucketed ANN: 4 fixed axis-hyperplane sign bits → 16
-  // buckets; exact cosine re-scoring only within the query's bucket.
+  // buckets; exact cosine re-scoring only within the probed buckets.
+  // MULTIPROBE radius 1: the query probes its own bucket plus the 4
+  // buckets at Hamming distance 1 (flip each sign bit once) — 5/16 of the
+  // data instead of 1/16, which on this near-isotropic corpus lifts
+  // recall@10 from ~0.15 to ~0.5 (AnnRecallSpec measures it). Single-probe
+  // sign-LSH is near-useless on unclustered vectors: a true neighbor at
+  // cosine ~0.4 flips any given sign bit with p ≈ 0.37, so it lands
+  // outside the query's exact bucket ~84% of the time. At 100 TB the
+  // radius-1 probe set is 5 enumerable bucket ids — still an equi-join /
+  // partition-prune key, never a scan of the other 11/16.
   private val bktSql =
     """((embedding[1] >= 0)::INT * 8 + (embedding[17] >= 0)::INT * 4 +
       |   (embedding[33] >= 0)::INT * 2 + (embedding[49] >= 0)::INT)""".stripMargin
@@ -116,7 +125,7 @@ object Similarity {
       |  FROM embeddings),
       |q AS (SELECT v AS qv, nrm AS qnrm, bkt AS qbkt FROM e WHERE vec_id = 0)
       |SELECT vec_id, bkt, round(${duckDot("v", "qv")} / (nrm * qnrm), 6) AS cos_sim
-      |FROM e JOIN q ON e.bkt = q.qbkt
+      |FROM e JOIN q ON bit_count(xor(e.bkt::BIGINT, q.qbkt::BIGINT)) <= 1
       |WHERE vec_id <> 0
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 5""".stripMargin) { (spark, dir) =>
@@ -129,7 +138,7 @@ object Similarity {
     val e = embeddings(spark, dir).withColumn("bkt", bkt)
     val q = e.where($"vec_id" === 0)
       .select($"embedding".as("qe"), $"bkt".as("qbkt"))
-    e.join(broadcast(q), $"bkt" === $"qbkt")
+    e.join(broadcast(q), expr("bit_count(bkt ^ qbkt) <= 1"))
       .where($"vec_id" =!= 0)
       .select($"vec_id", $"bkt", round(cos("embedding", "qe"), 6).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")

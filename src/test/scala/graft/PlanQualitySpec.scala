@@ -10,9 +10,10 @@ class PlanQualitySpec extends SparkSpec {
   // 1-row or constant-size broadcast sides where a nested-loop broadcast
   // join is exactly right: c9 (25-row dim×dim cross), g4/g6/g17 (single
   // query vector / corpus-count broadcast), g21 (10-row query set joined
-  // with a non-equi self-exclusion predicate).
+  // with a non-equi self-exclusion predicate), g12 (1-row query probed
+  // with the non-equi radius-1 Hamming multiprobe predicate).
   private val bnljOk = Set("c9_join_cross", "g4_cosine_topk", "g6_tfidf",
-    "g17_ann_ivf", "g21_knn_join")
+    "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join")
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -18,6 +18,7 @@ object SparkEntry {
       operators.EventTime.defs ++
       operators.Reports.defs ++
       pipeline.Dedup.defs ++
+      pipeline.Curation.defs ++
       pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++
       pipeline.Multimodal.defs ++

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.QueryDef.graded
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G (curation family): the dataset-assembly operators a training-data
+  * pipeline runs AFTER dedup/quality — splitting, decontamination,
+  * redaction, packing, sampling.
+  *
+  * Scale notes (100 TB):
+  *  - g25 split and g27 redaction are pure map-side projections (hash /
+  *    regex per row, zero shuffle) — they scale like the scan.
+  *  - g26 decontamination shuffles on the n-gram key with the benchmark
+  *    side BROADCAST: eval sets are tiny (thousands of docs) next to the
+  *    training corpus, so the candidate side never shuffles at all.
+  *  - g28 packing needs a global prefix sum, which is the canonical
+  *    "looks sequential" trap: a single global-order window collapses to
+  *    one partition. The implementation is the standard two-pass
+  *    distributed prefix sum (range-local cumsum + tiny per-range totals
+  *    joined back), identical in result to the oracle's global window.
+  *  - g29 stratified sampling is one window per stratum — shuffles on the
+  *    stratum key only, and the content-hash sort order makes the sample
+  *    stable under file re-sharding (a random() sample is not even
+  *    re-runnable).
+  */
+object Curation {
+
+  // g25 — deterministic train/val/test split by CONTENT hash (stable under
+  // re-sharding, re-ingestion, and id reassignment — splitting on doc_id
+  // breaks the moment ids are reassigned upstream). 80/10/10 by the first
+  // 32 bits of md5(text) mod 100; md5-derived so both engines agree
+  // bit-for-bit (g13's token-hash machinery, reused on whole documents).
+  private val g25 = graded(
+    "g25_split_hash", {
+      val h = Dedup.duckHex8("md5(text)")
+      s"""SELECT doc_id, ($h % 100)::BIGINT AS h,
+      |  CASE WHEN $h % 100 < 80 THEN 'train'
+      |       WHEN $h % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        conv(substring(md5($"text"), 1, 8), 16, 10).cast("bigint") % 100)
+      .select($"doc_id", $"h",
+        when($"h" < 80, "train").when($"h" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  // g26 — benchmark decontamination: flag training candidates sharing any
+  // 13-token n-gram with the eval set (the GPT-3-style overlap rule; 13
+  // grams make coincidental overlap implausible while catching embedded
+  // excerpts). Benchmark here = doc_id < 50 as the eval-set stand-in.
+  // The benchmark gram set is broadcast — at 100 TB the candidate side
+  // stays un-shuffled and the check is a map-side hash probe.
+  private val g26 = graded(
+    "g26_decontaminate",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 12),
+      |      i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS gr
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT gr FROM g WHERE doc_id < 50),
+      |hits AS (
+      |  SELECT g.doc_id, count(DISTINCT g.gr)::BIGINT AS n_shared
+      |  FROM g JOIN bench USING (gr)
+      |  WHERE g.doc_id >= 50
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+      |  coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id >= 50
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // short-doc guard: Spark's sequence(1, n<1) descends instead of being
+    // empty (g18 lesson) — sub-13-token docs contribute no grams
+    val grams = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 13 THEN
+          |  transform(sequence(1, size(split(text, ' ')) - 12),
+          |    i -> array_join(slice(split(text, ' '), i, 13), ' '))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
+    val bench = grams.where($"doc_id" < 50).select($"gr").distinct()
+    val hits = grams.where($"doc_id" >= 50)
+      .join(broadcast(bench), "gr")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"gr").as("n_shared"))
+    Tables.documents(spark, dir).where($"doc_id" >= 50).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"),
+        (coalesce($"n_shared", lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // g27 — PII redaction: scrub emails and phone-shaped digit runs, count
+  // what was scrubbed. The corpus has no organic PII, so the raw column is
+  // synthesized identically in both engines (declared fixture synthesis);
+  // the graded machinery is the regex pass itself. Patterns stay in the
+  // RE2-compatible subset (no lookaround/backrefs) so Java regex and
+  // DuckDB's RE2 agree. Output carries lengths + digest of the redacted
+  // text, not the text — compact at any scale. Map-side only: zero
+  // shuffle before the final presentation sort.
+  private val g27 = graded(
+    "g27_pii_redact",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com phone 555-'
+      |      || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS r
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, r,
+      |    len(regexp_extract_all(r, '[a-z0-9]+@[a-z0-9.]+'))::BIGINT AS n_emails,
+      |    len(regexp_extract_all(r, '555-[0-9]{4}'))::BIGINT AS n_phones,
+      |    regexp_replace(
+      |      regexp_replace(r, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |      '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |  FROM raw)
+      |SELECT doc_id, n_emails, n_phones,
+      |  length(r)::BIGINT AS len_before, length(clean)::BIGINT AS len_after,
+      |  md5(clean) AS fp
+      |FROM red
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val raw = Tables.documents(spark, dir)
+      .withColumn("r", concat($"text", lit(" contact user"), $"doc_id",
+        lit("@example.com phone 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+    raw
+      .withColumn("n_emails",
+        regexp_count($"r", lit("[a-z0-9]+@[a-z0-9.]+")).cast("bigint"))
+      .withColumn("n_phones",
+        regexp_count($"r", lit("555-[0-9]{4}")).cast("bigint"))
+      .withColumn("clean", regexp_replace(
+        regexp_replace($"r", "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+        "555-[0-9]{4}", "<PHONE>"))
+      .select($"doc_id", $"n_emails", $"n_phones",
+        length($"r").cast("bigint").as("len_before"),
+        length($"clean").cast("bigint").as("len_after"),
+        md5($"clean").as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // g28 — context-window packing by offset binning: lay documents end to
+  // end in doc_id order and cut fixed 512-token windows; a doc's bin is
+  // its start offset div 512 (the fixed-stride chunking a distributed
+  // packer actually uses — exact greedy bin-closing is inherently
+  // sequential). The oracle states it as ONE global cumsum window; the
+  // Spark side computes the identical result with the two-pass
+  // distributed prefix sum: (1) range-local cumsum per 1000-id range,
+  // (2) per-range totals (tiny — one row per range) prefix-summed and
+  // broadcast back. No single-partition window anywhere; both passes
+  // shuffle on the range key only.
+  private val g28 = graded(
+    "g28_pack_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |cs AS (
+      |  SELECT doc_id, n_tok,
+      |    sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+      |  FROM t)
+      |SELECT doc_id, n_tok::BIGINT AS n_tok, off::BIGINT AS off,
+      |  (off // 512)::BIGINT AS bin
+      |FROM cs
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("n_tok"),
+        expr("doc_id div 1000").as("rng"))
+    // pass 1: cumsum WITHIN each id range (parallel across ranges)
+    val wLocal = Window.partitionBy($"rng").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("lcs", sum($"n_tok").over(wLocal))
+    // pass 2: per-range totals — one row per range — prefix-summed with a
+    // window over the TINY totals table, then joined back (broadcast)
+    val wRange = Window.orderBy($"rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = t.groupBy($"rng").agg(sum($"n_tok").as("rtot"))
+      .withColumn("rprefix", sum($"rtot").over(wRange) - $"rtot")
+      .select($"rng", $"rprefix")
+    local.join(broadcast(prefixes), "rng")
+      .withColumn("off", $"rprefix" + $"lcs" - $"n_tok")
+      .select($"doc_id", $"n_tok", $"off",
+        expr("off div 512").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  // g29 — deterministic stratified sample: 10% per language stratum,
+  // chosen by content-hash order (md5(text)) so the sample is identical
+  // across engines, runs, and file layouts — `TABLESAMPLE`/random() is
+  // neither. ceil() keeps every stratum represented.
+  private val g29 = graded(
+    "g29_stratified_sample",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(text), doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, rn::BIGINT AS rn
+      |FROM r
+      |WHERE rn <= ceil(n * 0.1)
+      |ORDER BY lang, rn""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy(md5($"text"), $"doc_id")
+    val wc = Window.partitionBy($"lang")
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .where($"rn" <= ceil($"n" * 0.1))
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy("lang", "rn")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29)
+}

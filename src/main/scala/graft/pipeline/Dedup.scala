@@ -202,14 +202,15 @@ object Dedup {
 
   /** DuckDB SQL: interpret 8 hex digits of `col` starting at 1-based
     * `start` as a 32-bit unsigned value (DuckDB has no from_hex; this is
-    * positional arithmetic over the digit characters).
+    * positional arithmetic over the digit characters). Shared with
+    * [[Curation]]'s hash-split oracle.
     */
-  private def duckHex8At(col: String, start: Int): String =
+  private[pipeline] def duckHex8At(col: String, start: Int): String =
     (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substring($col, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     ).mkString("(", " + ", ")")
 
-  private def duckHex8(col: String): String = duckHex8At(col, 1)
+  private[pipeline] def duckHex8(col: String): String = duckHex8At(col, 1)
 
   private val g13 = graded(
     "g13_minhash_sig", {

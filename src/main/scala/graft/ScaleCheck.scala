@@ -29,7 +29,9 @@ object ScaleCheck {
       "g19_dedup_pipeline", "g20_embed_centroid", "g21_knn_join",
       "m4_media_dedup", "h5_gap_fill", "r1_report_top_orders",
       "r2_report_region_volume", "r3_report_returns", "i3_udtf_shingles",
-      "g23_doc_entropy", "g24_containment", "c12_join_asof_fwd", "h6_locf")
+      "g23_doc_entropy", "g24_containment", "c12_join_asof_fwd", "h6_locf",
+      "a6_compact", "g12_ann_lsh", "g25_split_hash", "g26_decontaminate",
+      "g27_pii_redact", "g28_pack_chunks", "g29_stratified_sample")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

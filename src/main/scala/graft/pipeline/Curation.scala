@@ -83,10 +83,11 @@ object Curation {
     // short-doc guard: Spark's sequence(1, n<1) descends instead of being
     // empty (g18 lesson) — sub-13-token docs contribute no grams
     val grams = Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t")) // tokenize once
       .select($"doc_id", explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 13 THEN
-          |  transform(sequence(1, size(split(text, ' ')) - 12),
-          |    i -> array_join(slice(split(text, ' '), i, 13), ' '))
+        """CASE WHEN size(t) >= 13 THEN
+          |  transform(sequence(1, size(t) - 12),
+          |    i -> array_join(slice(t, i, 13), ' '))
           |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
     val bench = grams.where($"doc_id" < 50).select($"gr").distinct()
     val hits = grams.where($"doc_id" >= 50)

@@ -364,6 +364,55 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** DuckDB: 8 hex digits of `col` at 1-based `start` as a 32-bit value
+    * (positional digit arithmetic — same construction as the Dedup-family
+    * oracles).
+    */
+  private def dHex8(col: String, start: Int): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substring($col, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    ).mkString("(", " + ", ")")
+
+  // D16 — count-min sketch, built as plain aggregates: depth 4 × width 32,
+  // the 4 row-hashes taken from disjoint 8-hex chunks of md5(key) so both
+  // engines compute identical sketches. The input is pre-aggregated per
+  // key FIRST (counts are additive, so sketching the per-key totals is
+  // the same sketch as per-row updates — and the realistic plan: the
+  // sketch table is 128 rows regardless of input size, built map-side).
+  // Emitted per key: true count vs sketch estimate — est ≥ true always
+  // (min over 4 one-sided overcounts), equality when a key's 4 buckets
+  // are all collision-free. The deterministic, oracle-checkable core of
+  // the approximate-counting family next to d9's HLL.
+  private val d16 = graded(
+    "d16_countmin", {
+      val arms = (0 until 4).map(d =>
+        s"SELECT event_type, n, $d AS d, (${dHex8("md5(event_type)", 1 + 8 * d)}) % 32 AS b FROM t"
+      ).mkString("\n      |  UNION ALL ")
+      s"""WITH t AS (
+      |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |u AS (
+      |  $arms),
+      |cms AS (SELECT d, b, sum(n) AS c FROM u GROUP BY d, b)
+      |SELECT u.event_type, max(u.n)::BIGINT AS true_n, min(cms.c)::BIGINT AS est_n
+      |FROM u JOIN cms USING (d, b)
+      |GROUP BY u.event_type
+      |ORDER BY u.event_type""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.apply(spark, dir, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("m", md5($"event_type"))
+    val u = t.select($"event_type", $"n", posexplode(array(
+        (0 until 4).map(d =>
+          conv(substring($"m", 1 + 8 * d, 8), 16, 10).cast("bigint") % 32): _*))
+        .as(Seq("d", "b")))
+    val cms = u.groupBy($"d", $"b").agg(sum($"n").as("c"))
+    u.join(cms, Seq("d", "b"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("true_n"), min($"c").as("est_n"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15)
+    d11, d12, d13, d14, d15, d16)
 }

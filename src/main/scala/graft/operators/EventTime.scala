@@ -165,5 +165,76 @@ object EventTime {
       .orderBy("user_id", "event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6)
+  // H7 — conversion funnel (view → click → purchase) with STRICT temporal
+  // ordering: a step counts only if it happens after the user's first
+  // qualifying previous step (min(ts WHERE type=click AND ts > first
+  // view), not just "has a click"). Three per-user aggregations chained
+  // by step — every join/agg shuffles on user_id only, and the scan
+  // pushes the event_type filter, so each step reads one type's rows.
+  // The product-analytics report every event pipeline ends up running.
+  private val h7 = graded(
+    "h7_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT step, n_users FROM (
+      |  SELECT 1 AS step, '1_view' AS step_name, count(*)::BIGINT AS n_users FROM s1
+      |  UNION ALL SELECT 2, '2_click', count(*)::BIGINT FROM s2
+      |  UNION ALL SELECT 3, '3_purchase', count(*)::BIGINT FROM s3) f
+      |ORDER BY step""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.eventsUs(spark, dir)
+    val s1 = ev.where($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t1"))
+    val s2 = ev.where($"event_type" === "click")
+      .join(s1, "user_id").where($"ts_us" > $"t1")
+      .groupBy($"user_id").agg(min($"ts_us").as("t2"))
+    val s3 = ev.where($"event_type" === "purchase")
+      .join(s2, "user_id").where($"ts_us" > $"t2")
+      .groupBy($"user_id").agg(min($"ts_us").as("t3"))
+    s1.agg(lit(1).as("step"), count(lit(1)).as("n_users"))
+      .union(s2.agg(lit(2), count(lit(1))))
+      .union(s3.agg(lit(3), count(lit(1))))
+      .orderBy("step")
+  }
+
+  // H8 — cohort retention: cohort = a user's first-activity day; a cell
+  // (cohort_day, day_offset) counts users from that cohort active again
+  // `offset` days later. Distinct (user, day) activity first — one row
+  // per user-day however many raw events — then one shuffle on user_id
+  // to attach cohorts. Day keys travel as strings (engine-neutral
+  // hashing; dates/timestamps have cross-engine dtype hazards).
+  private val h8 = graded(
+    "h8_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cday FROM act GROUP BY user_id)
+      |SELECT strftime(coh.cday, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', coh.cday, act.day)::BIGINT AS day_offset,
+      |  count(*)::BIGINT AS n_users
+      |FROM act JOIN coh ON act.user_id = coh.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val act = Tables.eventsUs(spark, dir)
+      .select($"user_id", date_trunc("DAY", $"ts_us").as("day")).distinct()
+    val coh = act.groupBy($"user_id").agg(min($"day").as("cday"))
+    act.join(coh, "user_id")
+      .groupBy(date_format($"cday", "yyyy-MM-dd").as("cohort_day"),
+        datediff($"day", $"cday").cast("bigint").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8)
 }

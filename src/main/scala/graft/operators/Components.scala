@@ -150,8 +150,17 @@ object Components {
     // uncheckpointed, the second consumer re-runs the whole upstream
     // edge-producing pipeline (for the LSH callers that is the full
     // signature+verify plan)
+    // TWO contraction passes with alternating locality: pass 1 co-locates
+    // by source id (collapses each id-range's subgraph), pass 2 re-keys
+    // the surviving (node, local-rep) pairs by REP id — chains that
+    // straddled pass-1 partitions meet at their reps and collapse there.
+    // localContract's output always has the same component structure as
+    // its input, so passes compose safely; measured at 8× sf0.1 this cuts
+    // the join loop from ~5 rounds to ~2 for one extra linear
+    // mapPartitions pass over the (much smaller) pair set.
+    val pass1 = localContract(edges, contractParts)
     val contracted = freshStatsCheckpoint(
-      localContract(edges, contractParts)
+      localContract(pass1.select(col("lrep"), col("doc")), contractParts)
         .where(col("doc") =!= col("lrep")))
     val und = contracted
       .select(col("doc").as("v"), col("lrep").as("u"))

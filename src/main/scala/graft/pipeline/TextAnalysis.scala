@@ -193,5 +193,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23)
+  // g30 — bigram collocation strength (the phrase-mining pass a tokenizer
+  // vocabulary build runs): lift(a,b) = P(ab) / (P(a)·P(b)), computed as
+  // one division of two exact int64 products so the score is
+  // bit-identical across engines (PMI's ln() is libm-dependent in its
+  // last ulp — the ratio carries the same ranking information without
+  // the hazard). Adjacent-pair extraction is a per-row projection; the
+  // only shuffles are the two count aggregations; corpus totals ride a
+  // 1-row broadcast. Top-50 by count keeps the output constant-size at
+  // any corpus scale.
+  private val g30 = graded(
+    "g30_bigram_lift",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2
+      |  FROM t),
+      |bc AS (SELECT bigram, w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2, 3),
+      |uni AS (
+      |  SELECT word, count(*) AS n FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  GROUP BY word),
+      |tot AS (
+      |  SELECT (SELECT sum(n) FROM uni) AS n_uni,
+      |         (SELECT sum(n_ab) FROM bc) AS n_bi)
+      |SELECT bigram, n_ab::BIGINT AS n_ab,
+      |  round((n_ab * n_uni * n_uni)::DOUBLE
+      |        / (n_bi * ua.n * ub.n)::DOUBLE, 6) AS lift
+      |FROM bc
+      |JOIN uni ua ON bc.w1 = ua.word
+      |JOIN uni ub ON bc.w2 = ub.word
+      |CROSS JOIN tot
+      |ORDER BY n_ab DESC, bigram
+      |LIMIT 50""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    // size >= 2 guard: Spark's sequence(1, n-1) DESCENDS for 1-token docs
+    // (g18 lesson) where the oracle's generate_series is simply empty
+    val toks = docs.select($"doc_id", split($"text", " ").as("tk"))
+      .where(size($"tk") >= 2)
+    val bg = toks
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(concat(tk[i - 1], ' ', tk[i]) AS bigram,
+          |              tk[i - 1] AS w1, tk[i] AS w2))""".stripMargin)).as("p"))
+      .select($"p.bigram", $"p.w1", $"p.w2")
+    val bc = bg.groupBy($"bigram", $"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val uni = docs.select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum($"n").as("n_uni"))
+      .crossJoin(bc.agg(sum($"n_ab").as("n_bi")))
+    bc
+      .join(uni.select($"word".as("w1"), $"n".as("n_a")), "w1")
+      .join(uni.select($"word".as("w2"), $"n".as("n_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select($"bigram", $"n_ab",
+        round(($"n_ab" * $"n_uni" * $"n_uni").cast("double")
+          / ($"n_bi" * $"n_a" * $"n_b").cast("double"), 6).as("lift"))
+      .orderBy($"n_ab".desc, $"bigram")
+      .limit(50)
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30)
 }

@@ -8,12 +8,13 @@ package graft
 class PlanQualitySpec extends SparkSpec {
 
   // 1-row or constant-size broadcast sides where a nested-loop broadcast
-  // join is exactly right: c9 (25-row dim×dim cross), g4/g6/g17 (single
-  // query vector / corpus-count broadcast), g21 (10-row query set joined
-  // with a non-equi self-exclusion predicate), g12 (1-row query probed
-  // with the non-equi radius-1 Hamming multiprobe predicate).
+  // join is exactly right: c9 (25-row dim×dim cross), g4/g6/g17/g30
+  // (single query vector / 1-row corpus-totals broadcast), g21 (10-row
+  // query set joined with a non-equi self-exclusion predicate), g12
+  // (1-row query probed with the non-equi radius-1 Hamming multiprobe
+  // predicate).
   private val bnljOk = Set("c9_join_cross", "g4_cosine_topk", "g6_tfidf",
-    "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join")
+    "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join", "g30_bigram_lift")
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -54,6 +55,29 @@ class PlanQualitySpec extends SparkSpec {
     // a1 projects a subset of lineitem; the scan must not read all 11 columns
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
       readSchema)
+  }
+
+  test("g26 decontamination broadcasts the benchmark gram set") {
+    // the eval-set side must broadcast so the candidate side never
+    // shuffles on the gram key — the property that makes g26 viable at
+    // 100 TB
+    val p = plans.toMap.apply("g26_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("h7 funnel pushes each step's event_type filter into the scan") {
+    val p = plans.toMap.apply("h7_funnel")
+    for (step <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$step)"),
+        s"missing pushed filter for $step:\n$p")
+  }
+
+  test("g28 packing: the large cumsum window is range-partitioned, not global") {
+    // the two-pass prefix sum exists precisely to avoid a single-partition
+    // global-order window over the full table — the per-document window
+    // must partition on the range key
+    val p = plans.toMap.apply("g28_pack_chunks")
+    assert(p.contains("hashpartitioning(rng"), p)
   }
 
   test("whole-stage codegen covers the scan→filter→project pipelines") {

@@ -27,14 +27,18 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // can render "54,693" under a comma-decimal locale — invalid JSON,
+    // resurrecting the exact parse failure this protocol exists to fix
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // protocol: the harness keeps only the TAIL of stdout, so the per-query
     // detail (a multi-KB map) goes out FIRST and the LAST line is a compact
     // machine-parseable total that always fits the tail window.
     println(s"""{"detail":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

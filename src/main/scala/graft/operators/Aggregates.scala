@@ -364,15 +364,6 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  /** DuckDB: 8 hex digits of `col` at 1-based `start` as a 32-bit value
-    * (positional digit arithmetic — same construction as the Dedup-family
-    * oracles).
-    */
-  private def dHex8(col: String, start: Int): String =
-    (0 until 8).map(i =>
-      s"(strpos('0123456789abcdef', substring($col, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
-    ).mkString("(", " + ", ")")
-
   // D16 — count-min sketch, built as plain aggregates: depth 4 × width 32,
   // the 4 row-hashes taken from disjoint 8-hex chunks of md5(key) so both
   // engines compute identical sketches. The input is pre-aggregated per
@@ -386,7 +377,7 @@ object Aggregates {
   private val d16 = graded(
     "d16_countmin", {
       val arms = (0 until 4).map(d =>
-        s"SELECT event_type, n, $d AS d, (${dHex8("md5(event_type)", 1 + 8 * d)}) % 32 AS b FROM t"
+        s"SELECT event_type, n, $d AS d, (${graft.pipeline.Dedup.duckHex8At("md5(event_type)", 1 + 8 * d)}) % 32 AS b FROM t"
       ).mkString("\n      |  UNION ALL ")
       s"""WITH t AS (
       |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),

@@ -146,8 +146,11 @@ object ScansFilters {
   // files via [[graft.sources.Formats.compact]], and emit the compacted
   // table's content. The oracle grades the invariant that matters —
   // compaction preserves content exactly — while CompactionSpec pins the
-  // file-count arithmetic. Temp dirs are keyed by sf so concurrent runs
-  // at different scales don't collide; every write is Overwrite-idempotent.
+  // file-count arithmetic. Temp dirs are keyed by sf AND by JVM (pid) so
+  // concurrent processes running the same scale (e.g. a bench and a test
+  // JVM) never race Overwrite writes against each other's reads; within
+  // one JVM every write is Overwrite-idempotent.
+  private lazy val jvmTag: String = java.lang.ProcessHandle.current().pid().toString
   private val a6 = QueryDef.graded(
     "a6_compact",
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -156,8 +159,8 @@ object ScansFilters {
       |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val frag = s"/tmp/graft_compact/$sfTag/fragmented"
-    val out = s"/tmp/graft_compact/$sfTag/compacted"
+    val frag = s"/tmp/graft_compact/$jvmTag/$sfTag/fragmented"
+    val out = s"/tmp/graft_compact/$jvmTag/$sfTag/compacted"
     Tables.orders(spark, dir).repartition(64)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
     graft.sources.Formats.compact(spark, frag, out, targetBytes = 1L << 20)

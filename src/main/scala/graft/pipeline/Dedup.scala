@@ -202,10 +202,11 @@ object Dedup {
 
   /** DuckDB SQL: interpret 8 hex digits of `col` starting at 1-based
     * `start` as a 32-bit unsigned value (DuckDB has no from_hex; this is
-    * positional arithmetic over the digit characters). Shared with
-    * [[Curation]]'s hash-split oracle.
+    * positional arithmetic over the digit characters). The single source
+    * of this parity-critical construction — shared with [[Curation]]'s
+    * hash-split oracle and Aggregates' count-min sketch.
     */
-  private[pipeline] def duckHex8At(col: String, start: Int): String =
+  private[graft] def duckHex8At(col: String, start: Int): String =
     (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substring($col, ${start + i}, 1)) - 1) * ${1L << (4 * (7 - i))}"
     ).mkString("(", " + ", ")")

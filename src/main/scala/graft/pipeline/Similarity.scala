@@ -105,8 +105,9 @@ object Similarity {
   // buckets; exact cosine re-scoring only within the probed buckets.
   // MULTIPROBE radius 1: the query probes its own bucket plus the 4
   // buckets at Hamming distance 1 (flip each sign bit once) — 5/16 of the
-  // data instead of 1/16, which on this near-isotropic corpus lifts
-  // recall@10 from ~0.15 to ~0.5 (AnnRecallSpec measures it). Single-probe
+  // data instead of 1/16. AnnRecallSpec measures and floor-asserts
+  // recall@5 vs the exact g4 top-5: single-probe scored 0.0 on this
+  // near-isotropic corpus, radius-1 multiprobe scores 0.60. Single-probe
   // sign-LSH is near-useless on unclustered vectors: a true neighbor at
   // cosine ~0.4 flips any given sign bit with p ≈ 0.37, so it lands
   // outside the query's exact bucket ~84% of the time. At 100 TB the

@@ -194,14 +194,18 @@ object TextAnalysis {
   }
 
   // g30 — bigram collocation strength (the phrase-mining pass a tokenizer
-  // vocabulary build runs): lift(a,b) = P(ab) / (P(a)·P(b)), computed as
-  // one division of two exact int64 products so the score is
-  // bit-identical across engines (PMI's ln() is libm-dependent in its
-  // last ulp — the ratio carries the same ranking information without
-  // the hazard). Adjacent-pair extraction is a per-row projection; the
-  // only shuffles are the two count aggregations; corpus totals ride a
-  // 1-row broadcast. Top-50 by count keeps the output constant-size at
-  // any corpus scale.
+  // vocabulary build runs): lift(a,b) = P(ab) / (P(a)·P(b)). Both engines
+  // compute the products in DOUBLE with the same left-to-right operation
+  // order — IEEE multiplication is deterministic, so scores stay
+  // bit-identical, and unlike int64 products the doubles cannot overflow
+  // at large corpus sizes (n_bi·n_a·n_b passes 2^63 around 3e7 tokens;
+  // DuckDB would silently survive in HUGEINT while Spark wrapped — the
+  // double formulation keeps the engines in lockstep instead). PMI's
+  // ln() is avoided on purpose: it is libm-dependent in its last ulp;
+  // the ratio ranks identically without the hazard. Adjacent-pair
+  // extraction is a per-row projection; the only shuffles are the two
+  // count aggregations; corpus totals ride a 1-row broadcast. Top-50 by
+  // count keeps the output constant-size at any corpus scale.
   private val g30 = graded(
     "g30_bigram_lift",
     """WITH t AS (
@@ -221,8 +225,8 @@ object TextAnalysis {
       |  SELECT (SELECT sum(n) FROM uni) AS n_uni,
       |         (SELECT sum(n_ab) FROM bc) AS n_bi)
       |SELECT bigram, n_ab::BIGINT AS n_ab,
-      |  round((n_ab * n_uni * n_uni)::DOUBLE
-      |        / (n_bi * ua.n * ub.n)::DOUBLE, 6) AS lift
+      |  round((n_ab::DOUBLE * n_uni::DOUBLE * n_uni::DOUBLE)
+      |        / (n_bi::DOUBLE * ua.n::DOUBLE * ub.n::DOUBLE), 6) AS lift
       |FROM bc
       |JOIN uni ua ON bc.w1 = ua.word
       |JOIN uni ub ON bc.w2 = ub.word
@@ -251,8 +255,8 @@ object TextAnalysis {
       .join(uni.select($"word".as("w2"), $"n".as("n_b")), "w2")
       .crossJoin(broadcast(tot))
       .select($"bigram", $"n_ab",
-        round(($"n_ab" * $"n_uni" * $"n_uni").cast("double")
-          / ($"n_bi" * $"n_a" * $"n_b").cast("double"), 6).as("lift"))
+        round(($"n_ab".cast("double") * $"n_uni".cast("double") * $"n_uni".cast("double"))
+          / ($"n_bi".cast("double") * $"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
       .orderBy($"n_ab".desc, $"bigram")
       .limit(50)
   }

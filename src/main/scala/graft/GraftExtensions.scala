@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
     ext.injectFunction(GraftExtensions.vecCosine)
     ext.injectFunction(GraftExtensions.charShingles)
+    ext.injectFunction(GraftExtensions.minHashSigs)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }
@@ -55,6 +56,16 @@ object GraftExtensions {
       "char_shingles"),
     (exprs: Seq[Expression]) =>
       graft.functions.CharShingles(exprs(0), exprs(1)))
+
+  /** (name, info, builder) triple for minhash_sigs. */
+  val minHashSigs: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sigs"),
+    new ExpressionInfo(
+      classOf[graft.functions.MinHashSigs].getName,
+      "minhash_sigs"),
+    (exprs: Seq[Expression]) =>
+      graft.functions.MinHashSigs(exprs(0), exprs(1)))
 
   /** (name, info, builder) triple for vec_cosine. */
   val vecCosine: (FunctionIdentifier, ExpressionInfo,

@@ -118,12 +118,14 @@ object Dedup {
   /** MinHash-LSH chain candidates, verified by exact token-set Jaccard —
     * the shared machinery of g3 and g19.
     *
-    * Input: (doc_id, tk) with tk = distinct token array. Signatures are
-    * per-row HOF mins (`array_min(transform(...))`) — a pure projection,
-    * ZERO shuffle; the only shuffles are the bucket window and the joins.
-    * Candidates are CHAIN edges (lag over bucket order), which preserve
-    * bucket connectivity with O(n·bands) edges instead of O(bucket²)
-    * pairs.
+    * Input: (doc_id, tk) with tk = distinct token array. Signatures come
+    * from the fused [[graft.functions.MinHashSigs]] codegen kernel — one
+    * pass over the token array for all k hashes (the HOF formulation,
+    * k × `array_min(transform(...))`, is interpreted and walks the array
+    * k times); a pure projection either way, ZERO shuffle; the only
+    * shuffles are the bucket window and the joins. Candidates are CHAIN
+    * edges (lag over bucket order), which preserve bucket connectivity
+    * with O(n·bands) edges instead of O(bucket²) pairs.
     *
     * Output: verified edges (doc_a, doc_b) with Jaccard ≥ `threshold`.
     * (A per-bucket verified-run seeding of the component labels was
@@ -135,11 +137,12 @@ object Dedup {
   private def lshVerifiedEdges(toks: org.apache.spark.sql.DataFrame,
       nHashes: Int = 16, bandRows: Int = 4, threshold: Double = 0.9)
       : org.apache.spark.sql.DataFrame = {
-    val sigCols = (0 until nHashes).map(i =>
-      expr(s"array_min(transform(tk, w -> xxhash64($i, w)))").as(s"h$i"))
-    val sig = toks.select((col("doc_id") +: sigCols): _*)
+    graft.functions.MinHashSigs.register(toks.sparkSession)
+    val sig = toks.select(col("doc_id"),
+      expr(s"minhash_sigs(tk, $nHashes)").as("s"))
     val bandCols = (0 until nHashes / bandRows).map { bnd =>
-      val slice = (bnd * bandRows until (bnd + 1) * bandRows).map(i => col(s"h$i"))
+      val slice = (bnd * bandRows until (bnd + 1) * bandRows)
+        .map(i => expr(s"s[$i]")) // same long values the HOF form produced
       struct(lit(bnd).as("band"), xxhash64(slice: _*).as("bk"))
     }
     val buckets = sig

@@ -40,6 +40,32 @@ class MultimodalSpec extends SparkSpec {
       .where(col("count") =!= 4).count() === 0)
   }
 
+  test("PGM codec round-trips and validates its header") {
+    import Multimodal.Pgm
+    // round trip: decoded fields equal the synthesis parameters
+    val blob = Pgm.encode(13L, "abc def")
+    val d = Pgm.decode(blob)
+    assert(d.width === 8 + 13 % 8)
+    assert(d.height === 8 + 13 % 5)
+    assert(d.maxval === 255)
+    assert(d.brightness > 0.0 && d.brightness <= 1.0)
+    // hand-built known image: 2x1, pixels (0, 255) → brightness 0.5
+    val tiny = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, -1)
+    assert(Pgm.decode(tiny).brightness === (255.0 / 2) / 255.0)
+    // a real decoder rejects malformed input instead of fabricating pixels
+    intercept[IllegalArgumentException](Pgm.decode("JUNK".getBytes))
+    intercept[IllegalArgumentException](Pgm.decode(blob.dropRight(1))) // truncated raster
+    intercept[IllegalArgumentException](
+      Pgm.decode("P5\n2 1\n65535\n12".getBytes)) // unsupported maxval
+  }
+
+  test("m5 decoded dimensions follow the synthesis rule for every doc") {
+    val df = SparkEntry.queries("m5_image_decode")(spark, sfDir)
+    assert(df.where(col("width") =!= lit(8) + col("doc_id") % 8
+      || col("height") =!= lit(8) + col("doc_id") % 5).count() === 0)
+    assert(df.where(col("brightness") < 0 || col("brightness") > 1).count() === 0)
+  }
+
   test("m1 metadata agrees with decode output on byte counts") {
     val meta = SparkEntry.queries("m1_media_meta")(spark, sfDir)
       .select(col("doc_id"), col("n_bytes").as("meta_bytes"))

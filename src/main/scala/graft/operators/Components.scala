@@ -159,8 +159,13 @@ object Components {
     // the join loop from ~5 rounds to ~2 for one extra linear
     // mapPartitions pass over the (much smaller) pair set.
     val pass1 = localContract(edges, contractParts)
+    val pass2 = localContract(pass1.select(col("lrep"), col("doc")), contractParts)
+    // pass 3 keys by NODE id again: pass 2 merged chains at their reps,
+    // which re-labels nodes into fewer, smaller-id reps — re-keying by
+    // node id lets each id-range see its nodes' (now more aligned) reps
+    // side by side and collapse another level of the straddle chains.
     val contracted = freshStatsCheckpoint(
-      localContract(pass1.select(col("lrep"), col("doc")), contractParts)
+      localContract(pass2.select(col("doc"), col("lrep")), contractParts)
         .where(col("doc") =!= col("lrep")))
     val und = contracted
       .select(col("doc").as("v"), col("lrep").as("u"))

@@ -236,5 +236,36 @@ object EventTime {
       .orderBy("cohort_day", "day_offset")
   }
 
-  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8)
+  // h9 — event-sequence pattern matching (MATCH_RECOGNIZE-lite / CEP):
+  // per user, the event types in strict (ts, event_id) order form a
+  // string, and the pattern "view,click,purchase" is counted as strictly
+  // ADJACENT, non-overlapping, left-to-right occurrences — the strict
+  // form of h7's funnel (h7 allows interleaving, h9 does not). Both
+  // engines count non-overlapping matches left-to-right. One groupBy on
+  // user_id; the per-user sequence string is bounded by the user's event
+  // count, never the corpus. Ordering lives in the µs domain on both
+  // sides (g1's rule) so ns residue can't flip adjacent events.
+  private val h9 = graded(
+    "h9_seq_pattern",
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |  len(regexp_extract_all(
+      |    string_agg(event_type, ',' ORDER BY ts, event_id),
+      |    'view,click,purchase'))::BIGINT AS n_strict_funnels
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.eventsUs(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), s -> s.event_type)"),
+          ",").as("seq"))
+      .select($"user_id", $"n_events",
+        expr("cast(regexp_count(seq, 'view,click,purchase') as bigint)")
+          .as("n_strict_funnels"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9)
 }

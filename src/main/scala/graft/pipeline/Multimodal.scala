@@ -202,6 +202,64 @@ object Multimodal {
       }
       Decoded(w, h, maxval, sum.toDouble / (w * h) / 255.0)
     }
+
+    /** Multi-frame payload: `n` concatenated P5 frames sharing the m5
+      * dimension rule; frame `f`'s pixel i = (text byte + f) mod 256, so
+      * each frame is distinct and the oracle can recompute any frame's
+      * mean from first principles.
+      */
+    def encodeFrames(docId: Long, text: String, n: Int): Array[Byte] = {
+      val w = (8 + docId % 8).toInt
+      val h = (8 + docId % 5).toInt
+      val src = if (text.isEmpty) Array(' '.toByte)
+        else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = java.nio.ByteBuffer.allocate(
+        n * (s"P5\n$w $h\n255\n".length + w * h))
+      var f = 0
+      while (f < n) {
+        out.put(s"P5\n$w $h\n255\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var i = 0
+        while (i < w * h) {
+          out.put(((java.lang.Byte.toUnsignedInt(src(i % src.length)) + f) % 256).toByte)
+          i += 1
+        }
+        f += 1
+      }
+      out.array()
+    }
+
+    /** Parse a concatenation of P5 frames; trailing garbage throws (the
+      * per-frame parse re-validates magic + raster size each time).
+      */
+    def decodeFrames(bytes: Array[Byte]): Seq[Decoded] = {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+      var off = 0
+      while (off < bytes.length) {
+        require(bytes.length - off > 2 && bytes(off) == 'P' && bytes(off + 1) == '5',
+          s"not a P5 frame at offset $off")
+        // scan past the three whitespace-separated header ints, reading
+        // width and height as we go; header ends at the byte after the
+        // maxval terminator
+        var pos = off + 2
+        val dims = new Array[Long](3)
+        var ints = 0
+        while (ints < 3) {
+          while (bytes(pos).toChar.isWhitespace) pos += 1
+          val start = pos
+          while (!bytes(pos).toChar.isWhitespace) pos += 1
+          dims(ints) = new String(bytes, start, pos - start,
+            java.nio.charset.StandardCharsets.US_ASCII).toLong
+          ints += 1
+        }
+        pos += 1
+        val end = pos + (dims(0) * dims(1)).toInt
+        require(end <= bytes.length, "truncated frame raster")
+        frames += decode(java.util.Arrays.copyOfRange(bytes, off, end))
+        off = end
+      }
+      frames.toSeq
+    }
   }
 
   // m5 — GRADED real decode: documents → deterministic binary PGM images
@@ -241,5 +299,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5)
+  // m6 — GRADED multi-frame decode + sampling: each doc becomes a real
+  // multi-frame binary payload (2 + doc_id % 3 concatenated PGM frames,
+  // frame f's pixels = (text byte + f) mod 256), then the decoder parses
+  // the container frame-by-frame (re-validating each header and raster)
+  // and only EVEN frames are emitted — the m3 frame-sampling shape with a
+  // real codec instead of a stub. The oracle recomputes every sampled
+  // frame's dimensions and mean brightness from the synthesis rule
+  // without touching bytes, so encoder, container walker, and per-frame
+  // decoder are all on the graded path. Blobs never ride a shuffle: both
+  // mapPartitions run inside the scan stage and frames fan out AFTER the
+  // binary column is consumed.
+  private val m6 = graded(
+    "m6_frame_decode",
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, (2 + doc_id % 3)::INT - 1)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+      |  (8 + doc_id % 8)::BIGINT AS width,
+      |  (8 + doc_id % 5)::BIGINT AS height,
+      |  round(list_sum(list_transform(
+      |      generate_series(0, ((8 + doc_id % 8) * (8 + doc_id % 5))::INT - 1),
+      |      i -> (ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |            + frame_idx) % 256))::DOUBLE
+      |    / ((8 + doc_id % 8) * (8 + doc_id % 5)) / 255.0, 6) AS brightness
+      |FROM f
+      |WHERE frame_idx % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, Pgm.encodeFrames(id, text, (2 + id % 3).toInt))
+      })
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        Pgm.decodeFrames(blob).zipWithIndex.collect {
+          case (d, f) if f % 2 == 0 =>
+            (id, f.toLong, d.width, d.height, d.brightness)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "brightness")
+      .withColumn("brightness", round($"brightness", 6))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6)
 }

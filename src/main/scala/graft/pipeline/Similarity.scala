@@ -5,6 +5,7 @@ import graft.QueryDef.graded
 import graft.operators.Banding
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G (similarity family): vector similarity search over the embedding
@@ -238,5 +239,85 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
-  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21)
+  // g32 — nearest-prototype assignment (the E-step of k-means / the
+  // coarse-quantizer training loop of an IVF index): every vector is
+  // assigned to the most-cosine-similar of K fixed prototypes (the K
+  // lowest-id vectors — deterministic, no RNG). Prototypes are BROADCAST
+  // (K rows), scoring is the codegen vec_cosine kernel per (row,
+  // prototype), and the argmax is one row_number window partitioned by
+  // vec_id — the corpus shuffles once on vec_id, never on the cross
+  // product. Ties break to the smallest prototype id in both engines.
+  private val g32 = graded(
+    "g32_cluster_assign",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+      |s AS (
+      |  SELECT vec_id, cid, ${duckDot("v", "cv")} / (nrm * cnrm) AS cs
+      |  FROM e CROSS JOIN c),
+      |r AS (
+      |  SELECT vec_id, cid, cs,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |  FROM s)
+      |SELECT vec_id, cid AS cluster, round(cs, 6) AS cos_sim
+      |FROM r WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val cents = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", cos("embedding", "ce").as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"cid".as("cluster"), round($"cs", 6).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  // g33 — int8 symmetric quantization of the embedding column (the
+  // standard storage/compute shrink before an ANN index is built):
+  // per-vector scale = max |x|, code = floor(x/scale·127 + 0.5). The
+  // formula is written with identical operation ORDER in both engines —
+  // floor(x+0.5) is round-half-toward-+inf everywhere, whereas native
+  // round() half-tie behavior differs across engines. Pure map-side
+  // projection, zero shuffle; codes serialize via array_join (array
+  // output crashes the driver gate). A scale of exactly 0 (all-zero
+  // vector) quantizes to 0s via the same CASE in both engines.
+  private val g33 = graded(
+    "g33_vec_quantize",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE floor(x / scale * 127.0 + 0.5)::BIGINT END) AS qv
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  list_min(qv)::BIGINT AS q_min, list_max(qv)::BIGINT AS q_max,
+      |  array_to_string(qv, ',') AS q_csv
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN 0L
+          |  ELSE cast(floor(x / scale * 127.0 + 0.5) as bigint) END)"""
+          .stripMargin))
+      .select($"vec_id", round($"scale", 6).as("scale"),
+        expr("array_min(qv)").as("q_min"), expr("array_max(qv)").as("q_max"),
+        array_join($"qv", ",").as("q_csv"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21, g32, g33)
 }

@@ -261,5 +261,63 @@ object TextAnalysis {
       .limit(50)
   }
 
-  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30)
+  // g31 — repetition signals (the Gopher/MassiveText repetition filters):
+  // per-doc duplicate-token fraction and top-bigram fraction. High values
+  // flag boilerplate/degenerate text that per-token perplexity filters
+  // miss. Fractions are formed as integer-difference-over-integer in BOTH
+  // engines ((n−d)/n, never 1.0−d/n) so the arithmetic is identical and
+  // DuckDB's DECIMAL literal semantics never enter. Only the max bigram
+  // COUNT is emitted — the arg-max bigram itself is tie-ambiguous.
+  // Scale: one (doc, bigram) count shuffle + a per-doc max — the same
+  // shape as g23's entropy; nothing global.
+  private val g31 = graded(
+    "g31_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b AS (
+      |  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+      |    len(list_distinct(tk))::BIGINT AS n_distinct
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      |  FROM t WHERE len(tk) >= 2),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_n FROM (
+      |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+      |  round((b.n_tokens - b.n_distinct)::DOUBLE / b.n_tokens, 6)
+      |    AS dup_token_frac,
+      |  coalesce(top.top_n, 0)::BIGINT AS top_bigram_n,
+      |  round(coalesce(top.top_n, 0)::DOUBLE / (b.n_tokens - 1), 6)
+      |    AS top_bigram_frac
+      |FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+    val base = toks.select($"doc_id",
+      size($"tk").cast("bigint").as("n_tokens"),
+      size(array_distinct($"tk")).cast("bigint").as("n_distinct"))
+    // sequence(0, n-2) DESCENDS when n < 2 (known trap) — the n >= 2
+    // filter runs before the generator ever sees such a doc
+    val top = toks.where(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+        .as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_n"))
+    base.join(top, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        round(($"n_tokens" - $"n_distinct").cast("double") / $"n_tokens", 6)
+          .as("dup_token_frac"),
+        coalesce($"top_n", lit(0L)).as("top_bigram_n"),
+        round(coalesce($"top_n", lit(0L)).cast("double") / ($"n_tokens" - 1), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31)
 }

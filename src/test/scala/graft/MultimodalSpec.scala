@@ -59,6 +59,21 @@ class MultimodalSpec extends SparkSpec {
       Pgm.decode("P5\n2 1\n65535\n12".getBytes)) // unsupported maxval
   }
 
+  test("multi-frame PGM container round-trips and rejects truncation") {
+    import Multimodal.Pgm
+    val blob = Pgm.encodeFrames(7L, "abc xyz", 3)
+    val frames = Pgm.decodeFrames(blob)
+    assert(frames.length === 3)
+    assert(frames.forall(f => f.width === 8 + 7 % 8 && f.height === 8 + 7 % 5))
+    // frame pixels are offset by the frame index -> brightness strictly
+    // increases with f for an all-ASCII source (no mod-256 wraparound)
+    assert(frames.map(_.brightness) === frames.map(_.brightness).sorted)
+    assert(frames(0).brightness < frames(2).brightness)
+    intercept[IllegalArgumentException](Pgm.decodeFrames(blob.dropRight(1)))
+    intercept[IllegalArgumentException](
+      Pgm.decodeFrames(blob ++ "P6\n".getBytes)) // wrong magic mid-stream
+  }
+
   test("m5 decoded dimensions follow the synthesis rule for every doc") {
     val df = SparkEntry.queries("m5_image_decode")(spark, sfDir)
     assert(df.where(col("width") =!= lit(8) + col("doc_id") % 8

@@ -31,7 +31,9 @@ object ScaleCheck {
       "r2_report_region_volume", "r3_report_returns", "i3_udtf_shingles",
       "g23_doc_entropy", "g24_containment", "c12_join_asof_fwd", "h6_locf",
       "a6_compact", "g12_ann_lsh", "g25_split_hash", "g26_decontaminate",
-      "g27_pii_redact", "g28_pack_chunks", "g29_stratified_sample")
+      "g27_pii_redact", "g28_pack_chunks", "g29_stratified_sample",
+      "g31_repetition", "g32_cluster_assign", "g33_vec_quantize",
+      "h9_seq_pattern", "m6_frame_decode")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -165,5 +165,25 @@ object Windows {
       .orderBy("c_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7)
+  // E8 — ntile bucketing (quartiles per partition): ntile depends only on
+  // row ORDER, so the ordering carries a unique tiebreak (o_orderkey) —
+  // without it the bucket boundary row is engine-dependent under price
+  // ties. Both engines use the same larger-leading-buckets ntile rule.
+  private val e8 = graded(
+    "e8_ntile",
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice, o_orderkey) AS price_quartile
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).as("price_quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
 }

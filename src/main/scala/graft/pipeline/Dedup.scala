@@ -603,6 +603,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // g34 — character-level edit distance on candidate pairs (the fuzzy
+  // matcher token-set Jaccard cannot express: transpositions, typos,
+  // insertions). Candidates are adjacent-id pairs via an EQUI-join on
+  // doc_id + 1 — never a global-order window (single-partition trap) and
+  // never all-pairs; in a real pipeline the candidate set would come from
+  // LSH (g3) and this is the verify kernel. Levenshtein is integer-exact
+  // in both engines; the normalized distance divides by the longer text.
+  private val g34 = graded(
+    "g34_edit_distance",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(a.text, b.text)::BIGINT AS lev,
+      |  round(levenshtein(a.text, b.text)::DOUBLE /
+      |    greatest(length(a.text), length(b.text)), 6) AS lev_norm
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val a = docs.select($"doc_id".as("doc_a"), $"text".as("ta"))
+    val b = docs.select(($"doc_id" - 1).as("doc_a"), $"doc_id".as("doc_b"),
+      $"text".as("tb"))
+    a.join(b, "doc_a")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("bigint").as("lev"),
+        round(levenshtein($"ta", $"tb").cast("double") /
+          greatest(length($"ta"), length($"tb")), 6).as("lev_norm"))
+      .orderBy("doc_a")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24)
+    g19, g22, g24, g34)
 }

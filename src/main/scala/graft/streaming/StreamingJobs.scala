@@ -95,6 +95,31 @@ object StreamingJobs {
       }
   }
 
+  /** Stream–stream INTERVAL join (view→purchase attribution): each
+    * purchase joins the same user's views from the preceding hour. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * BOTH directions — exactly what Spark needs to evict join state: a
+    * buffered view can be dropped once the purchase-side watermark passes
+    * `v_ts + 1 hour`, so state is bounded at any scale. The same
+    * expression tree runs in batch (`streaming = false`) and
+    * `StreamingSpec` asserts stream ≡ batch on the finite stream.
+    */
+  def attributionJoin(events: DataFrame, streaming: Boolean = true): DataFrame = {
+    val views0 = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_us").as("v_ts"))
+    val purch0 = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"), col("value"))
+    val views = if (streaming) views0.withWatermark("v_ts", "1 hour") else views0
+    val purch = if (streaming) purch0.withWatermark("p_ts", "1 hour") else purch0
+    views.join(purch,
+      expr("""v_user = p_user AND
+             |p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"), col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** Per-user session windows (1 h inactivity gap) via the native
     * `session_window` expression. The SAME call works on a batch
     * DataFrame — `sessionCounts(batchEvents, streaming = false)` — which

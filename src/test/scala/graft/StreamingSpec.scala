@@ -104,6 +104,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch join on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.attributionJoin(stream), "h4_attr", "append")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("view_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("h4_attr"))
+    val batch = key(StreamingJobs.attributionJoin(
+      graft.sources.Tables.eventsUs(spark, sfDir), streaming = false))
+    assert(batch.nonEmpty)
+    // an inner stream-stream join emits a pair as soon as both rows have
+    // arrived — on a finite AvailableNow stream every pair is emitted
+    assert(streamed === batch)
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

@@ -150,14 +150,16 @@ object Components {
     // uncheckpointed, the second consumer re-runs the whole upstream
     // edge-producing pipeline (for the LSH callers that is the full
     // signature+verify plan)
-    // TWO contraction passes with alternating locality: pass 1 co-locates
-    // by source id (collapses each id-range's subgraph), pass 2 re-keys
-    // the surviving (node, local-rep) pairs by REP id — chains that
-    // straddled pass-1 partitions meet at their reps and collapse there.
-    // localContract's output always has the same component structure as
-    // its input, so passes compose safely; measured at 8× sf0.1 this cuts
-    // the join loop from ~5 rounds to ~2 for one extra linear
-    // mapPartitions pass over the (much smaller) pair set.
+    // THREE contraction passes with alternating locality: pass 1
+    // co-locates by source id (collapses each id-range's subgraph), pass
+    // 2 re-keys the surviving (node, local-rep) pairs by REP id — chains
+    // that straddled pass-1 partitions meet at their reps and collapse
+    // there — and pass 3 re-keys by node id again over the now-aligned
+    // reps. localContract's output always has the same component
+    // structure as its input, so passes compose safely; measured: pass 2
+    // cut the 8× sf0.1 join loop from ~5 rounds to ~2, pass 3 cut sf0.1
+    // from 3 to 2 — each pass is one linear mapPartitions over the
+    // (much smaller) pair set, each saved round is two scheduled jobs.
     val pass1 = localContract(edges, contractParts)
     val pass2 = localContract(pass1.select(col("lrep"), col("doc")), contractParts)
     // pass 3 keys by NODE id again: pass 2 merged chains at their reps,

@@ -240,21 +240,26 @@ object Multimodal {
           s"not a P5 frame at offset $off")
         // scan past the three whitespace-separated header ints, reading
         // width and height as we go; header ends at the byte after the
-        // maxval terminator
+        // maxval terminator. Every advance is bounds-checked so a
+        // container truncated mid-header fails the documented way
+        // (require -> IllegalArgumentException), like Pgm.decode.
         var pos = off + 2
         val dims = new Array[Long](3)
         var ints = 0
         while (ints < 3) {
-          while (bytes(pos).toChar.isWhitespace) pos += 1
+          while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
           val start = pos
-          while (!bytes(pos).toChar.isWhitespace) pos += 1
+          while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+          require(pos > start && pos < bytes.length, "truncated frame header")
           dims(ints) = new String(bytes, start, pos - start,
             java.nio.charset.StandardCharsets.US_ASCII).toLong
           ints += 1
         }
         pos += 1
-        val end = pos + (dims(0) * dims(1)).toInt
-        require(end <= bytes.length, "truncated frame raster")
+        val raster = dims(0) * dims(1)
+        require(raster >= 0 && raster <= bytes.length - pos,
+          "truncated frame raster")
+        val end = pos + raster.toInt
         frames += decode(java.util.Arrays.copyOfRange(bytes, off, end))
         off = end
       }
@@ -281,12 +286,17 @@ object Multimodal {
       |  255::BIGINT AS maxval,
       |  round(list_sum(list_transform(
       |      generate_series(0, (8 + doc_id % 8) * (8 + doc_id % 5) - 1),
-      |      i -> ascii(substring(text, (i % length(text))::INT + 1, 1))))::DOUBLE
+      |      i -> CASE WHEN length(text) = 0 THEN 32
+      |           ELSE ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |           END))::DOUBLE
       |    / ((8 + doc_id % 8) * (8 + doc_id % 5)) / 255.0, 6) AS brightness
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // documentsDist: the corpus ships as one row group, and the codec is
+    // genuine per-row work — the distributed loader spreads it across
+    // cores while (doc_id, text) moves BEFORE any blob exists
+    Tables.documentsDist(spark, dir)
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, Pgm.encode(id, text)) })
@@ -321,14 +331,15 @@ object Multimodal {
       |  (8 + doc_id % 5)::BIGINT AS height,
       |  round(list_sum(list_transform(
       |      generate_series(0, ((8 + doc_id % 8) * (8 + doc_id % 5))::INT - 1),
-      |      i -> (ascii(substring(text, (i % length(text))::INT + 1, 1))
-      |            + frame_idx) % 256))::DOUBLE
+      |      i -> (CASE WHEN length(text) = 0 THEN 32
+      |            ELSE ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |            END + frame_idx) % 256))::DOUBLE
       |    / ((8 + doc_id % 8) * (8 + doc_id % 5)) / 255.0, 6) AS brightness
       |FROM f
       |WHERE frame_idx % 2 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.documentsDist(spark, dir) // codec work spread across cores (m5)
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

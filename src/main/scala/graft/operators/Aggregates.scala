@@ -404,6 +404,32 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  // d17 — equal-width histogram via Spark's native width_bucket (DuckDB
+  // has no width_bucket, so the oracle spells out the same arithmetic:
+  // floor((v − lo) / ((hi − lo) / n)) + 1 — verified to agree on this
+  // data; bounds are fixed constants so the binning is scale-stable and
+  // needs no pre-pass over the data). One hash aggregate on a
+  // 24-value key — the profiling query that feeds every range-pruning /
+  // partitioning decision.
+  private val d17 = graded(
+    "d17_histogram",
+    """SELECT (floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 24)) + 1)::BIGINT
+      |    AS bucket,
+      |  count(*)::BIGINT AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(expr("width_bucket(o_totalprice, 0.0, 600000.0, 24)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16)
+    d11, d12, d13, d14, d15, d16, d17)
 }

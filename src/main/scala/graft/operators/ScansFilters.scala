@@ -170,5 +170,31 @@ object ScansFilters {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6)
+  // a7 — sort-cluster maintenance rewrite: orders re-laid-out so each
+  // file covers a disjoint (o_orderdate, o_orderkey) interval — parquet
+  // min/max footers then prune date-filtered scans at FILE granularity.
+  // Graded by content equality over the round trip (layout must never
+  // change data); the pruning-enabling disjointness itself is pinned by
+  // ClusterSortSpec.
+  private val a7 = QueryDef.graded(
+    "a7_sort_cluster",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = s"/tmp/graft_cluster/$jvmTag/$sfTag/fragmented"
+    val out = s"/tmp/graft_cluster/$jvmTag/$sfTag/clustered"
+    Tables.orders(spark, dir).repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+    graft.sources.Formats.clusterSort(spark, frag, out, nFiles = 8,
+      clusterCols = Seq("o_orderdate", "o_orderkey"))
+    spark.read.parquet(out)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7)
 }

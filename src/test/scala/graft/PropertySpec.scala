@@ -29,6 +29,22 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("width_bucket equals d17's oracle floor arithmetic, boundaries included") {
+    import spark.implicits._
+    // exact bucket-edge values (multiples of the 25000.0 width) are the
+    // hazard: if Spark's width_bucket divided in a different order than
+    // floor((v-lo)/((hi-lo)/n)), a cent landing exactly on an edge would
+    // flip buckets between the engines. Generated cents + explicit edges.
+    val edges = (0 to 24).map(_ * 25000.0)
+    val cents = Gen.listOfN(300, Gen.choose(0L, 60000000L)).sample.get
+      .map(_ / 100.0)
+    val df = (edges ++ cents ++ Seq(24999.99, 25000.01, 599999.99)).toDF("v")
+      .selectExpr("v",
+        "width_bucket(v, 0.0, 600000.0, 24) AS wb",
+        "cast(floor((v - 0.0) / ((600000.0 - 0.0) / 24)) + 1 as bigint) AS fl")
+    assert(df.where("wb <> fl").count() === 0)
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     import spark.implicits._
     val rows = Gen.listOfN(60,

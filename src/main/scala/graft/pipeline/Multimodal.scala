@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *    codegen'd built-ins, so filtering/pruning happens BEFORE any
   *    expensive decode;
   *  - the decode step as per-partition batch processing
-  *    ([[Multimodal.decodeBatch]]) with an explicit output schema — the
-  *    decoder itself is a clearly-marked deterministic STUB (no media
-  *    codecs in this environment), but the iterator-in/iterator-out shape,
-  *    schema and partitioning are exactly what a real codec call would
-  *    use.
+  *    ([[Multimodal.decodeBatch]]) with an explicit output schema, backed
+  *    by a REAL pure-JVM raster codec ([[Pgm]]: binary PGM/P5 — header
+  *    validation, raster-size checks, pixel reduction; malformed input
+  *    throws). No external media libs exist in this environment, so PGM
+  *    is the honest choice: simple enough to implement correctly, real
+  *    enough that the decode path parses actual bytes (m5/m6 grade it
+  *    end-to-end against an oracle that recomputes the decoded metadata
+  *    from first principles).
   */
 object Multimodal {
 
@@ -50,34 +53,28 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Int,
       width: Int, height: Int, brightness: Double)
 
-  /** Per-partition batch "decode". STUB: a real pipeline would hand the
-    * byte buffers to an image codec here (and would batch them per
-    * partition exactly like this, amortizing codec init across the
-    * iterator). This stand-in derives deterministic fake dimensions from
-    * the content digest so tests have stable expectations.
+  /** Per-partition batch decode over the REAL [[Pgm]] codec: the
+    * iterator shape batches rows per partition (a codec context with
+    * native state would be created once here, before the map), and every
+    * payload is genuinely parsed — header validation, raster-size check,
+    * pixel reduction.
     */
-  def decodeBatch(it: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
-    // per-partition init (a real codec context would be created here, once)
-    val digest = java.security.MessageDigest.getInstance("MD5")
+  def decodeBatch(it: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] =
     it.map { case (id, bytes) =>
-      val d = digest.digest(bytes)
-      MediaMeta(
-        doc_id = id,
-        n_bytes = bytes.length,
-        width = 64 + (java.lang.Byte.toUnsignedInt(d(0)) % 16) * 64,
-        height = 64 + (java.lang.Byte.toUnsignedInt(d(1)) % 16) * 64,
-        brightness = java.lang.Byte.toUnsignedInt(d(2)) / 255.0)
+      val d = Pgm.decode(bytes)
+      MediaMeta(id, bytes.length, d.width.toInt, d.height.toInt, d.brightness)
     }
-  }
 
-  // m2 — bench-only: the full decode pipeline. binary column →
-  // mapPartitions batch decode → typed Dataset → aggregate. Rows never
-  // collect to the driver; the decode parallelism is the scan partitioning.
+  // m2 — bench-only: the full decode pipeline. binary column (real PGM
+  // payloads) → mapPartitions batch decode → typed Dataset → projection.
+  // Rows never collect to the driver; the decode parallelism is the scan
+  // partitioning. Graded twin: m5 (same codec, oracle-checked).
   private val m2 = benchOnly("m2_media_decode") { (spark, dir) =>
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, Pgm.encode(id, text)) })
       .mapPartitions(decodeBatch)
       .toDF()
       .select($"doc_id", $"n_bytes", $"width", $"height",
@@ -88,31 +85,33 @@ object Multimodal {
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, brightness: Double)
 
-  /** Per-partition 1→N frame sampling. STUB decoder (see [[decodeBatch]]):
-    * a real pipeline would seek/decode k frames per video here; the
-    * iterator-flatMap shape (each input row yields k output rows, batched
-    * per partition, never materialized on the driver) is the real part.
+  /** Per-partition 1→N frame decode over the real multi-frame container
+    * ([[Pgm.decodeFrames]]): each payload's frames are walked and parsed
+    * with per-frame validation; the iterator-flatMap shape (each input
+    * row yields one output row per frame, batched per partition, never
+    * materialized on the driver) is the 100 TB video-sampling shape.
     */
-  def sampleFrames(k: Int)(it: Iterator[(Long, Array[Byte])]): Iterator[Frame] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    it.flatMap { case (id, bytes) =>
-      val d = digest.digest(bytes)
-      (0 until k).iterator.map { f =>
-        Frame(id, f, java.lang.Byte.toUnsignedInt(d(f % d.length)) / 255.0)
+  def sampleFrames(it: Iterator[(Long, Array[Byte])]): Iterator[Frame] =
+    it.flatMap { case (id, blob) =>
+      Pgm.decodeFrames(blob).iterator.zipWithIndex.map { case (d, f) =>
+        Frame(id, f, d.brightness)
       }
     }
-  }
 
-  // m3 — bench-only: frame sampling, the 1→N twin of m2's 1→1 decode.
-  // At 100 TB the output is k× the input row count but each frame row is
-  // tiny metadata — the heavy binary column is dropped before the rows
-  // fan out.
+  // m3 — bench-only: frame sampling, the 1→N twin of m2's 1→1 decode,
+  // over real 4-frame PGM containers. At 100 TB the output is k× the
+  // input row count but each frame row is tiny metadata — the heavy
+  // binary column is dropped before the rows fan out. Graded twin: m6
+  // (same container walk + even-frame sampling, oracle-checked).
   private val m3 = benchOnly("m3_frame_sample") { (spark, dir) =>
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("blob"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(sampleFrames(4))
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, Pgm.encodeFrames(id, text, 4))
+      })
+      .mapPartitions(sampleFrames)
       .toDF()
       .select($"doc_id", $"frame_idx", round($"brightness", 6).as("brightness"))
       .orderBy("doc_id", "frame_idx")

@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeBatch is deterministic and batch-shaped") {
-    val bytes = "hello multimodal".getBytes("UTF-8")
+  test("decodeBatch really parses the payload (and is deterministic)") {
+    val bytes = Multimodal.Pgm.encode(1L, "hello multimodal")
     val out1 = Multimodal.decodeBatch(Iterator((1L, bytes))).toList
     val out2 = Multimodal.decodeBatch(Iterator((1L, bytes))).toList
     assert(out1 === out2)
     val m = out1.head
     assert(m.n_bytes === bytes.length)
-    assert(m.width >= 64 && m.width <= 64 + 15 * 64)
-    assert(m.height >= 64 && m.height <= 64 + 15 * 64)
+    assert(m.width === 8 + 1 % 8)
+    assert(m.height === 8 + 1 % 5)
     assert(m.brightness >= 0.0 && m.brightness <= 1.0)
+    // a real decoder, not a digest stub: corrupt payloads throw
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBatch(Iterator((1L, "JUNK".getBytes))).toList)
   }
 
   test("m2 pipeline: binary column survives distributed decode, one row per doc") {
@@ -23,13 +26,12 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() === docs)
     assert(df.schema.fieldNames.toSeq ===
       Seq("doc_id", "n_bytes", "width", "height", "brightness"))
-    // byte length must equal the source text's UTF-8 length — proves the
-    // binary payload reached the decoder intact
-    val joined = df.join(
-      graft.sources.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("expect")),
-      "doc_id")
-    assert(joined.where(col("n_bytes") =!= col("expect")).count() === 0)
+    // decoded dimensions must follow the synthesis rule — proves the
+    // binary payload reached the real decoder intact, per row
+    assert(df.where(col("width") =!= lit(8) + col("doc_id") % 8
+      || col("height") =!= lit(8) + col("doc_id") % 5).count() === 0)
+    // n_bytes is the whole payload: header + w·h raster
+    assert(df.where(col("n_bytes") <= col("width") * col("height")).count() === 0)
   }
 
   test("m3 frame sampling yields exactly k rows per document") {
@@ -81,12 +83,17 @@ class MultimodalSpec extends SparkSpec {
     assert(df.where(col("brightness") < 0 || col("brightness") > 1).count() === 0)
   }
 
-  test("m1 metadata agrees with decode output on byte counts") {
-    val meta = SparkEntry.queries("m1_media_meta")(spark, sfDir)
-      .select(col("doc_id"), col("n_bytes").as("meta_bytes"))
+  test("m2 decode agrees with m5's graded brightness per doc") {
+    // m2 (bench-only typed-Dataset path) and m5 (graded path) run the
+    // SAME codec over the same synthesized payloads — their outputs must
+    // be identical row-for-row
     val dec = SparkEntry.queries("m2_media_decode")(spark, sfDir)
-      .select(col("doc_id"), col("n_bytes").as("dec_bytes"))
-    assert(meta.join(dec, "doc_id")
-      .where(col("meta_bytes") =!= col("dec_bytes")).count() === 0)
+      .select(col("doc_id"), col("width"), col("height"), col("brightness"))
+    val graded = SparkEntry.queries("m5_image_decode")(spark, sfDir)
+      .select(col("doc_id"), col("width").as("w5"), col("height").as("h5"),
+        col("brightness").as("b5"))
+    assert(dec.join(graded, "doc_id")
+      .where(col("width") =!= col("w5") || col("height") =!= col("h5")
+        || col("brightness") =!= col("b5")).count() === 0)
   }
 }

@@ -319,5 +319,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31)
+  // g35 — corpus-LM document score (perplexity-lite quality gate): mean
+  // per-token log-probability under the corpus UNIGRAM distribution —
+  // the cheap, deterministic stand-in for the neural-LM perplexity
+  // filters every pre-training pipeline runs; anomalously low scorers
+  // are boilerplate/junk relative to the corpus. Shape: corpus unigram
+  // counts (a tiny vocab-sized table) joined onto the (doc, token)
+  // explode — the token side shuffles ONCE on the token key; the
+  // vocab side broadcasts at any corpus size. Per-doc mean is a second
+  // shuffle on doc_id. ln() is IEEE-identical in both engines (g23's
+  // proven rule); per-doc sums add in engine order → round(6) after the
+  // mean, same as g23.
+  private val g35 = graded(
+    "g35_unigram_logprob",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |uni AS (SELECT word, count(*)::DOUBLE AS n FROM w GROUP BY word),
+      |tot AS (SELECT sum(n) AS total FROM uni)
+      |SELECT doc_id,
+      |  count(*)::BIGINT AS n_tokens,
+      |  round(sum(ln(n / total)) / count(*), 6) AS mean_logprob
+      |FROM w JOIN uni USING (word) CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    val uni = w.groupBy($"word").agg(count(lit(1)).cast("double").as("n"))
+    val tot = uni.agg(sum($"n").as("total"))
+    w.join(broadcast(uni), "word")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log($"n" / $"total")) / count(lit(1)), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35)
 }

@@ -15,7 +15,8 @@ class PlanQualitySpec extends SparkSpec {
   // predicate).
   private val bnljOk = Set("c9_join_cross", "g4_cosine_topk", "g6_tfidf",
     "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join", "g30_bigram_lift",
-    "g32_cluster_assign") // g32 broadcasts the 8-row prototype set (g4's shape)
+    "g32_cluster_assign", // broadcasts the 8-row prototype set (g4's shape)
+    "g35_unigram_logprob") // crosses the 1-row corpus-total (g30's shape)
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -40,6 +40,46 @@ class SourcesSpec extends SparkSpec {
     assert(asSet(back) === asSet(src))
   }
 
+  test("orc round-trip preserves rows and types") {
+    val src = Tables.supplier(spark, sfDir)
+    val path = tmp("orc")
+    src.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema === src.schema)
+    assert(asSet(back) === asSet(src))
+  }
+
+  test("malformed json: PERMISSIVE isolates bad records, FAILFAST raises") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("data.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": "ok"}""",
+        """{"id": 2, "v": """, // truncated mid-record
+        """{"id": 3, "v": "also ok"}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("_corrupt", StringType)))
+    // PERMISSIVE (the 100 TB default): bad records land in the corrupt
+    // column instead of killing the job hours in
+    // (cached: Spark refuses queries touching ONLY the corrupt column
+    // on the raw file scan)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir.toString)
+      .cache()
+    try {
+      assert(permissive.where(col("_corrupt").isNull).count() === 2)
+      assert(permissive.where(col("_corrupt").isNotNull).count() === 1)
+    } finally permissive.unpersist()
+    // FAILFAST: the validation-run mode — malformed input must raise
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir.toString).collect()
+    }
+  }
+
   test("partitioned parquet write prunes partitions at the scan") {
     val src = Tables.documents(spark, sfDir)
     val path = tmp("part")

@@ -267,5 +267,83 @@ object EventTime {
       .orderBy("user_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9)
+  // h10 — max concurrent sessions per day (the capacity-planning sweep
+  // line): sessions (h3's 1-hour-gap rule) become ±1 deltas at their
+  // closed-interval endpoints (−1 at end + 1 µs so single-event sessions
+  // still count), deltas are NETTED per distinct µs (so no window ever
+  // sees ties), and concurrency = running sum over time. The oracle
+  // states the running sum as ONE global window; the Spark side computes
+  // the identical result with the g28 two-pass distributed prefix sum
+  // keyed by day — no single-partition window anywhere. Everything runs
+  // in the µs-integer domain; day keys are strings (h8's dtype rule).
+  private val h10 = graded(
+    "h10_max_concurrency",
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT user_id, us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+      |  FROM s GROUP BY user_id, sid
+      |), d0 AS (
+      |  SELECT s_us AS us, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT e_us + 1, -1 FROM sess
+      |), d AS (
+      |  SELECT us, sum(d) AS d FROM d0 GROUP BY us
+      |), c AS (
+      |  SELECT us,
+      |    sum(d) OVER (ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM d
+      |)
+      |SELECT strftime(make_timestamp((us // 86400000000) * 86400000000),
+      |    '%Y-%m-%d') AS day,
+      |  max(conc)::BIGINT AS max_concurrent
+      |FROM c
+      |GROUP BY day
+      |ORDER BY day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    val ev = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
+    val wl = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wr = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("new_s",
+        when(lag($"us", 1).over(wl).isNull
+          || $"us" - lag($"us", 1).over(wl) > 3600000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(wr))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s_us"), max($"us").as("e_us"))
+    val deltas = sess.select($"s_us".as("us"), lit(1L).as("d"))
+      .unionAll(sess.select(($"e_us" + 1L).as("us"), lit(-1L).as("d")))
+      .groupBy($"us").agg(sum($"d").as("d"))
+      .withColumn("day_k", expr(s"us div $usPerDay"))
+    // two-pass prefix sum (g28): day-local cumsum + tiny per-day totals
+    val wLocal = Window.partitionBy($"day_k").orderBy($"us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = deltas.withColumn("lcs", sum($"d").over(wLocal))
+    val wDay = Window.orderBy($"day_k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = deltas.groupBy($"day_k").agg(sum($"d").as("dtot"))
+      .withColumn("dprefix", sum($"dtot").over(wDay) - $"dtot")
+      .select($"day_k", $"dprefix")
+    local.join(broadcast(prefixes), "day_k")
+      .withColumn("conc", $"dprefix" + $"lcs")
+      .groupBy(date_format(timestamp_micros($"day_k" * usPerDay), "yyyy-MM-dd")
+        .as("day"))
+      .agg(max($"conc").as("max_concurrent"))
+      .orderBy("day")
+  }
+
+  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10)
 }

@@ -33,7 +33,9 @@ object ScaleCheck {
       "a6_compact", "g12_ann_lsh", "g25_split_hash", "g26_decontaminate",
       "g27_pii_redact", "g28_pack_chunks", "g29_stratified_sample",
       "g31_repetition", "g32_cluster_assign", "g33_vec_quantize",
-      "h9_seq_pattern", "m6_frame_decode")
+      "h9_seq_pattern", "m6_frame_decode", "g34_edit_distance",
+      "g35_unigram_logprob", "h10_max_concurrency", "a7_sort_cluster",
+      "d17_histogram", "e8_ntile", "m5_image_decode")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

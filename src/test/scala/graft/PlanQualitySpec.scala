@@ -82,6 +82,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(rng"), p)
   }
 
+  test("h10 concurrency: the sweep-line cumsum is day-partitioned, not global") {
+    // same invariant as g28: the per-delta running sum must partition on
+    // the day key; only the tiny per-day totals table may use a global
+    // window
+    val p = plans.toMap.apply("h10_max_concurrency")
+    assert(p.contains("hashpartitioning(day_k"), p)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // AQE materializes the final plan (with codegen stages) only after
     // execution — run the query, then inspect

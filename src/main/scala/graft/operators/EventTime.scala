@@ -64,6 +64,30 @@ object EventTime {
       .orderBy("win_start")
   }
 
+  /** THE sessionization rule (1-hour inactivity gap), shared by h3 and
+    * h10 so the two can never silently desynchronize: lag → new-session
+    * flag → running-sum session id → per-session span. Integer-µs domain
+    * throughout (no float, no ns residue).
+    * @return (user_id, sid, n_events, s_us, e_us)
+    */
+  private def sessionSpansUs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val gapUs = 3600L * 1000 * 1000
+    val ev = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
+    val wl = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wr = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("new_s",
+        when(lag($"us", 1).over(wl).isNull
+          || $"us" - lag($"us", 1).over(wl) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(wr).cast("bigint"))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("s_us"), max($"us").as("e_us"))
+  }
+
   // H3 — sessionization with a 1-hour inactivity gap: lag → new-session
   // flag → running-sum session id → per-session aggregate. All timestamp
   // arithmetic happens µs-normalized so both engines see identical gaps.
@@ -88,21 +112,10 @@ object EventTime {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    // µs since epoch as bigint — integer domain, no float, no ns residue.
-    val ev = Tables.apply(spark, dir, "events")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
-    val wl = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val wr = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapUs = 3600L * 1000 * 1000
-    ev
-      .withColumn("new_s",
-        when(lag($"us", 1).over(wl).isNull
-          || $"us" - lag($"us", 1).over(wl) > gapUs, 1).otherwise(0))
-      .withColumn("session_id", sum($"new_s").over(wr).cast("bigint"))
-      .groupBy($"user_id", $"session_id")
-      .agg(count(lit(1)).as("n_events"),
-        timestamp_micros(min($"us")).as("session_start"),
-        timestamp_micros(max($"us")).as("session_end"))
+    sessionSpansUs(spark, dir)
+      .select($"user_id", $"sid".as("session_id"), $"n_events",
+        timestamp_micros($"s_us").as("session_start"),
+        timestamp_micros($"e_us").as("session_end"))
       .orderBy("user_id", "session_id")
   }
 
@@ -268,14 +281,20 @@ object EventTime {
   }
 
   // h10 — max concurrent sessions per day (the capacity-planning sweep
-  // line): sessions (h3's 1-hour-gap rule) become ±1 deltas at their
-  // closed-interval endpoints (−1 at end + 1 µs so single-event sessions
-  // still count), deltas are NETTED per distinct µs (so no window ever
-  // sees ties), and concurrency = running sum over time. The oracle
-  // states the running sum as ONE global window; the Spark side computes
-  // the identical result with the g28 two-pass distributed prefix sum
-  // keyed by day — no single-partition window anywhere. Everything runs
-  // in the µs-integer domain; day keys are strings (h8's dtype rule).
+  // line): sessions ([[sessionSpansUs]] — h3's rule, shared code) become
+  // ±1 deltas at their closed-interval endpoints (−1 at end + 1 µs so
+  // single-event sessions still count), deltas are NETTED per distinct µs
+  // (so no window ever sees ties), and concurrency = running sum over
+  // time. A day's true peak is max(carry-in level at midnight, in-day
+  // delta levels) — sampling only in-day deltas under-reports when the
+  // peak walks in over midnight, and days with zero deltas but active
+  // carried-over sessions would vanish — so the output is a full day
+  // SPINE (h5's gap-fill machinery) with the carry-in LOCF'd along it
+  // (h6's machinery). The oracle states the running sum as ONE global
+  // window; the Spark side computes the identical result with the g28
+  // two-pass distributed prefix sum keyed by day — the only global-order
+  // windows touch the tiny per-day tables. µs-integer domain throughout;
+  // day keys are strings (h8's dtype rule).
   private val h10 = graded(
     "h10_max_concurrency",
     """WITH g AS (
@@ -300,30 +319,31 @@ object EventTime {
       |), d AS (
       |  SELECT us, sum(d) AS d FROM d0 GROUP BY us
       |), c AS (
-      |  SELECT us,
+      |  SELECT us, us // 86400000000 AS day_k,
       |    sum(d) OVER (ORDER BY us
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       |  FROM d
+      |), per_day AS (
+      |  SELECT day_k, max(conc) AS in_day_max, arg_max(conc, us) AS end_conc
+      |  FROM c GROUP BY day_k
+      |), spine AS (
+      |  SELECT unnest(generate_series((SELECT min(day_k) FROM per_day),
+      |                                (SELECT max(day_k) FROM per_day))) AS day_k
+      |), sp AS (
+      |  SELECT spine.day_k, per_day.in_day_max,
+      |    last_value(per_day.end_conc IGNORE NULLS) OVER (
+      |      ORDER BY spine.day_k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry_in
+      |  FROM spine LEFT JOIN per_day ON spine.day_k = per_day.day_k
       |)
-      |SELECT strftime(make_timestamp((us // 86400000000) * 86400000000),
-      |    '%Y-%m-%d') AS day,
-      |  max(conc)::BIGINT AS max_concurrent
-      |FROM c
-      |GROUP BY day
+      |SELECT strftime(make_timestamp(day_k * 86400000000), '%Y-%m-%d') AS day,
+      |  greatest(coalesce(carry_in, 0), coalesce(in_day_max, 0))::BIGINT
+      |    AS max_concurrent
+      |FROM sp
       |ORDER BY day""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val usPerDay = 86400000000L
-    val ev = Tables.apply(spark, dir, "events")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
-    val wl = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val wr = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = ev
-      .withColumn("new_s",
-        when(lag($"us", 1).over(wl).isNull
-          || $"us" - lag($"us", 1).over(wl) > 3600000000L, 1).otherwise(0))
-      .withColumn("sid", sum($"new_s").over(wr))
-      .groupBy($"user_id", $"sid")
-      .agg(min($"us").as("s_us"), max($"us").as("e_us"))
+    val sess = sessionSpansUs(spark, dir)
     val deltas = sess.select($"s_us".as("us"), lit(1L).as("d"))
       .unionAll(sess.select(($"e_us" + 1L).as("us"), lit(-1L).as("d")))
       .groupBy($"us").agg(sum($"d").as("d"))
@@ -337,11 +357,26 @@ object EventTime {
     val prefixes = deltas.groupBy($"day_k").agg(sum($"d").as("dtot"))
       .withColumn("dprefix", sum($"dtot").over(wDay) - $"dtot")
       .select($"day_k", $"dprefix")
-    local.join(broadcast(prefixes), "day_k")
+    // per-day peak among in-day deltas + the level carried past midnight
+    val perDay = local.join(broadcast(prefixes), "day_k")
       .withColumn("conc", $"dprefix" + $"lcs")
-      .groupBy(date_format(timestamp_micros($"day_k" * usPerDay), "yyyy-MM-dd")
-        .as("day"))
-      .agg(max($"conc").as("max_concurrent"))
+      .groupBy($"day_k")
+      .agg(max($"conc").as("in_day_max"),
+        expr("max_by(conc, us)").as("end_conc"))
+    // full day spine (h5) with the carry-in level LOCF'd along it (h6);
+    // the spine and windows are day-granular — tiny at any event scale
+    val bounds = perDay.agg(min($"day_k").as("lo"), max($"day_k").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("day_k"))
+    val wCarry = Window.orderBy($"day_k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine.join(perDay, Seq("day_k"), "left")
+      .withColumn("carry_in", last($"end_conc", ignoreNulls = true).over(wCarry))
+      .select(
+        date_format(timestamp_micros($"day_k" * usPerDay), "yyyy-MM-dd")
+          .as("day"),
+        greatest(coalesce($"carry_in", lit(0L)),
+          coalesce($"in_day_max", lit(0L))).as("max_concurrent"))
       .orderBy("day")
   }
 

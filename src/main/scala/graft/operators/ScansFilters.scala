@@ -151,50 +151,51 @@ object ScansFilters {
   // JVM) never race Overwrite writes against each other's reads; within
   // one JVM every write is Overwrite-idempotent.
   private lazy val jvmTag: String = java.lang.ProcessHandle.current().pid().toString
-  private val a6 = QueryDef.graded(
-    "a6_compact",
+
+  /** Shared scaffold for the A6/A7 maintenance jobs: fragment the orders
+    * table into `nFrag` small files under a per-JVM, per-sf temp dir, run
+    * the maintenance rewrite, and emit the rewritten table's content.
+    * Both jobs grade the SAME invariant — a maintenance rewrite must
+    * preserve content exactly — so they share one oracle too
+    * ([[maintenanceOracle]]); their layout guarantees are pinned by
+    * `CompactionSpec` / `ClusterSortSpec` instead.
+    */
+  private val maintenanceOracle =
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |  o_orderdate, o_orderpriority
       |FROM orders
-      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val frag = s"/tmp/graft_compact/$jvmTag/$sfTag/fragmented"
-    val out = s"/tmp/graft_compact/$jvmTag/$sfTag/compacted"
-    Tables.orders(spark, dir).repartition(64)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
-    graft.sources.Formats.compact(spark, frag, out, targetBytes = 1L << 20)
-    spark.read.parquet(out)
-      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
-        $"o_orderdate", $"o_orderpriority")
-      .orderBy("o_orderkey")
-  }
+      |ORDER BY o_orderkey""".stripMargin
+
+  private def maintenanceRoundTrip(tag: String, nFrag: Int)(
+      rewrite: (org.apache.spark.sql.SparkSession, String, String) => Unit)
+      : (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (spark, dir) => {
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val frag = s"/tmp/graft_$tag/$jvmTag/$sfTag/fragmented"
+      val out = s"/tmp/graft_$tag/$jvmTag/$sfTag/rewritten"
+      Tables.orders(spark, dir).repartition(nFrag)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+      rewrite(spark, frag, out)
+      spark.read.parquet(out)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority")
+        .orderBy("o_orderkey")
+    }
+
+  private val a6 = QueryDef.graded("a6_compact", maintenanceOracle)(
+    maintenanceRoundTrip("compact", nFrag = 64) { (spark, frag, out) =>
+      graft.sources.Formats.compact(spark, frag, out, targetBytes = 1L << 20)
+    })
 
   // a7 — sort-cluster maintenance rewrite: orders re-laid-out so each
   // file covers a disjoint (o_orderdate, o_orderkey) interval — parquet
   // min/max footers then prune date-filtered scans at FILE granularity.
-  // Graded by content equality over the round trip (layout must never
-  // change data); the pruning-enabling disjointness itself is pinned by
-  // ClusterSortSpec.
-  private val a7 = QueryDef.graded(
-    "a7_sort_cluster",
-    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-      |  o_orderdate, o_orderpriority
-      |FROM orders
-      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val frag = s"/tmp/graft_cluster/$jvmTag/$sfTag/fragmented"
-    val out = s"/tmp/graft_cluster/$jvmTag/$sfTag/clustered"
-    Tables.orders(spark, dir).repartition(16)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
-    graft.sources.Formats.clusterSort(spark, frag, out, nFiles = 8,
-      clusterCols = Seq("o_orderdate", "o_orderkey"))
-    spark.read.parquet(out)
-      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
-        $"o_orderdate", $"o_orderpriority")
-      .orderBy("o_orderkey")
-  }
+  private val a7 = QueryDef.graded("a7_sort_cluster", maintenanceOracle)(
+    maintenanceRoundTrip("cluster", nFrag = 16) { (spark, frag, out) =>
+      graft.sources.Formats.clusterSort(spark, frag, out, nFiles = 8,
+        clusterCols = Seq("o_orderdate", "o_orderkey"))
+    })
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7)
 }

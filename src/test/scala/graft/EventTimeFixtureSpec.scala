@@ -66,4 +66,44 @@ class EventTimeFixtureSpec extends SparkSpec {
     assert(got((13L, 1L)) === 2L)
     assert(!got.contains((13L, 2L)))
   }
+
+  // Midnight carry-in: two sessions overlap only across a day boundary.
+  // On day 2 the only deltas are the session ENDS (each at level 1 after
+  // its own −1... the peak of 2 is the level CARRIED IN at midnight), and
+  // day 3 has no deltas at all but still one active session — both would
+  // be wrong without the day-spine/carry-in formulation.
+  private lazy val carryDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_carry").toString
+    val D = 24L * H
+    val rows = Seq(
+      // session A: user 21, day1 23:00 → day2 00:30 (45-min gaps)
+      (21L, D - H, 21L, "x", 1.0, "{}"),
+      (26L, D - H / 4, 21L, "x", 1.0, "{}"),
+      (22L, D + H / 2, 21L, "x", 1.0, "{}"),
+      // session B: user 22, day1 23:30 → day2 00:10
+      (23L, D - H / 2, 22L, "x", 1.0, "{}"),
+      (24L, D + H / 6, 22L, "x", 1.0, "{}"),
+      // session C: user 23, day2 23:30 → day4 01:00 via ≤1 h steps, so
+      // day3 contains an active session but NO deltas at all
+      (25L, 2 * D - H / 2, 23L, "x", 1.0, "{}")) ++
+      (0 to 25).map(i => (30L + i, 2 * D + i * H, 23L, "x", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("max concurrency counts the level carried in at midnight and quiet days") {
+    val got = SparkEntry.queries("h10_max_concurrency")(spark, carryDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // day 1 (1970-01-01): A and B both start late → peak 2 in-day
+    assert(got("1970-01-01") === 2L)
+    // day 2: peak 2 happens AT midnight (carry-in); in-day deltas alone
+    // would report 1
+    assert(got("1970-01-02") === 2L)
+    // day 3: session C active all day, zero deltas — must still appear
+    assert(got("1970-01-03") === 1L)
+    // day 4: C ends mid-day
+    assert(got("1970-01-04") === 1L)
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.graded
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** R: composite report queries — the end-to-end shapes a maintenance/
@@ -123,5 +124,46 @@ object Reports {
       .limit(20)
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3)
+  // R4 — "price-quartile revenue mix": which slice of the order book earns
+  // the money, per priority class. Composes the round-4 surface end to
+  // end: e8's tie-broken ntile quartiles → orders⋈lineitem revenue join →
+  // grouped aggregate → e4-style share-of-total window. Every window and
+  // shuffle partitions on o_orderpriority (5 classes × quartile = 20-row
+  // output at any scale); no global-order operator anywhere.
+  private val r4 = graded(
+    "r4_report_quartile_revenue",
+    """WITH q AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice, o_orderkey) AS pq
+      |  FROM orders),
+      |r AS (
+      |  SELECT q.o_orderpriority, q.pq,
+      |    count(DISTINCT q.o_orderkey)::BIGINT AS n_orders,
+      |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |  FROM q JOIN lineitem l ON l.l_orderkey = q.o_orderkey
+      |  GROUP BY q.o_orderpriority, q.pq)
+      |SELECT o_orderpriority, pq, n_orders, revenue,
+      |  round(revenue / sum(revenue) OVER (PARTITION BY o_orderpriority), 6)
+      |    AS rev_share
+      |FROM r
+      |ORDER BY o_orderpriority, pq""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val wQ = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val q = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(4).over(wQ).as("pq"))
+    val wShare = Window.partitionBy($"o_orderpriority")
+    q.join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"pq")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+          .as("revenue"))
+      .withColumn("rev_share",
+        round($"revenue" / sum($"revenue").over(wShare), 6))
+      .orderBy("o_orderpriority", "pq")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4)
 }

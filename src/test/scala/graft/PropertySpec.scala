@@ -45,6 +45,36 @@ class PropertySpec extends SparkSpec {
     assert(df.where("wb <> fl").count() === 0)
   }
 
+  test("g33 int8 quantization: codes bounded, reconstruction error <= scale/254") {
+    import spark.implicits._
+    val vecs = Gen.listOfN(40, Gen.listOfN(8,
+      Gen.choose(-1000, 1000).map(_ / 250.0f))).sample.get
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // same expressions as the g33 query body
+    val q = df
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr("vec_id", "v", "array_max(transform(v, x -> abs(x))) AS scale")
+      .selectExpr("vec_id", "v", "scale",
+        """transform(v, x -> CASE WHEN scale = 0D THEN 0L
+          |  ELSE cast(floor(x / scale * 127.0 + 0.5) as bigint) END) AS qv"""
+          .stripMargin)
+    val rows = q.collect()
+    for (r <- rows) {
+      val v = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      val qv = r.getSeq[Long](3)
+      assert(qv.forall(c => c >= -127 && c <= 127),
+        s"code out of int8 range: $qv")
+      if (scale > 0) {
+        val maxErr = v.zip(qv).map { case (x, c) =>
+          math.abs(c * scale / 127.0 - x) }.max
+        // worst case = half a quantization step = scale/127/2
+        assert(maxErr <= scale / 254.0 + 1e-12, s"err $maxErr vs ${scale / 254.0}")
+      }
+    }
+  }
+
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     import spark.implicits._
     val rows = Gen.listOfN(60,

@@ -35,7 +35,9 @@ object ScaleCheck {
       "g31_repetition", "g32_cluster_assign", "g33_vec_quantize",
       "h9_seq_pattern", "m6_frame_decode", "g34_edit_distance",
       "g35_unigram_logprob", "h10_max_concurrency", "a7_sort_cluster",
-      "d17_histogram", "e8_ntile", "m5_image_decode")
+      "d17_histogram", "e8_ntile", "m5_image_decode", "c13_join_salted",
+      "d18_mad_outliers", "h11_streaks", "h12_interval_union",
+      "g36_incremental_dedup", "g37_keywords", "r5_report_growth")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -430,6 +430,57 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  // D18 — robust outlier detection per group: median + MAD (median
+  // absolute deviation), then count rows beyond 3 robust sigmas
+  // (MAD · 1.4826 estimates sigma under normality, so the cut is
+  // 3 · 1.4826 = 4.4478 · MAD). The mean/stddev version (d3) is itself
+  // dragged by the outliers it should flag; median/MAD is the standard
+  // robust replacement for data-quality monitoring over skewed numeric
+  // columns. Two exact-percentile passes over a 3-value group key —
+  // interpolating `percentile` ≡ DuckDB `quantile_cont` (d7's proven
+  // pairing); the deviation join is a broadcast of 3 rows. The cut
+  // constant is written ::DOUBLE in the oracle so DuckDB's DECIMAL
+  // literal arithmetic never enters (g30's rule).
+  private val d18 = graded(
+    "d18_mad_outliers",
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY l_returnflag),
+      |dev AS (
+      |  SELECT l.l_returnflag, m.med,
+      |    abs(l.l_extendedprice - m.med) AS adev
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+      |mad AS (
+      |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY l_returnflag)
+      |SELECT d.l_returnflag,
+      |  round(max(d.med), 6) AS med_price,
+      |  round(max(a.mad), 6) AS mad_price,
+      |  count(*) AS n_rows,
+      |  count(CASE WHEN d.adev > 4.4478::DOUBLE * a.mad THEN 1 END)
+      |    AS n_outliers
+      |FROM dev d JOIN mad a ON d.l_returnflag = a.l_returnflag
+      |GROUP BY d.l_returnflag
+      |ORDER BY d.l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val med = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select($"l_returnflag", $"med",
+        abs($"l_extendedprice" - $"med").as("adev"))
+    val mad = dev.groupBy($"l_returnflag")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(max($"med"), 6).as("med_price"),
+        round(max($"mad"), 6).as("mad_price"),
+        count(lit(1)).as("n_rows"),
+        count(when($"adev" > lit(4.4478) * $"mad", 1)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17)
+    d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -380,5 +380,105 @@ object EventTime {
       .orderBy("day")
   }
 
-  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10)
+  // H11 — gaps-and-islands: per-user longest run of CONSECUTIVE active
+  // days (the retention/engagement "streak" metric). The classic
+  // O(n)·two-window reduction: distinct (user, day) → day_number minus
+  // row_number is constant within a consecutive run → group on that
+  // island key. Day arithmetic is integer (days since epoch) in both
+  // engines; no session gap heuristics, calendar-day exact. Shuffles:
+  // one distinct on (user, day), one window partitioned by user, two
+  // cheap aggregates — all on the user key, no global ordering anywhere.
+  private val h11 = graded(
+    "h11_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |n AS (
+      |  SELECT user_id, day,
+      |    datediff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, isl, count(*) AS len FROM n GROUP BY user_id, isl)
+      |SELECT user_id,
+      |  count(*) AS n_streaks,
+      |  max(len) AS longest_streak,
+      |  sum(len)::BIGINT AS n_active_days
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.eventsUs(spark, dir)
+      .select($"user_id", to_date($"ts_us").as("day")).distinct()
+    val isl = d.withColumn("isl",
+      datediff($"day", lit("1970-01-01").cast("date"))
+        - row_number().over(Window.partitionBy($"user_id").orderBy($"day")))
+    isl.groupBy($"user_id", $"isl").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"),
+        sum($"len").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  // H12 — merged interval union per user (total "busy" time): each event
+  // opens an interval [ts, ts + floor(value·60) seconds); overlapping or
+  // touching intervals merge; the graded output is the merged-interval
+  // count and total/longest covered time. The distributed sweep is the
+  // running-max-of-end window EXCLUDING the current row: an interval
+  // starts a new merged block iff its start exceeds every previous end.
+  // All arithmetic is integer µs (the h3 rule — no float time anywhere);
+  // the duration derives via floor() BEFORE the bigint cast because
+  // double→int64 casts round in DuckDB but truncate in Spark. One
+  // user-partitioned sort feeds both windows; nothing global.
+  private val h12 = graded(
+    "h12_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + floor(value * 60)::BIGINT * 1000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s, e,
+      |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS blk
+      |  FROM m),
+      |u AS (
+      |  SELECT user_id, blk, min(s) AS bs, max(e) AS be, count(*) AS n_iv
+      |  FROM g GROUP BY user_id, blk)
+      |SELECT user_id,
+      |  count(*) AS n_merged,
+      |  sum(n_iv)::BIGINT AS n_intervals,
+      |  sum(be - bs)::BIGINT AS busy_us,
+      |  max(be - bs) AS longest_us
+      |FROM u GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val iv = Tables.apply(spark, dir, "events")
+      .select($"user_id", expr("ts div 1000").as("s"),
+        (expr("ts div 1000")
+          + floor($"value" * 60).cast("bigint") * lit(1000000L)).as("e"))
+    val wl = Window.partitionBy($"user_id").orderBy($"s", $"e")
+    val prev = wl.rowsBetween(Window.unboundedPreceding, -1)
+    val run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("prev_max", max($"e").over(prev))
+      .withColumn("blk",
+        sum(when($"prev_max".isNull || $"s" > $"prev_max", 1).otherwise(0))
+          .over(run).cast("bigint"))
+      .groupBy($"user_id", $"blk")
+      .agg(min($"s").as("bs"), max($"e").as("be"), count(lit(1)).as("n_iv"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum($"n_iv").as("n_intervals"),
+        sum($"be" - $"bs").as("busy_us"),
+        max($"be" - $"bs").as("longest_us"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
+    h12)
 }

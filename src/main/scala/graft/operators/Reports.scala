@@ -165,5 +165,46 @@ object Reports {
       .orderBy("o_orderpriority", "pq")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4)
+  // R5 — year-over-year growth by nation: the time-series trend report
+  // (join 4 tables → nation×year revenue → lag window for YoY delta).
+  // The growth ratio divides the ROUNDED revenues — two engines summing
+  // doubles in different partial-aggregation orders agree at 2dp (the
+  // proven d1/r1 convention) but not necessarily in the last ulp, so
+  // deriving the 6dp ratio from the rounded operands keeps it
+  // deterministic. Window partitions on nation (25 keys × 7 years);
+  // dims broadcast; the only big shuffle is the orders⋈lineitem key.
+  private val r5 = graded(
+    "r5_report_growth",
+    """WITH rev AS (
+      |  SELECT n.n_name, year(o.o_orderdate) AS yr,
+      |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |  FROM customer c
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN orders o ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY n.n_name, year(o.o_orderdate))
+      |SELECT n_name, yr, revenue,
+      |  round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6)
+      |    AS yoy_growth
+      |FROM rev
+      |WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+      |ORDER BY n_name, yr""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val rev = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", year($"o_orderdate").as("yr"))
+      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        .as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"yr")
+    rev
+      .withColumn("yoy_growth",
+        round(($"revenue" - lag($"revenue", 1).over(w))
+          / lag($"revenue", 1).over(w), 6))
+      .orderBy("n_name", "yr")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5)
 }

@@ -222,5 +222,50 @@ object Curation {
       .orderBy("lang", "rn")
   }
 
-  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29)
+  // g36 — INCREMENTAL dedup: dedup today's ingest batch against the
+  // already-curated corpus without re-touching the corpus (production
+  // pipelines never re-dedup 100 TB per daily batch — they join the
+  // batch against the fingerprint catalog). Batch membership is modeled
+  // as doc_id % 5 = 4 (an sf-independent 20% slice). Verdict per batch
+  // doc: 'dup_of_corpus' (fingerprint already catalogued), else
+  // 'dup_in_batch' (an earlier batch doc — smaller doc_id — carries the
+  // same fingerprint), else 'keep'. Shape at scale: the batch is tiny
+  // next to the catalog, so the catalog join shuffles ONLY the batch
+  // side (or bloom-prefilters it); the within-batch window partitions on
+  // the fingerprint — both keyed on the digest, never on content.
+  private val g36 = graded(
+    "g36_incremental_dedup",
+    """WITH batch AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
+      |corpus AS (
+      |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+      |r AS (
+      |  SELECT b.doc_id, b.fp,
+      |    row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn,
+      |    c.fp IS NOT NULL AS in_corpus
+      |  FROM batch b LEFT JOIN corpus c ON b.fp = c.fp)
+      |SELECT doc_id, fp,
+      |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+      |       WHEN rn > 1 THEN 'dup_in_batch'
+      |       ELSE 'keep' END AS verdict
+      |FROM r
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.where($"doc_id" % 5 === 4)
+      .select($"doc_id", md5($"text").as("fp"))
+    val corpus = docs.where($"doc_id" % 5 =!= 4)
+      .select(md5($"text").as("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    batch.join(corpus, Seq("fp"), "left")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+      .select($"doc_id", $"fp",
+        when($"in_corpus", "dup_of_corpus")
+          .when($"rn" > 1, "dup_in_batch")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36)
 }

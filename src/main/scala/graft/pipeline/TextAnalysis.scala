@@ -355,5 +355,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35)
+  // g37 — keyword extraction: top-3 TF-IDF terms per document, the
+  // downstream consumer of g6's scores (tagging / clustering features /
+  // index terms). Ranking happens on the UNROUNDED score — both engines
+  // compute tf · ln(N/df) from identical integers with IEEE ops, so the
+  // doubles are bit-equal and the (score DESC, word) order is identical;
+  // the word tie-break pins equal-score rows. One extra window over the
+  // g6 relation, partitioned per doc — the per-group-top-k shape (e5)
+  // which WindowGroupLimit prunes to a streaming top-3 per partition,
+  // never a full sort of the corpus.
+  private val g37 = graded(
+    "g37_keywords",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM w) dw GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE) AS s
+      |  FROM tf JOIN df USING (word) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, word, s,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, word) AS rank
+      |  FROM sc)
+      |SELECT doc_id, rank, word, round(s, 6) AS tfidf
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val sc = tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"word",
+        ($"tf" * log($"n".cast("double") / $"df".cast("double"))).as("s"))
+    sc.withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"s".desc, $"word")))
+      .where($"rank" <= 3)
+      .select($"doc_id", $"rank", $"word", round($"s", 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
+    g37)
 }

@@ -16,7 +16,8 @@ class PlanQualitySpec extends SparkSpec {
   private val bnljOk = Set("c9_join_cross", "g4_cosine_topk", "g6_tfidf",
     "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join", "g30_bigram_lift",
     "g32_cluster_assign", // broadcasts the 8-row prototype set (g4's shape)
-    "g35_unigram_logprob") // crosses the 1-row corpus-total (g30's shape)
+    "g35_unigram_logprob", // crosses the 1-row corpus-total (g30's shape)
+    "g37_keywords") // crosses the 1-row corpus-total (g6's shape)
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -88,6 +89,28 @@ class PlanQualitySpec extends SparkSpec {
     // window
     val p = plans.toMap.apply("h10_max_concurrency")
     assert(p.contains("hashpartitioning(day_k"), p)
+  }
+
+  test("c13 salted join: the salt is part of the join key") {
+    // the point of the rewrite — hot keys spread over (key, salt); if the
+    // salt fell out of the join condition the plan degraded back to the
+    // skew-prone single-key shuffle
+    val p = plans.toMap.apply("c13_join_salted")
+    assert(p.contains("salt"), p)
+  }
+
+  test("g37 keywords: per-doc top-3 is WindowGroupLimit-pruned, not a full rank") {
+    // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
+    // each shuffle partition retains only k rows per doc before the sort
+    val p = plans.toMap.apply("g37_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("d18 MAD: both percentile lookups join back as broadcasts") {
+    // med and mad are 3-row tables; shuffling lineitem twice to join them
+    // would double the query's cost at any scale
+    val p = plans.toMap.apply("d18_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
   test("whole-stage codegen covers the scan→filter→project pipelines") {

@@ -37,7 +37,8 @@ object ScaleCheck {
       "g35_unigram_logprob", "h10_max_concurrency", "a7_sort_cluster",
       "d17_histogram", "e8_ntile", "m5_image_decode", "c13_join_salted",
       "d18_mad_outliers", "h11_streaks", "h12_interval_union",
-      "g36_incremental_dedup", "g37_keywords", "r5_report_growth")
+      "g36_incremental_dedup", "g37_keywords", "r5_report_growth",
+      "m7_audio_decode")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

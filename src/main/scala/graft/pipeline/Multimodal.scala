@@ -355,5 +355,116 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6)
+  /** Real pure-JVM WAV/RIFF PCM codec — the audio modality's [[Pgm]].
+    * The synthesis rule is SQL-expressible so the m7 oracle recomputes
+    * the decoded metadata from first principles; the decoder is a
+    * genuine RIFF chunk walk (magic, sizes, fmt fields, data length all
+    * validated — malformed input throws, it is never "repaired").
+    */
+  object Wav {
+    /** Deterministic per-document waveform: sample rate and length from
+      * doc_id, 16-bit mono PCM samples from the document's UTF-8 bytes:
+      * sample i = (byte(i mod len) − 128) · 64 (safe in i16).
+      */
+    def encode(docId: Long, text: String): Array[Byte] = {
+      val rate = (8000 * (1 + docId % 3)).toInt
+      val n = (32 + docId % 32).toInt
+      val src = if (text.isEmpty) Array(' '.toByte)
+        else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      bb.put("data".getBytes).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        bb.putShort(((java.lang.Byte.toUnsignedInt(src(i % src.length)) - 128) * 64).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    final case class DecodedWav(sampleRate: Long, nSamples: Long,
+        meanAbs: Double)
+
+    /** Parse a RIFF/WAVE payload: validates both magics, the RIFF size,
+      * every fmt field (PCM, mono, 16-bit, coherent byte rate / block
+      * align), and that the data chunk holds a whole number of samples
+      * exactly filling the container.
+      */
+    def decode(bytes: Array[Byte]): DecodedWav = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(bytes.length >= 44, "truncated WAV header")
+      require(tag() == "RIFF", "not a RIFF container")
+      require(bb.getInt() == bytes.length - 8, "RIFF size mismatch")
+      require(tag() == "WAVE", "not a WAVE form")
+      require(tag() == "fmt " && bb.getInt() == 16, "missing PCM fmt chunk")
+      require(bb.getShort() == 1, "not PCM")
+      require(bb.getShort() == 1, "not mono")
+      val rate = bb.getInt()
+      require(bb.getInt() == rate * 2, "incoherent byte rate")
+      require(bb.getShort() == 2, "incoherent block align")
+      require(bb.getShort() == 16, "not 16-bit")
+      require(tag() == "data", "missing data chunk")
+      val dataLen = bb.getInt()
+      require(dataLen >= 0 && dataLen % 2 == 0 &&
+        dataLen == bytes.length - 44, "data size mismatch")
+      val n = dataLen / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += math.abs(bb.getShort().toInt); i += 1 }
+      DecodedWav(rate, n, sum.toDouble / n)
+    }
+  }
+
+  // m7 — GRADED real audio decode: documents → deterministic WAV/PCM16
+  // payloads (Wav.encode) → REAL RIFF parse (Wav.decode — magic, size,
+  // fmt and data-length validation, sample reduction) → audio metadata.
+  // Same graded-loop shape as m5: the oracle recomputes sample rate,
+  // count, integer-µs duration and mean |amplitude| from the synthesis
+  // rule without touching bytes, so encoder and decoder are both on the
+  // graded path. duration_us uses integer floor division in BOTH engines
+  // (16 kHz makes 1e6/rate non-integral). Blobs stay inside the scan
+  // stage; only metadata rows reach the sort.
+  private val m7 = graded(
+    "m7_audio_decode",
+    """SELECT doc_id,
+      |  (8000 * (1 + doc_id % 3))::BIGINT AS sample_rate,
+      |  (32 + doc_id % 32)::BIGINT AS n_samples,
+      |  ((32 + doc_id % 32) * 1000000) // (8000 * (1 + doc_id % 3))
+      |    AS duration_us,
+      |  round(list_sum(list_transform(
+      |      generate_series(0, (32 + doc_id % 32)::INT - 1),
+      |      i -> abs((CASE WHEN length(text) = 0 THEN 32
+      |                ELSE ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |                END - 128) * 64)))::DOUBLE
+      |    / (32 + doc_id % 32), 6) AS mean_abs
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir) // codec work spread across cores (m5)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, Wav.encode(id, text)) })
+      .mapPartitions(_.map { case (id, blob) =>
+        val d = Wav.decode(blob)
+        (id, d.sampleRate, d.nSamples,
+          d.nSamples * 1000000L / d.sampleRate, d.meanAbs)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_us", "mean_abs")
+      .withColumn("mean_abs", round($"mean_abs", 6))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7)
 }

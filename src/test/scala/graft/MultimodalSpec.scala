@@ -76,6 +76,27 @@ class MultimodalSpec extends SparkSpec {
       Pgm.decodeFrames(blob ++ "P6\n".getBytes)) // wrong magic mid-stream
   }
 
+  test("WAV codec round-trips and validates the RIFF structure") {
+    import Multimodal.Wav
+    val blob = Wav.encode(5L, "hello world")
+    val d = Wav.decode(blob)
+    assert(d.sampleRate === 8000 * (1 + 5 % 3))
+    assert(d.nSamples === 32 + 5 % 32)
+    // hand-check the reduction on a tiny payload: text "ab" tiles the
+    // 32-sample buffer with bytes 97, 98 → |(97−128)·64| = 1984 and
+    // |(98−128)·64| = 1920, mean = 1952
+    assert(Wav.decode(Wav.encode(0L, "ab")).meanAbs === 1952.0)
+    // a decoder must fail loudly on malformed input, never fabricate
+    intercept[IllegalArgumentException](Wav.decode(blob.take(30))) // truncated
+    intercept[IllegalArgumentException](
+      Wav.decode("JUNK".getBytes ++ blob.drop(4))) // wrong magic
+    intercept[IllegalArgumentException](
+      Wav.decode(blob ++ Array[Byte](0, 0))) // RIFF size mismatch
+    val badRate = blob.clone() // corrupt the byte-rate field (offset 28)
+    badRate(28) = (badRate(28) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Wav.decode(badRate))
+  }
+
   test("m5 decoded dimensions follow the synthesis rule for every doc") {
     val df = SparkEntry.queries("m5_image_decode")(spark, sfDir)
     assert(df.where(col("width") =!= lit(8) + col("doc_id") % 8

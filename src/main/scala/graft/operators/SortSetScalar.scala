@@ -315,6 +315,36 @@ object SortSetScalar {
       .orderBy("o_orderkey")
   }
 
+  // F14 — string FORMATTING family (the report/export-side complement of
+  // f3's parsing family): printf-style templating, pad/repeat/reverse/
+  // translate, fixed-width keys. Spark `format_string` and DuckDB
+  // `printf` both implement C printf for %s/%0Nd, so the template is
+  // shared verbatim. Pure per-row projection — scales like the scan.
+  private val f14 = graded(
+    "f14_format_funcs",
+    """SELECT p_partkey,
+      |  printf('%s:%05d', p_brand, p_partkey) AS tag,
+      |  lpad(p_brand, 12, '.') AS brand_pad,
+      |  rpad(p_type, 16, '-') AS type_pad,
+      |  reverse(p_name) AS name_rev,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+      |  repeat(p_brand, 2) AS brand2,
+      |  left(p_name, 3) AS name3
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        format_string("%s:%05d", $"p_brand", $"p_partkey").as("tag"),
+        lpad($"p_brand", 12, ".").as("brand_pad"),
+        rpad($"p_type", 16, "-").as("type_pad"),
+        reverse($"p_name").as("name_rev"),
+        translate($"p_type", "AEIOU", "aeiou").as("type_tr"),
+        repeat($"p_brand", 2).as("brand2"),
+        substring($"p_name", 1, 3).as("name3"))
+      .orderBy("p_partkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13)
+    f11, f12, f13, f14)
 }

@@ -402,6 +402,44 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // g38 — Zipf-law fit over the corpus unigram distribution: OLS slope
+  // of ln(freq) on ln(rank) (natural text ≈ −1; a strongly deviating
+  // corpus is synthetic, truncated, or boilerplate-dominated — the
+  // corpus-level health gate next to the per-doc ones). The regression
+  // runs over the VOCAB-sized table (tiny at any corpus scale — the
+  // heavy work is the unigram count, one token shuffle with map-side
+  // partial agg); the rank window orders by (count DESC, word) so ties
+  // rank identically in both engines. `regr_slope`/`regr_intercept` are
+  // the same covar_pop/var_pop definition in Spark and DuckDB.
+  private val g38 = graded(
+    "g38_zipf_fit",
+    """WITH uni AS (
+      |  SELECT word, count(*)::DOUBLE AS n FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  GROUP BY word),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk FROM uni)
+      |SELECT count(*)::BIGINT AS vocab,
+      |  round(regr_slope(ln(n), ln(rnk::DOUBLE)), 6) AS zipf_slope,
+      |  round(regr_intercept(ln(n), ln(rnk::DOUBLE)), 6) AS zipf_intercept
+      |FROM r
+      |ORDER BY vocab""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val uni = Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).cast("double").as("n"))
+    val ranked = uni.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"n".desc, $"word")))
+    ranked.agg(
+      count(lit(1)).as("vocab"),
+      round(expr("regr_slope(ln(n), ln(cast(rnk as double)))"), 6)
+        .as("zipf_slope"),
+      round(expr("regr_intercept(ln(n), ln(cast(rnk as double)))"), 6)
+        .as("zipf_intercept"))
+      .orderBy("vocab") // 1-row output; satisfies the global-order lint
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37)
+    g37, g38)
 }

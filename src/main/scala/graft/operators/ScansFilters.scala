@@ -197,5 +197,38 @@ object ScansFilters {
         clusterCols = Seq("o_orderdate", "o_orderkey"))
     })
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7)
+  // A8 — schema evolution (the third file-maintenance reality next to
+  // A6/A7): a table whose older files predate a column must read as ONE
+  // relation with the missing column null-filled. The fixture writes an
+  // old-schema batch (even keys, no priority column) and a new-schema
+  // batch (odd keys, with it), then reads both through `mergeSchema` —
+  // the per-footer schema union Spark computes at planning time. The
+  // oracle states the same result as a CASE over the unified table,
+  // proving the null-fill semantics rather than the mechanism. At 100 TB
+  // this is why old data never needs rewriting when a column lands.
+  private val a8 = QueryDef.graded(
+    "a8_schema_evolve",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val oldDir = s"/tmp/graft_evolve/$jvmTag/$sfTag/v1"
+    val newDir = s"/tmp/graft_evolve/$jvmTag/$sfTag/v2"
+    val orders = Tables.orders(spark, dir)
+    orders.where($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(oldDir)
+    orders.where($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(newDir)
+    spark.read.option("mergeSchema", "true").parquet(oldDir, newDir)
+      .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"),
+        $"o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7, a8)
 }

@@ -481,6 +481,32 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // D19 — correlation/covariance per group (the profiling pass behind
+  // column-dependence decisions: sort keys, clustering pairs, pruning
+  // effectiveness). `corr`/`covar_samp` share the same sample-moment
+  // definitions in both engines (d3's stddev precedent at 6dp).
+  private val d19 = graded(
+    "d19_corr",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(corr($"l_discount", $"l_extendedprice"), 6).as("corr_disc_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 6)
+          .as("covar_qty_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

@@ -185,5 +185,30 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8)
+  // E9 — moving MEDIAN (robust rolling statistic): exact interpolating
+  // percentile over a trailing 5-row frame per user — the outlier-proof
+  // counterpart of e4's running mean, and the window form of d7/d18's
+  // `percentile` ≡ `quantile_cont` pairing. Partitions on user_id like
+  // every event-time window; the frame keeps per-row state at 5 values
+  // regardless of scale.
+  private val e9 = graded(
+    "e9_moving_median",
+    """SELECT event_id, user_id,
+      |  round(value, 6) AS value,
+      |  round(quantile_cont(value, 0.5) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"event_id").rowsBetween(-4, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select($"event_id", $"user_id",
+        round($"value", 6).as("value"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med5"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }

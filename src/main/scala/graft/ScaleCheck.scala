@@ -38,7 +38,8 @@ object ScaleCheck {
       "d17_histogram", "e8_ntile", "m5_image_decode", "c13_join_salted",
       "d18_mad_outliers", "h11_streaks", "h12_interval_union",
       "g36_incremental_dedup", "g37_keywords", "r5_report_growth",
-      "m7_audio_decode", "f14_format_funcs", "g38_zipf_fit")
+      "m7_audio_decode", "f14_format_funcs", "g38_zipf_fit",
+      "a8_schema_evolve", "d19_corr", "e9_moving_median", "h13_lateness")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

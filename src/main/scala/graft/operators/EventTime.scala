@@ -479,6 +479,44 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  // H13 — out-of-orderness profiling: per-user lateness distribution,
+  // where lateness = (running max event-time in ARRIVAL order) − event
+  // time. This is the batch measurement that sizes a streaming
+  // watermark (H4): the watermark delay must cover the observed lateness
+  // quantile you are willing to wait for; guessing it wastes state or
+  // drops events. Arrival order is event_id (the ingest sequence);
+  // all arithmetic integer-µs (h3's rule). One user-partitioned window +
+  // one aggregate.
+  private val h13 = graded(
+    "h13_lateness",
+    """WITH l AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - epoch_us(ts) AS late_us
+      |  FROM events)
+      |SELECT user_id,
+      |  count(*) AS n_events,
+      |  count(CASE WHEN late_us > 0 THEN 1 END) AS n_late,
+      |  max(late_us) AS max_late_us,
+      |  round(quantile_cont(late_us, 0.95), 6) AS p95_late_us
+      |FROM l
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("ts div 1000").as("us"))
+      .withColumn("late_us", max($"us").over(w) - $"us")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"late_us" > 0, 1)).as("n_late"),
+        max($"late_us").as("max_late_us"),
+        round(expr("percentile(late_us, 0.95)"), 6).as("p95_late_us"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12)
+    h12, h13)
 }

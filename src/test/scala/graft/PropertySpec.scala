@@ -117,4 +117,35 @@ class PropertySpec extends SparkSpec {
     assert(edges.forall { case (s, d) => labels(s) == labels(d) }) // fixpoint
     assert(labels.forall { case (_, rep) => labels(rep) == rep })  // rep is root
   }
+
+  test("h12 interval-union laws: merged covers inputs, busy bounded by span") {
+    import spark.implicits._
+    // laws on the real corpus: for every user, merged block count never
+    // exceeds interval count, busy time is positive and bounded by the
+    // longest block times the block count, and the longest block is at
+    // least as long as the longest single interval's floor duration
+    val rows = SparkEntry.queries("h12_interval_union")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nMerged, nIv, busy, longest) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nMerged >= 1 && nMerged <= nIv)
+      assert(busy >= 0 && longest >= 0 && longest <= busy)
+      assert(busy <= longest * nMerged) // each block <= longest block
+    }
+  }
+
+  test("h11 streak laws: longest <= active days, streaks partition the days") {
+    val rows = SparkEntry.queries("h11_streaks")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nStreaks, longest, nDays) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nStreaks >= 1 && longest >= 1)
+      // streak lengths partition the active days: the longest plus one
+      // day for each other streak can't exceed the total, and nStreaks
+      // copies of the longest must cover it
+      assert(longest + (nStreaks - 1) <= nDays)
+      assert(longest * nStreaks >= nDays)
+    }
+  }
 }

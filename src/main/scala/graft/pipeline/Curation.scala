@@ -267,5 +267,61 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36)
+  // g39 — per-SOURCE curation report (the "which crawl sources are junk"
+  // deliverable every corpus triage starts with): composes g8's
+  // fingerprint duplication and g10's quality score, aggregated over the
+  // source dimension — docs, corpus-wide-dup docs, mean quality, keep
+  // rate, mean length per source. Shape at scale: one digest shuffle for
+  // the duplicate counts (16-byte fps, g1's budget), one 20-key source
+  // aggregate; the quality signals are per-row projections.
+  private val g39 = graded(
+    "g39_source_report", {
+      val inList = TextAnalysis.stopSqlIn
+      s"""WITH f AS (
+      |  SELECT doc_id, source, md5(text) AS fp,
+      |    len(string_split(text, ' '))::DOUBLE AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN $inList))::DOUBLE AS n_stop,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_uniq
+      |  FROM documents),
+      |d AS (SELECT fp, count(*) AS n_same FROM f GROUP BY fp),
+      |q AS (
+      |  SELECT f.source,
+      |    0.4 * least(n_words / 50.0, 1.0)
+      |    + 0.3 * least(10.0 * n_stop / n_words, 1.0)
+      |    + 0.3 * (n_uniq / n_words) AS q,
+      |    f.n_words, d.n_same
+      |  FROM f JOIN d USING (fp))
+      |SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN n_same > 1 THEN 1 END) AS n_dup_docs,
+      |  round(avg(q), 6) AS avg_quality,
+      |  count(CASE WHEN q >= 0.5 THEN 1 END) AS n_keep,
+      |  round(avg(n_words), 6) AS avg_words
+      |FROM q GROUP BY source
+      |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val inList = TextAnalysis.stopSqlIn
+    val f = Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"source", md5($"text").as("fp"),
+        size(split($"text", " ")).cast("double").as("n_words"),
+        expr(s"size(filter(split(text, ' '), t -> t IN $inList))")
+          .cast("double").as("n_stop"),
+        size(array_distinct(split($"text", " "))).cast("double").as("n_uniq"))
+    val d = f.groupBy($"fp").agg(count(lit(1)).as("n_same"))
+    f.join(d, "fp")
+      .withColumn("q",
+        lit(0.4) * least($"n_words" / 50.0, lit(1.0))
+          + lit(0.3) * least(lit(10.0) * $"n_stop" / $"n_words", lit(1.0))
+          + lit(0.3) * ($"n_uniq" / $"n_words"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"n_same" > 1, 1)).as("n_dup_docs"),
+        round(avg($"q"), 6).as("avg_quality"),
+        count(when($"q" >= 0.5, 1)).as("n_keep"),
+        round(avg($"n_words"), 6).as("avg_words"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39)
 }

@@ -39,7 +39,8 @@ object ScaleCheck {
       "d18_mad_outliers", "h11_streaks", "h12_interval_union",
       "g36_incremental_dedup", "g37_keywords", "r5_report_growth",
       "m7_audio_decode", "f14_format_funcs", "g38_zipf_fit",
-      "a8_schema_evolve", "d19_corr", "e9_moving_median", "h13_lateness")
+      "a8_schema_evolve", "d19_corr", "e9_moving_median", "h13_lateness",
+      "g39_source_report", "g40_components_label")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

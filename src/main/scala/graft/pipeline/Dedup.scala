@@ -631,6 +631,38 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  // g40 — the distributed connected-components engine, GRADED. The graph
+  // is constructed so its components have a CLOSED-FORM answer the
+  // oracle can state without recursion (DuckDB could recurse; Spark
+  // cannot — [[graft.operators.Components]] is the Spark answer, and
+  // this key grades that machinery end-to-end): nodes are order keys,
+  // edges chain each customer's orders in (date, key) order, so a
+  // component is exactly one customer's order set and the min-label
+  // representative is the customer's minimum order key. The union-find
+  // contraction, the alternating-key passes, and the pointer-jumping
+  // loop all run for real on ~chain-shaped components (the WORST case
+  // for label propagation — diameter = component size), and the output
+  // must match the window-derived truth exactly.
+  private val g40 = graded(
+    "g40_components_label",
+    """SELECT o_orderkey,
+      |  min(o_orderkey) OVER (PARTITION BY o_custkey) AS rep
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val edges = orders
+      .withColumn("prev", lag($"o_orderkey", 1).over(w))
+      .where($"prev".isNotNull)
+      .select($"prev".as("s"), $"o_orderkey".as("d"))
+    graft.operators.Components.connectedComponents(
+        orders.select($"o_orderkey"), edges)
+      .toDF("o_orderkey", "rep")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34)
+    g19, g22, g24, g34, g40)
 }

@@ -26,6 +26,24 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("scattered-id path converges in O(log diameter) rounds") {
+    // the g40 lesson: a path whose consecutive neighbors have SCATTERED
+    // ids defeats the range-partitioned local contraction (the adjacent-id
+    // chain above does not), so convergence rides entirely on the
+    // in-loop quotient rewrite. A 2048-node scattered path converges in
+    // 7 rounds with it (measured); without it the loop is diameter-bound
+    // and 10 rounds leave wrong labels — this pins the bound.
+    import spark.implicits._
+    val n = 2048
+    val perm = (0 until n).map(i => (i * 1223) % n) // odd multiplier: bijection mod 2^11
+    val edges = (0 until n - 1).map(i => (perm(i).toLong, perm(i + 1).toLong))
+    val labels = Components.connectedComponents(
+      (0L until n.toLong).toDF("id"), edges.toDF("s", "d"), maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L)) // one component, min id 0
+  }
+
   test("disjoint cliques and singletons keep separate representatives") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L)
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L))

@@ -517,6 +517,97 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  // H14 — rolling z-score anomaly detection: each event scored against a
+  // trailing OUT-OF-SAMPLE baseline (the 10 rows strictly before it, so
+  // an outlier never contaminates its own baseline — the streaming
+  // monitor shape, computable with the same window in a stateful stream).
+  // Scores need >= 5 baseline rows and a nonzero spread; z is rounded to
+  // 6dp BEFORE the |z| > 2 threshold and the per-user max so both engines
+  // compare identical numbers (sliding-frame avg/stddev accumulate in
+  // different tree orders across engines; ~1e-13 relative residue,
+  // absorbed at 6dp). One user-partitioned window, no global ordering —
+  // the shuffle key is user_id, the same layout h3/h13 already use.
+  private val h14 = graded(
+    "h14_rolling_zscore",
+    """WITH z AS (
+      |  SELECT user_id, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sd,
+      |    count(*) OVER w AS n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+      |), s AS (
+      |  SELECT user_id, round((value - mu) / sd, 6) AS zr
+      |  FROM z WHERE n >= 5 AND sd > 0)
+      |SELECT user_id,
+      |  count(*) AS n_scored,
+      |  count(CASE WHEN abs(zr) > 2 THEN 1 END) AS n_anomalies,
+      |  max(abs(zr)) AS max_abs_z
+      |FROM s GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-10, -1)
+    Tables.eventsUs(spark, dir)
+      .withColumn("mu", avg($"value").over(w))
+      .withColumn("sd", stddev_samp($"value").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .where($"n" >= 5 && $"sd" > 0)
+      .withColumn("zr", round(($"value" - $"mu") / $"sd", 6))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_scored"),
+        count(when(abs($"zr") > 2, 1)).as("n_anomalies"),
+        max(abs($"zr")).as("max_abs_z"))
+      .orderBy("user_id")
+  }
+
+  // H15 — last-touch attribution: every purchase is credited to the most
+  // recent preceding marketing touch (view or click) by the same user.
+  // The touch id is carried forward with the LOCF machinery (h6's
+  // ignore-nulls last_value over the user timeline) instead of an
+  // inequality self-join — one window pass on the user_id shuffle vs an
+  // O(purchases × touches) range join; at 100 TB the difference is the
+  // whole query. Touch details come back via one equi-join on event_id
+  // (broadcast-sized: purchases are ~1/5 of events). Gap arithmetic
+  // stays integer-µs (h3's rule).
+  private val h15 = graded(
+    "h15_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    last_value(CASE WHEN event_type IN ('view', 'click')
+      |                    THEN event_id END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id
+      |  FROM e)
+      |SELECT t.user_id, t.event_id AS purchase_id, t.touch_id,
+      |  x.event_type AS touch_type,
+      |  (t.us - x.us) AS gap_us
+      |FROM t JOIN e x ON t.touch_id = x.event_id
+      |WHERE t.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = e
+      .withColumn("touch_id",
+        last(when($"event_type".isin("view", "click"), $"event_id"),
+          ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase" && $"touch_id".isNotNull)
+    val x = e.select($"event_id".as("touch_id"),
+      $"event_type".as("touch_type"), $"us".as("touch_us"))
+    t.join(x, "touch_id")
+      .select($"user_id", $"event_id".as("purchase_id"), $"touch_id",
+        $"touch_type", ($"us" - $"touch_us").as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13)
+    h12, h13, h14, h15)
 }

@@ -345,6 +345,45 @@ object SortSetScalar {
       .orderBy("p_partkey")
   }
 
+  // F15 — URL parsing family (the curation front door for a web corpus:
+  // domain stats, host-level dedup keys, path routing all start here).
+  // The corpus ships no URL column, so a deterministic URL is synthesized
+  // in-query from document fields (g27's synthesize-then-process pattern,
+  // declared) and parsed with Spark's native `parse_url` — the DuckDB
+  // twin reconstructs each component with anchored regexes over the same
+  // string, so the oracle checks parse_url's semantics, not itself.
+  // Map-side projection only; scales like the scan.
+  private val f15 = graded(
+    "f15_url_funcs",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.org/' || lang || '/doc-'
+      |      || doc_id || '?ref=' || (doc_id % 7) AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+      |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+      |  regexp_extract(url, 'ref=([0-9]+)', 1) AS ref,
+      |  split_part(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.', 1)
+      |    AS subdomain
+      |FROM u
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://"), $"source", lit(".example.org/"), $"lang",
+          lit("/doc-"), $"doc_id", lit("?ref="), $"doc_id" % 7))
+      .select($"doc_id", $"url",
+        parse_url($"url", lit("PROTOCOL")).as("proto"),
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("ref")).as("ref"),
+        split_part(parse_url($"url", lit("HOST")), lit("."), lit(1))
+          .as("subdomain"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14)
+    f11, f12, f13, f14, f15)
 }

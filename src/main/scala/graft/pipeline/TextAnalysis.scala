@@ -440,6 +440,55 @@ object TextAnalysis {
       .orderBy("vocab") // 1-row output; satisfies the global-order lint
   }
 
+  // g41 — bigram CONDITIONAL logprob per document: mean ln(P(w2|w1)) with
+  // P estimated from the corpus's own bigram/first-token counts — the
+  // bigram upgrade of g35's unigram gate (a Markov perplexity-lite that
+  // penalizes improbable word TRANSITIONS, which unigram frequency can't
+  // see). No smoothing needed: scored on the training corpus, every doc
+  // bigram has count ≥ 1. Bigrams travel as one 'w1 w2' string (g31's
+  // trick) so both engines group on identical keys. The count tables are
+  // vocabulary-sized (orders smaller than the corpus — Heaps' law), so
+  // they broadcast; the (doc, bigram) stream shuffles once on doc_id.
+  // ln() is IEEE-identical in both engines (g23's rule); round(6) after
+  // the mean absorbs sum-order residue (g35's rule).
+  private val g41 = graded(
+    "g41_bigram_logprob",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS b
+      |  FROM t WHERE len(tk) >= 2),
+      |c2 AS (SELECT b, count(*)::DOUBLE AS n2 FROM p GROUP BY b),
+      |c1 AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, count(*)::DOUBLE AS n1
+      |  FROM p GROUP BY 1)
+      |SELECT doc_id,
+      |  count(*)::BIGINT AS n_bigrams,
+      |  round(sum(ln(n2 / n1)) / count(*), 6) AS mean_logprob
+      |FROM p JOIN c2 USING (b)
+      |  JOIN c1 ON split_part(p.b, ' ', 1) = c1.w1
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .where(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+        .as("b"))
+      .withColumn("w1", split_part($"b", lit(" "), lit(1)))
+    val c2 = p.groupBy($"b").agg(count(lit(1)).cast("double").as("n2"))
+    val c1 = p.groupBy($"w1").agg(count(lit(1)).cast("double").as("n1"))
+    p.join(broadcast(c2), "b")
+      .join(broadcast(c1), "w1")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log($"n2" / $"n1")) / count(lit(1)), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38)
+    g37, g38, g41)
 }

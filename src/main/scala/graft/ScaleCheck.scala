@@ -40,7 +40,8 @@ object ScaleCheck {
       "g36_incremental_dedup", "g37_keywords", "r5_report_growth",
       "m7_audio_decode", "f14_format_funcs", "g38_zipf_fit",
       "a8_schema_evolve", "d19_corr", "e9_moving_median", "h13_lateness",
-      "g39_source_report", "g40_components_label")
+      "g39_source_report", "g40_components_label", "h14_rolling_zscore",
+      "h15_attribution", "f15_url_funcs", "g41_bigram_logprob")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -230,5 +230,47 @@ object ScansFilters {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7, a8)
+  // A9 — ORC round trip, graded: the second columnar format written AND
+  // read on the oracle-checked path (A4's spec covers csv/json shape; this
+  // puts orc content equality — including TimestampNTZ, the corpus's
+  // trickiest dtype — under the DuckDB gate). Same content-preservation
+  // invariant as A6/A7, so the same oracle.
+  private val a9 = QueryDef.graded("a9_orc_roundtrip", maintenanceOracle) {
+    (spark, dir) =>
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_orc/$jvmTag/$sfTag/orders"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(out)
+      spark.read.orc(out).orderBy("o_orderkey")
+  }
+
+  // A10 — CSV round trip, graded: the text-format sink/source under the
+  // same content-equality gate. Schema is passed explicitly on read (the
+  // parquet-derived StructType — inferSchema is an extra full scan, never
+  // at 100 TB), and TimestampNTZ crosses the text boundary through an
+  // explicit microsecond format: CSV has no type system, so a lossy
+  // default format (second precision, locale-dependent) would corrupt
+  // o_orderdate silently — precisely the hazard this key pins.
+  private val a10 = QueryDef.graded("a10_csv_roundtrip", maintenanceOracle) {
+    (spark, dir) =>
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_csvrt/$jvmTag/$sfTag/orders"
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val src = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority")
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", "true").option("timestampNTZFormat", fmt)
+        .csv(out)
+      spark.read.option("header", "true").option("timestampNTZFormat", fmt)
+        .schema(src.schema).csv(out)
+        .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7, a8,
+    a9, a10)
 }

@@ -41,7 +41,9 @@ object ScaleCheck {
       "m7_audio_decode", "f14_format_funcs", "g38_zipf_fit",
       "a8_schema_evolve", "d19_corr", "e9_moving_median", "h13_lateness",
       "g39_source_report", "g40_components_label", "h14_rolling_zscore",
-      "h15_attribution", "f15_url_funcs", "g41_bigram_logprob")
+      "h15_attribution", "f15_url_funcs", "g41_bigram_logprob",
+      "a9_orc_roundtrip", "a10_csv_roundtrip", "e10_win_distinct",
+      "h16_ewma")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -608,6 +608,51 @@ object EventTime {
       .orderBy("purchase_id")
   }
 
+  // H16 — EWMA smoothing per user (the classic monitoring smoother next
+  // to h14's z-score and e9's moving median). EWMA is a recursion, which
+  // SQL can't state — but a (1−α)-geometric tail decays below float
+  // noise fast, so the 10-term truncated form IS the operator: ewma_t =
+  // Σ_j w_j·x_{t−j} / Σ_j w_j over the lags that exist. The weights are
+  // precomputed in Scala and inlined as shortest-round-trip double
+  // LITERALS into both engines' SQL — pow() is not required to be
+  // correctly rounded, so evaluating it per-engine could differ in the
+  // last ulp, while a decimal literal parses to the identical double in
+  // both. The ±-chain is a fixed left-to-right expression tree (not an
+  // aggregation), so summation order is deterministic; round(6) on top.
+  // One user-partitioned sort serves all 10 lags — Spark collapses them
+  // into a single Window physical node.
+  private val h16: QueryDef = {
+    val alpha = 0.2
+    val w = (0 to 9).map(j => math.pow(1 - alpha, j))
+    val oNum = w.zipWithIndex
+      .map { case (wj, j) => s"coalesce(lag(value, $j) OVER w * $wj, 0)" }
+      .mkString(" + ")
+    val oDen = w.zipWithIndex
+      .map { case (wj, j) =>
+        s"(CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wj ELSE 0 END)" }
+      .mkString(" + ")
+    graded(
+      "h16_ewma",
+      s"""SELECT user_id, event_id, round(value, 2) AS value,
+        |  round(($oNum) / ($oDen), 6) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val win = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val num = w.zipWithIndex.map { case (wj, j) =>
+        coalesce(lag($"value", j).over(win) * lit(wj), lit(0.0)) }
+        .reduce(_ + _)
+      val den = w.zipWithIndex.map { case (wj, j) =>
+        when(lag($"value", j).over(win).isNotNull, lit(wj)).otherwise(lit(0.0)) }
+        .reduce(_ + _)
+      Tables.eventsUs(spark, dir)
+        .select($"user_id", $"event_id", round($"value", 2).as("value"),
+          round(num / den, 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15)
+    h12, h13, h14, h15, h16)
 }

@@ -210,5 +210,31 @@ object Windows {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
+  // E10 — running DISTINCT count over a window (the "discovery curve":
+  // how many distinct event types each user has seen so far). Spark has
+  // no DISTINCT window aggregate — the gap is bridged with
+  // `size(collect_set() OVER running-frame)`, which keeps a per-frame
+  // hash set exactly like a streaming stateful operator would; the
+  // DuckDB twin states the intent directly as `count(DISTINCT) OVER`.
+  // Per-user frames only — the set size is bounded by the event-type
+  // cardinality (5), not the row count, so frame state stays O(1).
+  private val e10 = graded(
+    "e10_win_distinct",
+    """SELECT user_id, event_id,
+      |  count(DISTINCT event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select($"user_id", $"event_id",
+        size(collect_set($"event_type").over(w)).cast("bigint")
+          .as("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }

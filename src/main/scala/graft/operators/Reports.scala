@@ -206,5 +206,40 @@ object Reports {
       .orderBy("n_name", "yr")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5)
+  // R6 — corpus-health dashboard per language: doc counts, exact-dup
+  // counts, and token/char moments in one pass — the triage report a
+  // curation run opens with (g39 is its per-source sibling). Dup
+  // detection travels as the 16-byte md5 digest (m4's trick — the text
+  // never rides the count-distinct shuffle), and the means are formed as
+  // integer-sum quotients (deterministic at any parallelism, the g31
+  // rule). One map-side projection + one lang groupBy.
+  private val r6 = graded(
+    "r6_report_corpus_health",
+    """WITH d AS (
+      |  SELECT lang, md5(text) AS fp,
+      |    len(string_split(text, ' '))::BIGINT AS nt,
+      |    length(text)::BIGINT AS nc
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  (count(*) - count(DISTINCT fp))::BIGINT AS n_dup_docs,
+      |  round(sum(nt)::DOUBLE / count(*), 6) AS mean_tokens,
+      |  round(sum(nc)::DOUBLE / count(*), 6) AS mean_chars,
+      |  min(nt) AS min_tokens, max(nt) AS max_tokens
+      |FROM d GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"lang", md5($"text").as("fp"),
+        size(split($"text", " ")).cast("bigint").as("nt"),
+        length($"text").cast("bigint").as("nc"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup_docs"),
+        round(sum($"nt").cast("double") / count(lit(1)), 6).as("mean_tokens"),
+        round(sum($"nc").cast("double") / count(lit(1)), 6).as("mean_chars"),
+        min($"nt").as("min_tokens"), max($"nt").as("max_tokens"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6)
 }

@@ -489,6 +489,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // g42 — one BPE merge step (tokenizer-vocab training): corpus-wide
+  // counts of adjacent CHARACTER pairs within words; the top pair is
+  // exactly what byte-pair encoding would merge next, and the top-20
+  // list is the merge-candidate table. Rides the same custom Catalyst
+  // Generator as i3 (`char_shingles(word, 2)` — streams through
+  // GenerateExec, no per-word array materialization), then one hash
+  // aggregate whose key space is bounded by the alphabet², not the
+  // corpus. Count ties break on the pair string so the top-20 cut is
+  // total-ordered in both engines.
+  private val g42 = graded(
+    "g42_bpe_step",
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+      |    i -> substring(word, i::INT, 2))) AS pair
+      |  FROM w WHERE length(word) >= 2)
+      |SELECT pair, count(*)::BIGINT AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.CharShingles.register(spark)
+    Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .where(length($"word") >= 2)
+      .select(expr("char_shingles(word, 2)").as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41)
+    g37, g38, g41, g42)
 }

@@ -492,12 +492,15 @@ object TextAnalysis {
   // g42 — one BPE merge step (tokenizer-vocab training): corpus-wide
   // counts of adjacent CHARACTER pairs within words; the top pair is
   // exactly what byte-pair encoding would merge next, and the top-20
-  // list is the merge-candidate table. Rides the same custom Catalyst
-  // Generator as i3 (`char_shingles(word, 2)` — streams through
-  // GenerateExec, no per-word array materialization), then one hash
-  // aggregate whose key space is bounded by the alphabet², not the
-  // corpus. Count ties break on the pair string so the top-20 cut is
-  // total-ordered in both engines.
+  // list is the merge-candidate table. Token occurrences collapse to
+  // DISTINCT words first (Zipf: the vocabulary is orders smaller than
+  // the corpus), so the pair fan-out — i3's custom `char_shingles`
+  // Generator, streaming through GenerateExec — runs over vocab-sized
+  // input and each pair count is the occurrence-weighted sum. The final
+  // aggregate's key space is bounded by the alphabet², not the corpus.
+  // Count ties break on the pair string so the top-20 cut is
+  // total-ordered in both engines (oracle states the unweighted form —
+  // same result, the weighting is a plan rewrite).
   private val g42 = graded(
     "g42_bpe_step",
     """WITH w AS (
@@ -515,9 +518,10 @@ object TextAnalysis {
     Tables.documentsDist(spark, dir)
       .select(explode(split($"text", " ")).as("word"))
       .where(length($"word") >= 2)
-      .select(expr("char_shingles(word, 2)").as("pair"))
+      .groupBy($"word").agg(count(lit(1)).as("wn"))
+      .select($"wn", expr("char_shingles(word, 2)").as("pair"))
       .groupBy($"pair")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum($"wn").as("n"))
       .orderBy($"n".desc, $"pair")
       .limit(20)
   }

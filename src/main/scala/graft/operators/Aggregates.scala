@@ -507,6 +507,32 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // D20 — MERGEABLE distinct-count sketches (bench-only like d9: no
+  // cross-engine twin for approximate state). Mergeability is the entire
+  // reason sketches exist at 100 TB: per-partition (here per-returnflag)
+  // HLL sketches are built in one pass, and the corpus-wide estimate is
+  // a REGISTER-WISE UNION of those sketches — no second scan, which is
+  // how a 1000-executor run answers both per-group and global distinct
+  // questions from one aggregation tree. Exact counts ride alongside so
+  // the error is a visible number; the union≡direct-sketch law is pinned
+  // by `PropertySpec` (HLL registers are order-independent maxima, so
+  // the merged estimate is deterministic).
+  private val d20 = benchOnly("d20_hll_merge") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val perFlag = li.groupBy($"l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        countDistinct($"l_partkey").as("exact_distinct"))
+    val per = perFlag.select($"l_returnflag".as("grp"),
+      expr("hll_sketch_estimate(sk)").as("est_distinct"),
+      $"exact_distinct")
+    val merged = perFlag
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .crossJoin(li.agg(countDistinct($"l_partkey").as("exact_distinct")))
+      .select(lit("zz_merged").as("grp"), $"est_distinct", $"exact_distinct")
+    per.unionByName(merged).orderBy("grp")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

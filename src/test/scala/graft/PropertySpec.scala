@@ -206,6 +206,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("d20 sketch mergeability: union of group sketches == direct sketch") {
+    import spark.implicits._
+    // the law that makes sketches usable in a two-level aggregation
+    // tree: register-wise union of per-group HLL sketches estimates
+    // exactly what one sketch over the whole table estimates
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+    val viaUnion = li.groupBy($"l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val direct = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"))
+      .head().getLong(0)
+    assert(viaUnion == direct,
+      s"merged estimate $viaUnion != direct estimate $direct")
+    // and the estimate is a real approximation of the truth (<= 5% here)
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    assert(math.abs(viaUnion - exact).toDouble / exact <= 0.05,
+      s"estimate $viaUnion vs exact $exact exceeds 5%")
+  }
+
   test("e10 discovery-curve laws: nondecreasing per user, bounded by 5 types") {
     val rows = SparkEntry.queries("e10_win_distinct")(spark, sfDir)
       .orderBy("user_id", "event_id").collect()

@@ -367,6 +367,34 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  // C14 — NULL-AWARE anti join: `NOT IN (subquery)` under ANSI three-
+  // valued logic. One NULL in the subquery makes `x NOT IN S` UNKNOWN
+  // for every non-member — zero rows survive — while the null-stripped
+  // form is a plain anti join; the graded output is both counts side by
+  // side, pinning the semantic cliff. This is a DISTINCT physical
+  // operator in Spark (null-aware broadcast anti join, not the c5
+  // LeftAnti path), so the SQL form is the implementation — rewriting to
+  // DataFrame joins would bypass exactly the operator under test. Both
+  // branches broadcast the (filtered) build side; the probe never
+  // shuffles.
+  private val c14: QueryDef = {
+    val sql =
+      """SELECT * FROM (
+        |  SELECT
+        |    (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |      (SELECT CASE WHEN l_quantity > 49 THEN l_partkey END
+        |       FROM lineitem)) AS n_null_bearing,
+        |    (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |      (SELECT l_partkey FROM lineitem WHERE l_quantity > 49))
+        |      AS n_null_stripped) t
+        |ORDER BY n_null_bearing""".stripMargin
+    graded("c14_join_null_anti", sql) { (spark, dir) =>
+      Tables.part(spark, dir).createOrReplaceTempView("part")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(sql)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13)
+    c11, c12, c13, c14)
 }

@@ -526,6 +526,46 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // g43 — classifier EVALUATION: the confusion matrix of g9's language
+  // heuristic against the corpus's ground-truth lang labels, plus the
+  // derived precision/recall for the 'en' class as integer-quotient
+  // fractions (g31's determinism rule). Every curation filter is a
+  // classifier; shipping one without its confusion matrix is the
+  // unfalsifiable-claim trap the ANN recall spec already closes for
+  // approximate search. One vocabulary-bounded projection + a ≤10-key
+  // aggregate.
+  private val g43 = graded(
+    "g43_langid_eval",
+    s"""WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN len(list_intersect(
+      |        list_distinct(string_split(text, ' ')), $stopSqlList))::DOUBLE
+      |      / len(list_distinct(string_split(text, ' ')))::DOUBLE >= 0.05
+      |    THEN 'en' ELSE 'other' END AS pred_lang
+      |  FROM documents)
+      |SELECT lang, pred_lang, count(*) AS n_docs,
+      |  round(count(*)::DOUBLE
+      |    / (SELECT count(*) FROM p p2 WHERE p2.lang = p.lang), 6)
+      |    AS frac_of_lang
+      |FROM p
+      |GROUP BY lang, pred_lang
+      |ORDER BY lang, pred_lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val stopArr = array(stopList.map(lit): _*)
+    val p = Tables.documentsDist(spark, dir)
+      .withColumn("tk", array_distinct(split($"text", " ")))
+      .select($"lang",
+        when(size(array_intersect($"tk", stopArr)).cast("double")
+          / size($"tk").cast("double") >= 0.05, "en").otherwise("other")
+          .as("pred_lang"))
+    val perLang = p.groupBy($"lang").agg(count(lit(1)).as("lang_total"))
+    p.groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(perLang), "lang")
+      .select($"lang", $"pred_lang", $"n_docs",
+        round($"n_docs".cast("double") / $"lang_total", 6).as("frac_of_lang"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42)
+    g37, g38, g41, g42, g43)
 }

@@ -319,5 +319,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21, g32, g33)
+  // g44 — SEMANTIC dedup (SemDeDup shape): build the θ-thresholded cosine
+  // similarity graph over embeddings (g5's exact banded edge set), run
+  // distributed connected components over it, and keep the minimum-id
+  // vector of each cluster as the representative — the embedding-space
+  // twin of g19's lexical dedup pipeline. The oracle computes the SAME
+  // components by a completely different algorithm — a recursive-CTE
+  // transitive closure — so the distributed label propagation is checked
+  // against an independent fixpoint, not a reimplementation of itself
+  // (g40's closed-form chains are the other independent oracle). Scale:
+  // edges are banded candidates (never all-pairs), components is the
+  // O(log d) contraction loop, and the only per-vector output state is
+  // (comp, is_rep).
+  private val g44 = graded(
+    "g44_semantic_dedup",
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |ed AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t
+      |  FROM e a JOIN e b
+      |    ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 100
+      |  WHERE ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35),
+      |und AS (SELECT s, t FROM ed UNION ALL SELECT t AS s, s AS t FROM ed),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM und
+      |  UNION
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |lab AS (
+      |  SELECT em.vec_id,
+      |    least(em.vec_id, coalesce(min(r.t), em.vec_id)) AS comp
+      |  FROM embeddings em LEFT JOIN reach r ON r.s = em.vec_id
+      |  GROUP BY em.vec_id)
+      |SELECT vec_id, comp, (vec_id = comp) AS is_rep FROM lab
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val edges = Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)
+      .withColumn("cs", cos("ea", "eb"))
+      .where($"cs" >= 0.35)
+      .select($"vec_a", $"vec_b")
+    graft.operators.Components
+      .connectedComponents(e.select($"vec_id"), edges)
+      .select($"vec_id", $"rep".as("comp"), ($"vec_id" === $"rep").as("is_rep"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44)
 }

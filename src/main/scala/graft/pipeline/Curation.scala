@@ -323,5 +323,72 @@ object Curation {
       .orderBy("source")
   }
 
-  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39)
+  // g45 — cross-SPLIT leakage audit: g25's content-hash split composed
+  // with g26's 13-gram overlap rule — how many TRAIN docs share a
+  // 13-token n-gram with each held-out split. Exact duplicates can never
+  // cross a content-hash split (same text → same hash → same split, the
+  // property g25 exists for), so the leakage that remains is NEAR-dup
+  // overlap — exactly what this catches, and exactly the eval-integrity
+  // number a training run must report. The held-out gram set is
+  // broadcast (eval splits are 20% of the corpus; grams dedup'd first),
+  // the train side never shuffles.
+  private val g45 = graded(
+    "g45_split_leakage", {
+      val h = Dedup.duckHex8("md5(text)")
+      s"""WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN $h % 100 < 80 THEN 'train'
+        |         WHEN $h % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_transform(generate_series(1, len(t) - 12),
+        |      i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS gr
+        |  FROM s),
+        |ev AS (
+        |  SELECT DISTINCT split AS eval_split, gr FROM g
+        |  WHERE split <> 'train'),
+        |tr AS (
+        |  SELECT DISTINCT g.doc_id, ev.eval_split
+        |  FROM g JOIN ev USING (gr) WHERE g.split = 'train'),
+        |cnt AS (SELECT split, count(*) AS n_docs FROM s GROUP BY split),
+        |lk AS (
+        |  SELECT eval_split, count(DISTINCT doc_id)::BIGINT
+        |    AS n_train_contaminated
+        |  FROM tr GROUP BY eval_split)
+        |SELECT c.split AS eval_split, c.n_docs AS n_eval_docs,
+        |  coalesce(lk.n_train_contaminated, 0)::BIGINT AS n_train_contaminated
+        |FROM cnt c LEFT JOIN lk ON lk.eval_split = c.split
+        |WHERE c.split <> 'train'
+        |ORDER BY eval_split""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.documentsDist(spark, dir)
+      .withColumn("h",
+        conv(substring(md5($"text"), 1, 8), 16, 10).cast("bigint") % 100)
+      .select($"doc_id", split($"text", " ").as("t"),
+        when($"h" < 80, "train").when($"h" < 90, "val")
+          .otherwise("test").as("split"))
+    val g = s.select($"doc_id", $"split", explode(expr(
+      """CASE WHEN size(t) >= 13 THEN
+        |  transform(sequence(1, size(t) - 12),
+        |    i -> array_join(slice(t, i, 13), ' '))
+        |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
+    val ev = g.where($"split" =!= "train")
+      .select($"split".as("eval_split"), $"gr").distinct()
+    val tr = g.where($"split" === "train")
+      .join(broadcast(ev), "gr")
+      .select($"doc_id", $"eval_split").distinct()
+    val cnt = s.groupBy($"split").agg(count(lit(1)).as("n_eval_docs"))
+      .where($"split" =!= "train")
+    val lk = tr.groupBy($"eval_split")
+      .agg(countDistinct($"doc_id").as("n_train_contaminated"))
+    cnt.join(lk, cnt("split") === lk("eval_split"), "left")
+      .select(cnt("split").as("eval_split"), $"n_eval_docs",
+        coalesce($"n_train_contaminated", lit(0L)).as("n_train_contaminated"))
+      .orderBy("eval_split")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39, g45)
 }

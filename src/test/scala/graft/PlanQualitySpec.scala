@@ -17,7 +17,8 @@ class PlanQualitySpec extends SparkSpec {
     "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join", "g30_bigram_lift",
     "g32_cluster_assign", // broadcasts the 8-row prototype set (g4's shape)
     "g35_unigram_logprob", // crosses the 1-row corpus-total (g30's shape)
-    "g37_keywords") // crosses the 1-row corpus-total (g6's shape)
+    "g37_keywords", // crosses the 1-row corpus-total (g6's shape)
+    "d20_hll_merge") // crosses the 1-row whole-table exact count
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

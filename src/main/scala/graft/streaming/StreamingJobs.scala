@@ -95,6 +95,61 @@ object StreamingJobs {
       }
   }
 
+  /** Per-user output record for [[rollingZscore]]. */
+  final case class ZScoreStats(user_id: Long, n_scored: Long, n_anomalies: Long)
+
+  /** Streaming twin of the graded batch h14_rolling_zscore: the trailing
+    * out-of-sample z-score monitor as a stateful stream. Each user's rows
+    * are replayed in EVENT-TIME order ((ts, event_id) — the same total
+    * order as h14's window), a ≤10-value ring buffer is the baseline, and
+    * z is rounded to 6dp before the |z| > 2 threshold exactly like the
+    * batch operator, so `StreamingSpec` can assert stream ≡ batch.
+    *
+    * Scale/ordering notes: state is O(1) per user (the ring buffer plus
+    * two counters). On this finite AvailableNow stream each group sees
+    * all its rows in one call, so an in-call sort is exact; a live
+    * multi-batch deployment must buffer by watermark before scoring
+    * (rows crossing micro-batch boundaries out of order would otherwise
+    * replay in arrival order) — the h13 lateness profile is what sizes
+    * that buffer.
+    */
+  def rollingZscore(events: DataFrame): Dataset[ZScoreStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        expr("ts div 1000").as[Long], // integer-µs domain, h14's exact order key
+        col("event_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long)]) =>
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          val win = scala.collection.mutable.Queue.empty[Double]
+          var scored = 0L
+          var anomalies = 0L
+          for ((_, _, _, v) <- ordered) {
+            if (win.size >= 5) {
+              val n = win.size
+              val mu = win.sum / n
+              val sd = math.sqrt(win.iterator.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+              if (sd > 0) {
+                scored += 1
+                val zr = BigDecimal((v - mu) / sd)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(zr) > 2.0) anomalies += 1
+              }
+            }
+            win.enqueue(v)
+            if (win.size > 10) win.dequeue()
+          }
+          val (ps, pa) = state.getOption.getOrElse((0L, 0L))
+          state.update((ps + scored, pa + anomalies))
+          Iterator(ZScoreStats(user, ps + scored, pa + anomalies))
+      }
+  }
+
   /** Stream–stream INTERVAL join (view→purchase attribution): each
     * purchase joins the same user's views from the preceding hour. Both
     * sides carry watermarks and the join condition bounds event time in

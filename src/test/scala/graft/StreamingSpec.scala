@@ -119,6 +119,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful rolling z-score equals batch h14 on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.rollingZscore(stream).toDF(), "h4_zscore", "update")
+    // finite stream → take each user's final state emission
+    val streamed = spark.table("h4_zscore")
+      .groupBy("user_id")
+      .agg(max("n_scored").as("s"), max("n_anomalies").as("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = SparkEntry.queries("h14_rolling_zscore")(spark, sfDir)
+      .select(col("user_id"), col("n_scored"), col("n_anomalies"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

@@ -271,6 +271,30 @@ object ScansFilters {
         .orderBy("o_orderkey")
   }
 
+  // A11 — Hive-layout partitioned sink graded end-to-end: documents
+  // written `lang=<value>/` and read back through partition discovery.
+  // The round trip moves the partition column out of the data files and
+  // into directory names — the layout that turns a lang filter into
+  // directory pruning (zero I/O for skipped partitions, A4's spec pins
+  // the pruning plan) — and the graded check is that the values survive
+  // the path round trip exactly. Text rides as its md5 digest so the
+  // comparison is compact at any scale (m4's trick).
+  private val a11 = QueryDef.graded(
+    "a11_partitioned_roundtrip",
+    """SELECT doc_id, lang, md5(text) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_partrt/$jvmTag/$sfTag/documents"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, dir).select($"doc_id", $"text", $"lang"),
+      out, "lang")
+    spark.read.parquet(out)
+      .select($"doc_id", $"lang", md5($"text").as("fp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7, a8,
-    a9, a10)
+    a9, a10, a11)
 }

@@ -173,6 +173,44 @@ object Multimodal {
     final case class Decoded(width: Long, height: Long, maxval: Long,
         brightness: Double)
 
+    /** Per-raster pixel statistics for m8: min/max value, distinct value
+      * count, fraction of space (0x20) pixels. Walks the same header +
+      * raster layout as [[decode]] (and fails as loudly).
+      */
+    final case class RasterStats(pMin: Long, pMax: Long, nValues: Long,
+        spaceFrac: Double)
+
+    def decodeStats(bytes: Array[Byte]): RasterStats = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a P5 PGM")
+      var pos = 2
+      def nextInt(): Long = {
+        while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        require(pos > start, "truncated PGM header")
+        new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toLong
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1
+      require(maxval == 255, s"unsupported maxval $maxval")
+      require(bytes.length - pos == w * h,
+        s"raster size ${bytes.length - pos} != ${w * h}")
+      val seen = new Array[Boolean](256)
+      var mn = 256L; var mx = -1L; var spaces = 0L; var distinct = 0L
+      var i = pos
+      while (i < bytes.length) {
+        val v = java.lang.Byte.toUnsignedInt(bytes(i))
+        if (!seen(v)) { seen(v) = true; distinct += 1 }
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (v == 32) spaces += 1
+        i += 1
+      }
+      RasterStats(mn, mx, distinct, spaces.toDouble / (w * h))
+    }
+
     /** Parse a P5 payload: magic + 3 whitespace-separated header ints +
       * exactly w·h raster bytes. Malformed input throws — a real decoder
       * fails loudly, it does not fabricate pixels.
@@ -466,5 +504,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7)
+  // m8 — raster pixel statistics through the REAL codec: encode → decode
+  // → min/max/distinct-count/space-fraction per image, the feature-
+  // extraction step after m5's metadata decode (what a data-quality
+  // filter over images actually computes: dynamic range, flat-image
+  // detection). The oracle recomputes every statistic from the synthesis
+  // rule (pixel i = text byte i mod len; ASCII corpus ⇒ byte ≡ code
+  // point, m5's documented assumption) without touching bytes — encoder,
+  // header walk and raster scan are all on the graded path. Blobs are
+  // created and consumed inside one mapPartitions; only the 4-number
+  // stats row ever leaves the scan stage.
+  private val m8 = graded(
+    "m8_pixel_stats",
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(0, (8 + doc_id % 8) * (8 + doc_id % 5) - 1),
+      |      i -> CASE WHEN length(text) = 0 THEN 32
+      |           ELSE ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |           END)) AS v
+      |  FROM documents)
+      |SELECT doc_id, min(v)::BIGINT AS p_min, max(v)::BIGINT AS p_max,
+      |  count(DISTINCT v)::BIGINT AS n_values,
+      |  round(count(CASE WHEN v = 32 THEN 1 END)::DOUBLE / count(*), 6)
+      |    AS space_frac
+      |FROM px GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = Pgm.decodeStats(Pgm.encode(id, text))
+        (id, s.pMin, s.pMax, s.nValues,
+          BigDecimal(s.spaceFrac)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+      .toDF("doc_id", "p_min", "p_max", "n_values", "space_frac")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
 }

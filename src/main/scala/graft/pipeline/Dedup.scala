@@ -365,14 +365,10 @@ object Dedup {
       simhashSig(spark, dir).orderBy("doc_id")
   }
 
-  // g16 — SimHash near-dup join via the classic block-permutation trick:
-  // split the 64-bit signature into 4 16-bit blocks; any pair within
-  // Hamming distance 3 has ≥ 1 block exactly equal (pigeonhole), so the
-  // candidate join is an EQUI-join on (block index, block value) — the
-  // same shuffle-on-key shape as Banding/LSH, never an n² bit comparison.
-  // Candidates are then verified with the exact popcount distance.
-  private val g16 = graded(
-    "g16_simhash_dedup",
+  // Shared oracle CTE: the verified SimHash near-dup pair set (g16's
+  // block-permutation candidates + exact popcount verify), consumed by
+  // g16 directly and by g46's survivorship closure.
+  private val simhashPairsCte =
     s"""$simhashCte,
       |blocks AS (
       |  SELECT doc_id, sh_lo, sh_hi, gs.i AS blk,
@@ -382,13 +378,34 @@ object Dedup {
       |      WHEN 2 THEN sh_hi & 65535
       |      ELSE (sh_hi >> 16) & 65535 END AS bv
       |  FROM sig, generate_series(0, 3) gs(i)
-      |)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
-      |FROM blocks a JOIN blocks b
-      |  ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+      |),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
+      |  FROM blocks a JOIN blocks b
+      |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+      |)""".stripMargin
+
+  // g16 — SimHash near-dup join via the classic block-permutation trick:
+  // split the 64-bit signature into 4 16-bit blocks; any pair within
+  // Hamming distance 3 has ≥ 1 block exactly equal (pigeonhole), so the
+  // candidate join is an EQUI-join on (block index, block value) — the
+  // same shuffle-on-key shape as Banding/LSH, never an n² bit comparison.
+  // Candidates are then verified with the exact popcount distance.
+  private val g16 = graded(
+    "g16_simhash_dedup",
+    s"""$simhashPairsCte
+      |SELECT doc_a, doc_b, hamming FROM prs
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    simhashPairsDf(spark, dir).orderBy("doc_a", "doc_b")
+  }
+
+  /** Spark side of the verified SimHash pair set (doc_a, doc_b, hamming),
+    * unordered — g16 presents it sorted, g46 feeds it to components.
+    */
+  private def simhashPairsDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val sig = simhashSig(spark, dir)
     // Collapse IDENTICAL signatures first: a low-entropy corpus (31-word
@@ -443,7 +460,57 @@ object Dedup {
       .select($"x", explode($"m_b").as("y"), $"hamming")
       .select(least($"x", $"y").as("doc_a"),
         greatest($"x", $"y").as("doc_b"), $"hamming")
-    intra.union(inter).orderBy("doc_a", "doc_b")
+    intra.union(inter)
+  }
+
+  // g46 — SURVIVORSHIP policy over near-dup clusters: g16's verified
+  // SimHash pairs → connected components → per cluster, the LONGEST
+  // document survives (n_chars desc, doc_id tiebreak) — the "keep the
+  // most complete record" rule real dedup pipelines apply, vs g19's
+  // simpler min-id convention. Like g44, the oracle recomputes the
+  // clusters with an independent recursive-CTE closure, then states the
+  // argmax as a window — so both the component structure AND the policy
+  // are independently checked.
+  private val g46 = graded(
+    "g46_survivorship",
+    s"""${simhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |und AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM prs
+      |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM prs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM und
+      |  UNION
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |lab AS (
+      |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS comp
+      |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+      |  GROUP BY d.doc_id),
+      |surv AS (
+      |  SELECT comp, doc_id AS survivor_id FROM (
+      |    SELECT l.comp, l.doc_id,
+      |      row_number() OVER (PARTITION BY l.comp
+      |        ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      |    FROM lab l JOIN documents d ON d.doc_id = l.doc_id) t
+      |  WHERE rn = 1)
+      |SELECT l.doc_id, l.comp, s.survivor_id,
+      |  (l.doc_id = s.survivor_id) AS is_survivor
+      |FROM lab l JOIN surv s ON s.comp = l.comp
+      |ORDER BY l.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val pairs = simhashPairsDf(spark, dir).select($"doc_a", $"doc_b")
+    val lab = graft.operators.Components
+      .connectedComponents(docs.select($"doc_id"), pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"rep").orderBy($"n_chars".desc, $"doc_id")
+    val surv = lab.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"rep", $"doc_id".as("survivor_id"))
+    lab.join(surv, "rep")
+      .select($"doc_id", $"rep".as("comp"), $"survivor_id",
+        ($"doc_id" === $"survivor_id").as("is_survivor"))
+      .orderBy("doc_id")
   }
 
   // g18 — winnowing fingerprints (the MOSS scheme): hash every 4-char
@@ -664,5 +731,5 @@ object Dedup {
   }
 
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40)
+    g19, g22, g24, g34, g40, g46)
 }

@@ -653,6 +653,67 @@ object EventTime {
     }
   }
 
+  // H17 — MULTI-touch attribution (U-shaped / position-based): every
+  // purchase splits credit over ALL its preceding touches within 1 hour —
+  // 100% to a lone touch, 50/50 for two, else 40/40 to first/last and
+  // 20% shared equally by the middles. Complements h15's last-touch
+  // (one window pass) with the interval-join shape: an equi-join on
+  // user_id time-bounded in both directions — the same join whose
+  // streaming form (H4 attributionJoin) evicts state by watermark; at
+  // scale the shuffle key is user_id and the time bound caps the
+  // per-purchase fan-out. Credit fractions derive from integer rank/count
+  // only; the final per-type sum rounds at 6dp (float-sum-order rule).
+  private val h17 = graded(
+    "h17_multitouch",
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.purchase_id, t.event_id, t.event_type, t.us,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY t.us, t.event_id) AS rn,
+      |    count(*) OVER (PARTITION BY p.purchase_id) AS n
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.us >= p.p_us - 3600000000 AND t.us < p.p_us),
+      |c AS (
+      |  SELECT event_type,
+      |    CASE WHEN n = 1 THEN 1.0
+      |         WHEN n = 2 THEN 0.5
+      |         WHEN rn = 1 OR rn = n THEN 0.4
+      |         ELSE 0.2 / (n - 2) END AS credit
+      |  FROM j)
+      |SELECT event_type, count(*) AS n_touches,
+      |  round(sum(credit), 6) AS total_credit
+      |FROM c GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+    val t = ev.where($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id", $"event_type", $"us")
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"us".as("p_us"))
+    val wOrd = Window.partitionBy($"purchase_id").orderBy($"us", $"event_id")
+    val wAll = Window.partitionBy($"purchase_id")
+    p.join(t, Seq("user_id"))
+      .where($"us" >= $"p_us" - lit(3600000000L) && $"us" < $"p_us")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("credit",
+        when($"n" === 1, 1.0)
+          .when($"n" === 2, 0.5)
+          .when($"rn" === 1 || $"rn" === $"n", 0.4)
+          .otherwise(lit(0.2) / ($"n" - 2)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum($"credit"), 6).as("total_credit"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16)
+    h12, h13, h14, h15, h16, h17)
 }

@@ -29,6 +29,29 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$key plans a cartesian:\n$plan")
   }
 
+  // `*(n)` prefixes in the EXECUTED plan string mark WholeStageCodegen
+  // spans (AQE materializes them only after execution, so each hot key
+  // is run first). A hot path that falls out of codegen — e.g. a
+  // non-codegen Expression slipping into a projection — is a multi-x
+  // interpreter slowdown at 100 TB that no unit test would otherwise
+  // catch; this pins the brief's "widen the codegen spans" requirement.
+  test("hot paths run inside WholeStageCodegen spans") {
+    val hot = Seq("d1_agg_group", "b1_filter_pred", "e4_win_running",
+      "f3_str_funcs", "g4_cosine_topk", "g7_text_stats", "c2_join_sortmerge")
+    for (key <- hot) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$key has no codegen span:\n$plan")
+      // the custom codegen kernel must live INSIDE a starred span —
+      // VecCosine implements doGenCode precisely so scoring stays fused
+      if (key == "g4_cosine_topk")
+        assert(plan.linesIterator.exists(l =>
+          l.contains("*(") && l.contains("vec_cosine")),
+          s"vec_cosine fell out of codegen:\n$plan")
+    }
+  }
+
   test("nested-loop joins appear only where the build side is constant-size") {
     val offenders = plans.collect {
       case (key, plan) if plan.contains("BroadcastNestedLoopJoin") => key

@@ -395,6 +395,45 @@ object Joins {
     }
   }
 
+  // C15 — NULL-SAFE join (`<=>` join key): NULL keys match each other
+  // instead of matching nothing — the b5 predicate as a whole join
+  // operator. Spark still plans a HASH join (null-safe equality is an
+  // equi key, not a theta predicate), which is the point at scale: the
+  // NULL group shuffles to one partition like any other key value.
+  // Scale shape: the key space is id-RANGE buckets (div, not mod), so
+  // key count grows with the data and per-key group size stays constant
+  // — a mod-derived key space is fixed-size and its per-key pair-out
+  // grows quadratically (measured: 5.0 ratio at 8× before this
+  // derivation). The NULL group is pinned to a constant id set, since a
+  // null population that grows with the data is exactly the skew bomb
+  // null-safe joins are notorious for (production: salt or pre-filter).
+  private val c15 = graded(
+    "c15_join_null_safe",
+    """WITH a AS (
+      |  SELECT event_id, CASE WHEN event_id < 10 THEN NULL
+      |    ELSE event_id // 20 END AS k FROM events),
+      |b AS (
+      |  SELECT event_id, CASE WHEN event_id < 10 THEN NULL
+      |    ELSE event_id // 20 END AS k
+      |  FROM events WHERE event_id % 3 = 0)
+      |SELECT coalesce(a.k, -1)::BIGINT AS k, count(*) AS n_pairs
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.apply(spark, dir, "events")
+    val a = ev.select($"event_id",
+      when($"event_id" < 10, lit(null).cast("bigint"))
+        .otherwise(expr("event_id div 20")).as("k"))
+    val b = ev.where($"event_id" % 3 === 0).select(
+      when($"event_id" < 10, lit(null).cast("bigint"))
+        .otherwise(expr("event_id div 20")).as("kb"))
+    a.join(b, $"k" <=> $"kb")
+      .groupBy(coalesce($"k", lit(-1L)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("k")
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14)
+    c11, c12, c13, c14, c15)
 }

@@ -295,6 +295,38 @@ object ScansFilters {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, a5, a6, a7, a8,
-    a9, a10, a11)
+  // B5 — NULL-safe equality (`<=>` ↔ `IS NOT DISTINCT FROM`): the
+  // three-valued-logic escape hatch c14 graded the trap of. Two derived
+  // nullable bands are compared both ways — plain `=` goes NULL when
+  // either side is (filtered rows silently vanish), `<=>` is total. The
+  // graded output carries both results so the semantic difference is
+  // pinned row by row, not summarized away.
+  private val b5 = QueryDef.graded(
+    "b5_null_safe_eq",
+    """SELECT event_id,
+      |  CASE WHEN value > 120 THEN 'high' END AS band_a,
+      |  CASE WHEN cast(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |       THEN 'high' END AS band_b,
+      |  (CASE WHEN value > 120 THEN 'high' END
+      |    IS NOT DISTINCT FROM
+      |   CASE WHEN cast(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |        THEN 'high' END) AS ns_eq,
+      |  (CASE WHEN value > 120 THEN 'high' END
+      |    = CASE WHEN cast(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |           THEN 'high' END) AS plain_eq
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.apply(spark, dir, "events")
+      .withColumn("band_a", when($"value" > 120, "high"))
+      .withColumn("band_b",
+        when(get_json_object($"props", "$.k").cast("bigint") > 50, "high"))
+    e.select($"event_id", $"band_a", $"band_b",
+      ($"band_a" <=> $"band_b").as("ns_eq"),
+      ($"band_a" === $"band_b").as("plain_eq"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, a5, a6, a7,
+    a8, a9, a10, a11)
 }

@@ -295,6 +295,58 @@ object ScansFilters {
       .orderBy("doc_id")
   }
 
+  // A12 — ANALYZE-style table statistics (the optimizer-stats maintenance
+  // job behind CBO/broadcast thresholds/pruning decisions): per-column
+  // row count, null count, exact NDV, min and max, emitted long-form one
+  // row per column. ONE scan feeds every column's stats — the multi-NDV
+  // aggregate plans as a single pass with an Expand (one replica per
+  // distinct-column), which is exactly how warehouse ANALYZE jobs are
+  // shaped at 100 TB (the alternative, one scan per column, is N full
+  // reads). All stats are integer-typed (l_quantity is integral-valued in
+  // this corpus, cast to BIGINT) so the long-form schema is uniform and
+  // float-free. The corpus has no organic nulls, so the null-count arm is
+  // exercised by a derived nullable band (declared fixture synthesis,
+  // g27's precedent).
+  private val a12 = QueryDef.graded(
+    "a12_table_stats", {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "qty", "qty_band")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name, n AS n_rows, n - c_$c AS n_nulls,
+           |  d_$c AS ndv, mn_$c AS min_v, mx_$c AS max_v FROM s""".stripMargin
+      }.mkString("\n|UNION ALL\n|")
+      s"""WITH t AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey,
+      |    l_quantity::BIGINT AS qty,
+      |    nullif(l_quantity::BIGINT % 7, 0) AS qty_band
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    ${cols.map(c => s"count($c)::BIGINT AS c_$c, count(DISTINCT $c)::BIGINT AS d_$c, min($c)::BIGINT AS mn_$c, max($c)::BIGINT AS mx_$c").mkString(",\n      |    ")}
+      |  FROM t)
+      |$arms
+      |ORDER BY col_name""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "qty", "qty_band")
+    val t = Tables.lineitem(spark, dir).select(
+      $"l_orderkey", $"l_partkey", $"l_suppkey",
+      $"l_quantity".cast("bigint").as("qty"),
+      nullif($"l_quantity".cast("bigint") % 7, lit(0)).as("qty_band"))
+    val wide = t.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"c_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("bigint").as(s"mn_$c"),
+        max(col(c)).cast("bigint").as(s"mx_$c"))): _*)
+    // unpivot the one wide stats row to the canonical long form
+    val stackArgs = cols.map(c =>
+      s"'$c', n, n - c_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_rows, n_nulls, ndv, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
   // B5 — NULL-safe equality (`<=>` ↔ `IS NOT DISTINCT FROM`): the
   // three-valued-logic escape hatch c14 graded the trap of. Two derived
   // nullable bands are compared both ways — plain `=` goes NULL when
@@ -328,5 +380,5 @@ object ScansFilters {
   }
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, a5, a6, a7,
-    a8, a9, a10, a11)
+    a8, a9, a10, a11, a12)
 }

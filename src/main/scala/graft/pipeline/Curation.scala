@@ -390,5 +390,47 @@ object Curation {
       .orderBy("eval_split")
   }
 
-  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39, g45)
+  // g48 — OVERLAPPING sliding-window chunking (size 32 tokens, stride 24,
+  // overlap 8): the context-window preparation g28's end-to-end packing
+  // does NOT cover — training pipelines chunk long documents with overlap
+  // so no span is ever split across example boundaries without a
+  // continuation copy. Chunk count per doc is closed-form integer
+  // arithmetic (1 + ceil((n-32)/24) via the (n-9) div 24 identity), so
+  // both engines enumerate identical chunk spines with no float in sight;
+  // chunk content rides as its md5 digest (m4's compact-output trick).
+  // Shape at scale: pure per-doc projection + fan-out — no shuffle at all
+  // before the presentation sort; chunks-per-doc is bounded by doc length,
+  // never corpus size.
+  private val g48 = graded(
+    "g48_chunk_overlap",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, n, t,
+      |    unnest(generate_series(0,
+      |      CASE WHEN n > 32 THEN (n - 9) // 24 ELSE 0 END)) AS i
+      |  FROM tk)
+      |SELECT doc_id, i::BIGINT AS chunk_i, (1 + 24 * i)::BIGINT AS start_tok,
+      |  least(32, n - 24 * i)::BIGINT AS n_tok,
+      |  md5(array_to_string(list_slice(t, 1 + 24 * i, 24 * i + 32), ' ')) AS fp
+      |FROM x
+      |ORDER BY doc_id, chunk_i""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n", size($"t"))
+      // `div` yields BIGINT — both sequence bounds must agree on the type
+      .withColumn("i", explode(expr(
+        "sequence(bigint(0), CASE WHEN n > 32 THEN (n - 9) div 24 ELSE bigint(0) END)")))
+      .select($"doc_id", $"i".cast("bigint").as("chunk_i"),
+        (lit(1) + lit(24) * $"i").cast("bigint").as("start_tok"),
+        least(lit(32), $"n" - lit(24) * $"i").cast("bigint").as("n_tok"),
+        md5(array_join(expr("slice(t, 1 + 24 * i, least(32, n - 24 * i))"),
+          " ")).as("fp"))
+      .orderBy("doc_id", "chunk_i")
+  }
+
+  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48)
 }

@@ -730,6 +730,91 @@ object Dedup {
       .orderBy("o_orderkey")
   }
 
+  // g47 — MinHash ESTIMATOR ERROR, measured: per candidate pair, the
+  // k=8 signature-agreement Jaccard estimate next to the exact token-set
+  // Jaccard and their absolute error — the number that makes g3's
+  // LSH-at-scale claim falsifiable inside the gate itself (AnnRecallSpec
+  // closed the same gap for ANN; this closes it for MinHash, per-pair and
+  // oracle-checked). Estimator arithmetic is g13's exactly (md5-derived
+  // 32-bit token hashes, affine rehashes over the >2^32 prime, per-doc
+  // mins), widened from 4 to 8 components; multipliers stay < 2^30 so
+  // a*h never overflows int64. est = agreeing/8 and jac = |∩|/|∪| are
+  // both small-integer quotients — IEEE-identical doubles in both
+  // engines, so the rounded error column matches bit-for-bit. Candidate
+  // pairs are the adjacent-id spine (g34's idiom): an equi-join, O(n)
+  // pairs, representative of the verify stage an LSH bucket feed would
+  // drive. Shape at scale: one token shuffle for signatures + sets, one
+  // equi-join — linear end to end.
+  private val mhAB8 = mhAB ++ Seq((69069L, 362437L), (214013L, 2531011L),
+    (134775813L, 1L), (747796405L, 2891336453L))
+
+  private val g47 = graded(
+    "g47_minhash_est", {
+      val mins = mhAB8.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $mhP) AS mh$i"
+      }.mkString(",\n      |    ")
+      val agree = (0 until mhAB8.length)
+        .map(i => s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")
+      s"""WITH tok AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(t) AS word FROM tok),
+      |hashed AS (
+      |  SELECT doc_id, ${duckHex8("md5(word)")} AS h FROM w),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hashed GROUP BY doc_id),
+      |e AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      |    ($agree)::DOUBLE / 8 AS est
+      |  FROM sig sa JOIN sig sb ON sb.doc_id = sa.doc_id + 1),
+      |j AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.t, b.t))::DOUBLE /
+      |      (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::DOUBLE
+      |      AS jac
+      |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1)
+      |SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est, round(j.jac, 6) AS jac,
+      |  round(abs(e.est - j.jac), 6) AS abs_err
+      |FROM e JOIN j ON e.doc_a = j.doc_a
+      |ORDER BY e.doc_a""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    // signatures: one token shuffle keyed on doc_id (g13's machinery, k=8)
+    val hashed = docs.select($"doc_id", explode($"t").as("word"))
+      .withColumn("h",
+        conv(substring(md5($"word"), 1, 8), 16, 10).cast("bigint"))
+    val mins = mhAB8.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * $"h" + lit(b)) % lit(mhP)).as(s"mh$i")
+    }
+    val sig = hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    // exact sets: int64-hashed + sorted so the pair kernel is the
+    // two-pointer sorted_intersect_size merge (g2's injective-hash rule)
+    val sets = docs.select($"doc_id",
+      sort_array(expr("transform(t, w -> xxhash64(w))")).as("ts"))
+    val side = sig.join(sets, "doc_id")
+    val a = side.toDF(side.columns.map(_ + "_a"): _*)
+    val b = side.toDF(side.columns.map(_ + "_b"): _*)
+    val agree = (0 until mhAB8.length)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, col("doc_id_b") === col("doc_id_a") + 1)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(ts_a, ts_b) as double)"))
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        round(agree.cast("double") / 8, 6).as("est"),
+        round($"inter" / (size($"ts_a") + size($"ts_b") - $"inter"), 6)
+          .as("jac"),
+        round(abs(agree.cast("double") / 8 -
+          $"inter" / (size($"ts_a") + size($"ts_b") - $"inter")), 6)
+          .as("abs_err"))
+      .orderBy("doc_a")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46)
+    g19, g22, g24, g34, g40, g46, g47)
 }

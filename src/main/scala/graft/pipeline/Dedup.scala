@@ -815,6 +815,82 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  // g49 — DEDUP DETECTOR EVALUATION: precision/recall of the SimHash
+  // near-dup detector (g16's verified Hamming ≤ 3 pairs) against exact
+  // token-set Jaccard ≥ 0.9 ground truth (g2's banded machinery), both
+  // restricted to the same id window so the two pair sets share one
+  // universe. Every dedup detector is a classifier, and one without its
+  // precision/recall is the unfalsifiable-claim trap g43 closed for
+  // lang-ID and g47 for the MinHash estimator — this closes it for the
+  // production near-dup path, inside the gate. Counts are integers;
+  // precision/recall are integer-quotient doubles (IEEE-identical both
+  // engines), nullif-guarded. Shape at scale: the detector side is g16's
+  // linear block join; the truth side is the banded exact join — an
+  // AUDIT-scale operation by nature (you evaluate on a bounded window,
+  // never the full corpus), which is exactly what the window bound pins.
+  private val g49 = graded(
+    "g49_dedup_eval",
+    s"""$simhashPairsCte,
+      |det AS (
+      |  SELECT doc_a, doc_b FROM prs WHERE doc_b - doc_a <= 150),
+      |toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |tru AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM toks a JOIN toks b
+      |    ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150
+      |  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE /
+      |    len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE >= 0.9),
+      |m AS (
+      |  SELECT d.doc_a IS NOT NULL AS det_p, t.doc_a IS NOT NULL AS tru_p
+      |  FROM det d FULL JOIN tru t
+      |    ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b),
+      |c AS (
+      |  SELECT
+      |    sum(CASE WHEN det_p AND tru_p THEN 1 ELSE 0 END)::BIGINT AS tp,
+      |    sum(CASE WHEN det_p AND NOT tru_p THEN 1 ELSE 0 END)::BIGINT AS fp,
+      |    sum(CASE WHEN tru_p AND NOT det_p THEN 1 ELSE 0 END)::BIGINT AS fn
+      |  FROM m)
+      |SELECT tp, fp, fn,
+      |  round(tp::DOUBLE / nullif(tp + fp, 0)::DOUBLE, 6) AS prec,
+      |  round(tp::DOUBLE / nullif(tp + fn, 0)::DOUBLE, 6) AS rec
+      |FROM c""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val det = simhashPairsDf(spark, dir)
+      .where($"doc_b" - $"doc_a" <= 150)
+      .select($"doc_a", $"doc_b").withColumn("det_p", lit(true))
+    // ground truth: g2's banded exact-Jaccard machinery at the same
+    // window, WITHOUT the length prefilter shortcut tied to one threshold
+    // (kept: the prefilter is threshold-exact pruning, result-identical)
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", sort_array(array_distinct(
+        expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
+      .persist()
+    val ta = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
+    val tb = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    val tru = Banding.bandedPairs(ta, tb, "doc_a", "doc_b", 150)
+      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
+        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
+      .where($"inter" / (size($"tk_a") + size($"tk_b") - $"inter") >= 0.9)
+      .select($"doc_a", $"doc_b").withColumn("tru_p", lit(true))
+    val c = det.join(tru, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        sum(when($"det_p" && $"tru_p", 1).otherwise(0)).cast("bigint").as("tp"),
+        sum(when($"det_p" && !coalesce($"tru_p", lit(false)), 1).otherwise(0))
+          .cast("bigint").as("fp"),
+        sum(when($"tru_p" && !coalesce($"det_p", lit(false)), 1).otherwise(0))
+          .cast("bigint").as("fn"))
+    c.select($"tp", $"fp", $"fn",
+      round($"tp".cast("double") /
+        nullif(($"tp" + $"fp"), lit(0)).cast("double"), 6).as("prec"),
+      round($"tp".cast("double") /
+        nullif(($"tp" + $"fn"), lit(0)).cast("double"), 6).as("rec"))
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47)
+    g19, g22, g24, g34, g40, g46, g47, g49)
 }

@@ -137,6 +137,46 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (100 TB lever)") {
+    // At cluster scale, a selective dim-side filter should semi-join-reduce
+    // the fact scan BEFORE the shuffle: Spark's InjectRuntimeFilter plants a
+    // bloom_filter_agg on the filtered side and a bloom_filter_might_contain
+    // probe on the fact side. The thresholds are sized for real clusters
+    // (application side ≥ 10 GB), so this pins the capability at test scale
+    // by lowering them — the assertion is that the engine's join shapes KEEP
+    // qualifying for the rewrite (equi-join, selective creation side), not a
+    // config default.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      import org.apache.spark.sql.functions._
+      val o = sources.Tables.orders(spark, sfDir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val l = sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      // Spark 4.1 renders the injected probe as might_contain(<subquery>)
+      // over a bloom_filter_agg build — assert both halves of the rewrite
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // AQE materializes the final plan (with codegen stages) only after
     // execution — run the query, then inspect

@@ -347,6 +347,48 @@ object ScansFilters {
       .orderBy("col_name")
   }
 
+  // B6 — DYNAMIC partition pruning, graded end-to-end: the fact table is
+  // laid out Hive-partitioned by lang (a11's layout), and a lang→family
+  // DIM TABLE filtered on family drives the fact scan's partition list at
+  // RUNTIME via Spark's DPP subquery — the mechanism that turns a dim
+  // filter into zero-I/O fact pruning at 100 TB (static pruning is pinned
+  // by SourcesSpec; PlanQualitySpec asserts the dynamicpruning
+  // expression here). The family must ride as relation DATA, not a
+  // derived expression: a first cut computed family with a CASE over
+  // lang, and Catalyst's constraint propagation correctly rewrote it into
+  // a STATIC partition filter on the join key — smart, but then nothing
+  // dynamic remained to grade. Graded semantics: docs whose lang belongs
+  // to the filtered family.
+  private val b6 = QueryDef.graded(
+    "b6_partition_prune",
+    """SELECT d.doc_id, d.lang, md5(d.text) AS fp
+      |FROM documents d
+      |JOIN (VALUES ('es', 'romance'), ('fr', 'romance'),
+      |             ('en', 'germanic'), ('de', 'germanic'),
+      |             ('zh', 'cjk')) f(lang, family)
+      |  ON d.lang = f.lang
+      |WHERE f.family = 'romance'
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"/tmp/graft_dpp/$jvmTag/$sfTag/documents"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, dir).select($"doc_id", $"text", $"lang"),
+      out, "lang")
+    val fact = spark.read.parquet(out)
+    // the dim must be a real on-disk relation: an in-memory literal dim is
+    // constant-folded (ConvertToLocalRelation swallows the family filter),
+    // leaving the DPP rule no selective predicate to key on
+    val dimDir = s"/tmp/graft_dpp/$jvmTag/$sfTag/lang_dim"
+    Seq(("es", "romance"), ("fr", "romance"), ("en", "germanic"),
+      ("de", "germanic"), ("zh", "cjk")).toDF("lang", "family")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where($"family" === "romance")
+    fact.join(dim, "lang")
+      .select($"doc_id", $"lang", md5($"text").as("fp"))
+      .orderBy("doc_id")
+  }
+
   // B5 — NULL-safe equality (`<=>` ↔ `IS NOT DISTINCT FROM`): the
   // three-valued-logic escape hatch c14 graded the trap of. Two derived
   // nullable bands are compared both ways — plain `=` goes NULL when
@@ -379,6 +421,6 @@ object ScansFilters {
       .orderBy("event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, a5, a6, a7,
-    a8, a9, a10, a11, a12)
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
+    a7, a8, a9, a10, a11, a12)
 }

@@ -384,6 +384,38 @@ object SortSetScalar {
       .orderBy("doc_id")
   }
 
+  // f16 — the REGEXP family as its own graded surface (f3 touches
+  // regexp_extract; this covers the full curation toolkit: extract-all,
+  // count-shaped len(extract_all), boolean match, global replace,
+  // group extraction). Patterns stay in the RE2-compatible subset (no
+  // lookaround/backrefs — g27's rule) so Java regex and DuckDB's RE2
+  // agree; the extract-all list rides joined (the array-output rule);
+  // no-match regexp_extract is ''-vs-NULL divergent (F3's caveat), so
+  // the oracle wraps it in coalesce. Map-side projection — scales like
+  // the scan.
+  private val f16 = graded(
+    "f16_regexp_funcs",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z]{7,}'))::BIGINT AS n_long,
+      |  regexp_matches(text, '(^| )data( |$)') AS has_data,
+      |  coalesce(regexp_extract(text, '([a-z]*tion)', 1), '') AS first_tion,
+      |  coalesce(array_to_string(regexp_extract_all(text, '[a-z]{8,}'), ','),
+      |    '') AS longs,
+      |  md5(regexp_replace(text, ' +', '_', 'g')) AS fp_ws
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir).select($"doc_id",
+      size(regexp_extract_all($"text", lit("[a-z]{7,}"), lit(0)))
+        .cast("bigint").as("n_long"),
+      $"text".rlike("(^| )data( |$)").as("has_data"),
+      regexp_extract($"text", "([a-z]*tion)", 1).as("first_tion"),
+      array_join(regexp_extract_all($"text", lit("[a-z]{8,}"), lit(0)), ",")
+        .as("longs"),
+      md5(regexp_replace($"text", " +", "_")).as("fp_ws"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15)
+    f11, f12, f13, f14, f15, f16)
 }

@@ -137,6 +137,14 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("b6: the fact scan carries a DYNAMIC partition-pruning subquery") {
+    // the dim-side family filter must reach the partitioned fact scan as a
+    // runtime DPP expression (lang IN dynamicpruning#N) — a static filter
+    // can't exist here because the family lives in dim relation data
+    val p = plans.toMap.apply("b6_partition_prune")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (100 TB lever)") {
     // At cluster scale, a selective dim-side filter should semi-join-reduce
     // the fact scan BEFORE the shuffle: Spark's InjectRuntimeFilter plants a

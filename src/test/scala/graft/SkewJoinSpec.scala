@@ -18,6 +18,46 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // the OTHER half of the skew story next to c13's explicit salting:
+    // when skew is runtime-discovered rather than known upfront, AQE's
+    // OptimizeSkewedJoin must split the oversized partition into parallel
+    // sub-reads. Thresholds are sized for clusters, so the fixture lowers
+    // them and builds a genuinely skewed key; the assertion is the
+    // skew=true marker on the executed join — i.e. the engine's join
+    // shapes stay eligible for the runtime rewrite.
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val hot = spark.range(50000).select(lit(42L).as("k"), $"id".as("payload"))
+        .union(spark.range(2000).select(($"id" + 100L).as("k"), $"id"))
+      val dim = spark.range(3000).select(($"id" % 2200).as("k"),
+        ($"id" * 2).as("v"))
+      // no aggregate after the join: a downstream groupBy on the join key
+      // would REQUIRE the join's hash partitioning, making a skew split
+      // illegal — AQE then correctly refuses to split
+      val q = hot.join(dim, "k").select($"payload", $"v")
+      q.collect() // AQE materializes the final plan only after execution
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("salt spreads a single hot key across all salt values") {
     import spark.implicits._
     // one key carries 10k rows — the shape AQE cannot split per-key

@@ -47,7 +47,8 @@ object ScaleCheck {
       "c14_join_null_anti", "g43_langid_eval", "g44_semantic_dedup",
       "g45_split_leakage", "m8_pixel_stats", "a11_partitioned_roundtrip", "g46_survivorship", "h17_multitouch", "i4_udaf_window", "b5_null_safe_eq", "c15_join_null_safe",
       "a12_table_stats", "g47_minhash_est", "g48_chunk_overlap",
-      "g49_dedup_eval", "f16_regexp_funcs", "b6_partition_prune")
+      "g49_dedup_eval", "f16_regexp_funcs", "b6_partition_prune",
+      "e11_win_cond")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -236,5 +236,34 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  // E11 — CONDITIONAL window aggregation (the FILTER clause): per event,
+  // over the trailing 10-row frame, the count of high-value events and
+  // the sum of click revenue only. Spark has no FILTER clause on window
+  // aggregates — the bridge is sum(CASE) inside the frame (NULL-skipping
+  // sum reproduces FILTER's empty-frame NULL exactly); the DuckDB twin
+  // states FILTER directly. One window pass on the user_id shuffle;
+  // frame state is O(frame), the h14 shape.
+  private val e11 = graded(
+    "e11_win_cond",
+    """SELECT event_id, user_id,
+      |  count(*) FILTER (WHERE value > 120) OVER w AS n_high,
+      |  round(sum(value) FILTER (WHERE event_type = 'click') OVER w, 2)
+      |    AS click_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"event_id").rowsBetween(-9, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select($"event_id", $"user_id",
+        sum(when($"value" > 120, 1L).otherwise(0L)).over(w).as("n_high"),
+        round(sum(when($"event_type" === "click", $"value")).over(w), 2)
+          .as("click_sum"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
 }

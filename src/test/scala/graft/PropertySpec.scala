@@ -227,6 +227,45 @@ class PropertySpec extends SparkSpec {
       s"estimate $viaUnion vs exact $exact exceeds 5%")
   }
 
+  test("g48 chunk laws: stride spine, bounded sizes, exact tail coverage") {
+    val rows = SparkEntry.queries("g48_chunk_overlap")(spark, sfDir)
+      .orderBy("doc_id", "chunk_i").collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getLong(0))) {
+      val cs = rs.sortBy(_.getLong(1))
+      // chunk ids are a dense 0..k spine; starts advance by the stride
+      for ((r, i) <- cs.zipWithIndex) {
+        assert(r.getLong(1) === i.toLong)
+        assert(r.getLong(2) === 1L + 24L * i) // start_tok
+        assert(r.getLong(3) >= 1L && r.getLong(3) <= 32L) // n_tok
+      }
+      // every chunk but the last is full-size
+      for (r <- cs.init) assert(r.getLong(3) === 32L)
+      // the ceil spine never emits a redundant tail: a non-first last
+      // chunk always contributes > overlap (8) NEW tokens
+      if (cs.length > 1) assert(cs.last.getLong(3) >= 9L)
+    }
+  }
+
+  test("g47 estimator laws: est is m/8, jac and err in [0,1], err consistent") {
+    val rows = SparkEntry.queries("g47_minhash_est")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, jac, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(est * 8 - math.round(est * 8)) < 1e-9) // m/8 grid
+      assert(est >= 0 && est <= 1 && jac >= 0 && jac <= 1)
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6) // round-tolerant
+    }
+  }
+
+  test("g49 eval laws: counts consistent with precision/recall quotients") {
+    val r = SparkEntry.queries("g49_dedup_eval")(spark, sfDir).head()
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp >= 0 && fp >= 0 && fn >= 0 && tp + fn > 0)
+    assert(math.abs(r.getDouble(3) - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - tp.toDouble / (tp + fn)) < 1e-6)
+  }
+
   test("e10 discovery-curve laws: nondecreasing per user, bounded by 5 types") {
     val rows = SparkEntry.queries("e10_win_distinct")(spark, sfDir)
       .orderBy("user_id", "event_id").collect()

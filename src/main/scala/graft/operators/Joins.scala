@@ -434,6 +434,58 @@ object Joins {
       .orderBy("k")
   }
 
+  // C16 — RECURSIVE CTE (new SQL surface in Spark 4): each customer's
+  // order chain walked iteratively — anchor = first order per customer,
+  // recursive step = follow the next-order edge, position accumulating,
+  // depth-capped at 8 (the realistic hierarchical-walk shape: org charts,
+  // BOMs, category trees are shallow; the cap also bounds the iteration
+  // count, since every recursion level is a separate join JOB — an
+  // UNCAPPED walk costs depth × job latency, which is why
+  // unbounded-diameter graphs go to [[graft.operators.Components]]'
+  // O(log d) loop instead (g40/g44) — complementary surfaces, not
+  // competing). The oracle is the INDEPENDENT closed form (g40's
+  // precedent: the chain is built so recursion has a window-derivable
+  // answer — row_number ≤ 8 per customer), so the recursion machinery is
+  // what's actually graded, not mirrored.
+  private val c16 = QueryDef.graded(
+    "c16_recursive_cte",
+    """SELECT o_orderkey, o_custkey, pos FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey)::BIGINT AS pos
+      |  FROM orders) t
+      |WHERE pos <= 8
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // the walk emits one row per order across all iterations, so Spark's
+    // recursion safety valve (cteRecursionRowLimit, default 1e6 rows)
+    // trips below the 8x audit scale — raise it per-query, idempotently
+    // (the nanosAsLong precedent); the DEPTH limit stays at its default
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+    // materialize the edge list ONCE: a plain CTE is inlined into every
+    // recursive step, so the lead-window would be recomputed depth times
+    // — persist + temp view makes each iteration a cache-read join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey".as("src"),
+        lead($"o_orderkey", 1).over(w).as("dst"),
+        row_number().over(w).as("rn"))
+      .persist()
+      .createOrReplaceTempView("graft_c16_edges")
+    spark.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT o_custkey, src AS o_orderkey, CAST(1 AS BIGINT) AS pos
+        |  FROM graft_c16_edges WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.o_custkey, e.dst, r.pos + 1
+        |  FROM r JOIN graft_c16_edges e ON r.o_orderkey = e.src
+        |    AND e.o_custkey = r.o_custkey
+        |  WHERE e.dst IS NOT NULL AND r.pos < 8)
+        |SELECT o_orderkey, o_custkey, pos FROM r
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15)
+    c11, c12, c13, c14, c15, c16)
 }

@@ -533,6 +533,38 @@ object Aggregates {
     per.unionByName(merged).orderBy("grp")
   }
 
+  // d21 — EXACT decimal money aggregation: every other float output in
+  // the engine is rounded to paper over summation-order drift; DECIMAL
+  // arithmetic is the ANSI answer that makes the drift impossible —
+  // sums are exact at ANY row count and partial-agg merge order, which
+  // is the property that matters when 100 TB of cents must reconcile to
+  // the penny. Prices cast double→DECIMAL(12,2) (values are 2dp by
+  // construction, so no tie-rounding divergence), summed exactly, and
+  // emitted as integer CENTS (the decimal→int boundary is exact; a
+  // decimal→string boundary would hang on formatting). The derived
+  // average uses integer floor-division — exact and deterministic, no
+  // float in the whole query.
+  private val d21 = graded(
+    "d21_decimal_exact",
+    """SELECT l_returnflag,
+      |  count(*)::BIGINT AS n,
+      |  (sum(l_extendedprice::DECIMAL(12,2)) * 100)::BIGINT AS sum_cents,
+      |  ((sum(l_extendedprice::DECIMAL(12,2)) * 100)::BIGINT // count(*))
+      |    AS avg_cents_floor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (sum($"l_extendedprice".cast("decimal(12,2)")) * 100)
+          .cast("bigint").as("sum_cents"))
+      .select($"l_returnflag", $"n", $"sum_cents",
+        expr("sum_cents div n").as("avg_cents_floor"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

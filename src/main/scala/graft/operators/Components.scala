@@ -215,6 +215,19 @@ object Components {
           .where(col("lv") =!= col("lu"))
           .select(col("lv").as("v"), col("lu").as("u"))
           .distinct())
+      // EARLY EXIT on an empty quotient: no edge with lv != lu remains ⟺
+      // labels are constant across every edge ⟺ the neighbor-min fixpoint
+      // (= component minima, see class doc). The sum-based test needs one
+      // more FULL round (neighbor-min + jumps + checkpoint + aggregate)
+      // just to observe "nothing changed"; counting the already-
+      // materialized checkpoint RDD costs one tiny job and skips that
+      // entire verify round — in every CC caller (g3/g19/g40/g44), the
+      // final round was always this no-op round.
+      if (und.isEmpty) {
+        converged = true
+        rounds += 1
+        if (debug) println(f"[cc] round $rounds quotient empty ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      } else {
       // neighbor-min: min label over each node's neighbors
       val nbrMin = und
         .join(labels.select(col("doc").as("u"), col("rep").as("urep")), "u")
@@ -241,6 +254,7 @@ object Components {
       lastSum = s
       rounds += 1
       if (debug) println(f"[cc] round $rounds sum=$s ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      }
     }
     labels.select(col("doc").as(idCol), col("rep"))
   }

@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecCosine)
     ext.injectFunction(GraftExtensions.charShingles)
     ext.injectFunction(GraftExtensions.minHashSigs)
+    ext.injectFunction(GraftExtensions.bloomAgg)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }
@@ -66,6 +68,37 @@ object GraftExtensions {
       "minhash_sigs"),
     (exprs: Seq[Expression]) =>
       graft.functions.MinHashSigs(exprs(0), exprs(1)))
+
+  /** (name, info, builder) triples exposing Spark's own Bloom-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * the machinery behind runtime filter injection) as SQL functions —
+    * Spark ships them unregistered, so the membership-catalog surface
+    * (g50) would otherwise need a reimplementation of a sketch the
+    * engine already carries. `bloom_agg(xxhash64(k), nItems, nBits)`
+    * builds the filter distributively (partial buffers OR-merge, so the
+    * build is one pass at any partition count); `bloom_might_contain
+    * (bloom, xxhash64(k))` probes it — the bloom side must be foldable
+    * or a scalar subquery, exactly like the injected-runtime-filter
+    * form, which keeps the probe broadcast-shaped by construction. */
+  val bloomAgg: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_agg"),
+    (exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)))
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
 
   /** (name, info, builder) triple for vec_cosine. */
   val vecCosine: (FunctionIdentifier, ExpressionInfo,

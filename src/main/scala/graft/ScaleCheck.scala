@@ -48,7 +48,8 @@ object ScaleCheck {
       "g45_split_leakage", "m8_pixel_stats", "a11_partitioned_roundtrip", "g46_survivorship", "h17_multitouch", "i4_udaf_window", "b5_null_safe_eq", "c15_join_null_safe",
       "a12_table_stats", "g47_minhash_est", "g48_chunk_overlap",
       "g49_dedup_eval", "f16_regexp_funcs", "b6_partition_prune",
-      "e11_win_cond", "c16_recursive_cte", "d21_decimal_exact")
+      "e11_win_cond", "c16_recursive_cte", "d21_decimal_exact",
+      "g50_bloom_membership")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.QueryDef
-import graft.QueryDef.graded
+import graft.QueryDef.{benchOnly, graded}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -432,5 +432,58 @@ object Curation {
       .orderBy("doc_id", "chunk_i")
   }
 
-  val defs: Seq[QueryDef] = Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48)
+  // g50 — BLOOM-FILTER MEMBERSHIP CATALOG: the constant-space answer to
+  // g36's question ("is this ingest batch's content already in the
+  // corpus?"). g36's exact fingerprint join is the audit path; at 100 TB
+  // the every-batch path is a Bloom filter built ONCE over the corpus
+  // catalog (one distributive pass — partial buffers OR-merge, so build
+  // cost is one scan at any partition count) and shipped to executors as
+  // a scalar (the probe side never shuffles, the corpus is never
+  // re-scanned per batch). Spark carries exactly this machinery inside
+  // runtime-filter injection but leaves it SQL-unregistered;
+  // `GraftExtensions` exposes it as `bloom_agg`/`bloom_might_contain`.
+  // Emitted: the probe confusion counts against exact membership. The
+  // zero-false-negative law (fn = 0 ALWAYS, any data, any sizing) and
+  // the false-positive-rate bound are pinned in PropertySpec; bench-only
+  // because the filter's bit layout has no DuckDB twin (d9/d20's rule).
+  private val g50 = benchOnly("g50_bloom_membership") { (spark, dir) =>
+    for (f <- Seq(graft.GraftExtensions.bloomAgg,
+        graft.GraftExtensions.bloomMightContain)) {
+      val (name, info, builder) = f
+      spark.sessionState.functionRegistry.registerFunction(name, info, builder)
+    }
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_g50_docs")
+    // 1M-item / 8M-bit sizing: ~1 MB filter, FPR ≈ 2% at capacity and
+    // far below it under capacity — generous headroom for the sf sweep
+    // while staying broadcast-sized; at 100 TB the same two literals are
+    // the only thing that changes (nItems = corpus cardinality estimate,
+    // bits ≈ 8–10 per item for ~2% FPR).
+    spark.sql(
+      """WITH corpus AS (
+        |  SELECT DISTINCT xxhash64(md5(text)) AS h
+        |  FROM graft_g50_docs WHERE doc_id % 5 <> 4),
+        |batch AS (
+        |  SELECT doc_id, xxhash64(md5(text)) AS h
+        |  FROM graft_g50_docs WHERE doc_id % 5 = 4),
+        |exact AS (
+        |  SELECT b.doc_id, b.h, c.h IS NOT NULL AS is_member
+        |  FROM batch b LEFT JOIN corpus c ON b.h = c.h),
+        |probed AS (
+        |  SELECT doc_id, is_member,
+        |    bloom_might_contain(
+        |      (SELECT bloom_agg(h, 1000000L, 8000000L) FROM corpus),
+        |      h) AS bloom_hit
+        |  FROM exact)
+        |SELECT
+        |  count(*) AS n_probes,
+        |  sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+        |  sum(CASE WHEN is_member AND bloom_hit THEN 1 ELSE 0 END) AS tp,
+        |  sum(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS fn,
+        |  sum(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END) AS fp,
+        |  sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS n_nonmembers
+        |FROM probed""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50)
 }

@@ -266,6 +266,49 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - tp.toDouble / (tp + fn)) < 1e-6)
   }
 
+  test("g50 bloom laws: zero false negatives, bounded FPR, merge-order invariance") {
+    import spark.implicits._
+    for (f <- Seq(GraftExtensions.bloomAgg, GraftExtensions.bloomMightContain)) {
+      val (name, info, builder) = f
+      spark.sessionState.functionRegistry.registerFunction(name, info, builder)
+    }
+    // synthetic keyspace with a GUARANTEED overlap (the corpus-derived
+    // fixture can have few/no members at small sf): corpus = 1..2000,
+    // probes = 1001..6000 → members 1001..2000, non-members 2001..6000
+    val corpus = (1L to 2000L).toDF("k")
+    val probes = (1001L to 6000L).toDF("k")
+    corpus.createOrReplaceTempView("g50_law_corpus")
+    probes.createOrReplaceTempView("g50_law_probes")
+    def confusion(nItems: Long, nBits: Long, corpusView: String): (Long, Long) = {
+      val r = spark.sql(
+        s"""SELECT
+           |  sum(CASE WHEN k <= 2000 AND NOT hit THEN 1 ELSE 0 END) AS fn,
+           |  sum(CASE WHEN k > 2000 AND hit THEN 1 ELSE 0 END) AS fp
+           |FROM (SELECT k, bloom_might_contain(
+           |    (SELECT bloom_agg(xxhash64(k), ${nItems}L, ${nBits}L)
+           |     FROM $corpusView), xxhash64(k)) AS hit
+           |  FROM g50_law_probes)""".stripMargin).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // law 1: NO false negative at any sizing — even a filter at 10% of
+    // the honest bit budget may only trade false-positive rate
+    for ((items, bits) <- Seq((2000L, 16000L), (2000L, 1600L))) {
+      val (fn, _) = confusion(items, bits, "g50_law_corpus")
+      assert(fn == 0L, s"bloom false negative at sizing ($items, $bits)")
+    }
+    // law 2: FPR bounded — 8 bits/item ≈ 2% theoretical; assert ≤ 5%
+    // (slack for hash-family variance) over 4000 non-member probes
+    val (_, fp8) = confusion(2000L, 16000L, "g50_law_corpus")
+    assert(fp8 <= 200L, s"FPR ${fp8 / 4000.0} exceeds 5% at 8 bits/item")
+    // law 3: merge-order invariance — the OR-merge of per-partition
+    // partial filters gives bit-identical verdicts whether the build ran
+    // on 1 partition or scattered over 16 (the distributive-build claim)
+    corpus.repartition(16).createOrReplaceTempView("g50_law_corpus16")
+    val one = confusion(2000L, 16000L, "g50_law_corpus")
+    val many = confusion(2000L, 16000L, "g50_law_corpus16")
+    assert(one == many, s"partition count changed bloom verdicts: $one vs $many")
+  }
+
   test("e10 discovery-curve laws: nondecreasing per user, bounded by 5 types") {
     val rows = SparkEntry.queries("e10_win_distinct")(spark, sfDir)
       .orderBy("user_id", "event_id").collect()

@@ -421,6 +421,53 @@ object ScansFilters {
       .orderBy("event_id")
   }
 
+  // a13 — Z-ORDER maintenance rewrite: the TWO-dimensional layout job
+  // next to a7's single-axis interval clustering. Both key columns are
+  // normalized to 8 bits against their table-wide [min, max] (pure int64
+  // arithmetic — equal bit-width is what makes the interleave split on
+  // BOTH dims; see Formats.zNormalize) and Morton-interleaved into the
+  // cluster key, so every output file covers a bounded extent in both
+  // dimensions and footer pruning works for filters on either column
+  // (a7 only ever tightens its lead key). The interleave is ONE shared
+  // SQL text ([[graft.sources.Formats.zInterleave8]]) evaluated by both
+  // engines — the round trip grades content preservation AND the
+  // persisted zval derivation; `ZOrderSpec` pins the layout claims
+  // (disjoint z-intervals, bounded per-file extent on each dim).
+  private val a13 = QueryDef.graded(
+    "a13_zorder", {
+      import graft.sources.Formats.{zInterleave8, zNormalize}
+      val z = zInterleave8(
+        s"(${zNormalize("o_custkey", "alo", "ahi", "//")})",
+        s"(${zNormalize("dy", "blo", "bhi", "//")})")
+      s"""WITH d AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT
+        |      AS dy
+        |  FROM orders),
+        |b AS (
+        |  SELECT min(o_custkey)::BIGINT AS alo, max(o_custkey)::BIGINT AS ahi,
+        |    min(dy) AS blo, max(dy) AS bhi
+        |  FROM d)
+        |SELECT o_orderkey, o_custkey, dy, ($z)::BIGINT AS zval
+        |FROM d CROSS JOIN b
+        |ORDER BY o_orderkey""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = s"/tmp/graft_zorder/$jvmTag/$sfTag/fragmented"
+    val out = s"/tmp/graft_zorder/$jvmTag/$sfTag/rewritten"
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate", lit("1970-01-01")).cast("bigint").as("dy"))
+      .repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+    graft.sources.Formats.zorderCluster(spark, frag, out, nFiles = 8,
+      dimA = "o_custkey", dimB = "dy")
+    spark.read.parquet(out)
+      .select($"o_orderkey", $"o_custkey", $"dy", $"zval")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
-    a7, a8, a9, a10, a11, a12)
+    a7, a8, a9, a10, a11, a12, a13)
 }

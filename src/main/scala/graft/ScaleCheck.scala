@@ -49,7 +49,8 @@ object ScaleCheck {
       "a12_table_stats", "g47_minhash_est", "g48_chunk_overlap",
       "g49_dedup_eval", "f16_regexp_funcs", "b6_partition_prune",
       "e11_win_cond", "c16_recursive_cte", "d21_decimal_exact",
-      "g50_bloom_membership", "a13_zorder")
+      "g50_bloom_membership", "a13_zorder", "a14_snapshot_diff",
+      "r7_integrity_audit")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -241,5 +241,80 @@ object Reports {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6)
+  // r7 — REFERENTIAL INTEGRITY AUDIT: the schema-health maintenance
+  // report (orphaned children per foreign-key relationship). The corpus
+  // is TPC-H-consistent, so the real arm's orphan counts are an asserted
+  // ZERO (a real finding — the audit proves the corpus, not just the
+  // detector); a declared derived band (every 50th child key gets its fk
+  // shifted out of range — a12's synthesize-the-arm precedent) proves
+  // the detector detects, with a closed-form expected count. Shape at
+  // scale: each relationship is one LEFT ANTI join — parent sides that
+  // are dims broadcast; the lineitem→orders anti join shuffles on the
+  // fk, the same key the fact tables would be bucketed on.
+  private val r7 = graded(
+    "r7_integrity_audit", {
+      def arm(rel: String, child: String, fk: String, band: String,
+          parent: String, pk: String) =
+        s"""SELECT '$rel' AS rel, count(*) AS n_child,
+           |  sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_orphans_real,
+           |  sum(CASE WHEN p2.$pk IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_orphans_banded,
+           |  sum(CASE WHEN c.$band % 50 = 0 THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_band
+           |FROM $child c
+           |LEFT JOIN $parent p ON c.$fk = p.$pk
+           |LEFT JOIN $parent p2 ON (CASE WHEN c.$band % 50 = 0
+           |  THEN c.$fk + 1000000000 ELSE c.$fk END) = p2.$pk""".stripMargin
+      Seq(
+        arm("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "l_orderkey", "orders", "o_orderkey"),
+        arm("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "l_orderkey", "part", "p_partkey"),
+        arm("orders.o_custkey->customer", "orders", "o_custkey",
+          "o_orderkey", "customer", "c_custkey"),
+        arm("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "c_custkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rel")
+    }) { (spark, dir) =>
+    import spark.implicits._
+    def arm(rel: String, child: org.apache.spark.sql.DataFrame,
+        fk: String, band: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) = {
+      // two detections per relationship: the fk as stored (real arm —
+      // the corpus is consistent, so a nonzero here is a data bug), and
+      // the fk with every-50th child shifted out of the key space
+      // (banded arm — proves the anti-join detector fires, with the
+      // closed-form expected count n_band)
+      val p1 = parent.select(col(pk).as("pk1"))
+      val p2 = parent.select(col(pk).as("pk2"))
+      child
+        .withColumn("fk2", when(col(band) % 50 === 0,
+          col(fk) + 1000000000L).otherwise(col(fk)))
+        .join(p1, col(fk) === col("pk1"), "left")
+        .join(p2, col("fk2") === col("pk2"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("pk1").isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_orphans_real"),
+          sum(when(col("pk2").isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_orphans_banded"),
+          sum(when(col(band) % 50 === 0, 1).otherwise(0)).cast("bigint")
+            .as("n_band"))
+        .select(lit(rel).as("rel"), $"n_child", $"n_orphans_real",
+          $"n_orphans_banded", $"n_band")
+    }
+    val li = Tables.lineitem(spark, dir)
+    arm("lineitem.l_orderkey->orders", li, "l_orderkey", "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionAll(arm("lineitem.l_partkey->part", li, "l_partkey",
+        "l_orderkey", Tables.part(spark, dir), "p_partkey"))
+      .unionAll(arm("orders.o_custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", "o_orderkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionAll(arm("customer.c_nationkey->nation",
+        Tables.customer(spark, dir), "c_nationkey", "c_custkey",
+        Tables.apply(spark, dir, "nation"), "n_nationkey"))
+      .orderBy("rel")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7)
 }

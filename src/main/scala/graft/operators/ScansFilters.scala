@@ -468,6 +468,58 @@ object ScansFilters {
       .orderBy("o_orderkey")
   }
 
+  // a14 — SNAPSHOT DIFF (CDC between table versions): the maintenance
+  // job that answers "what changed between yesterday's snapshot and
+  // today's" without a transaction log — full outer join on the primary
+  // key, verdict from null-sides + value compare. Both versions are
+  // deterministic derived bands of orders (deletes: key % 97 = 0;
+  // updates: key % 31 = 0 gets +1.00 price; inserts: a shifted key copy
+  // of key % 113 = 0), so the oracle states the same diff from first
+  // principles. Emits every non-'same' row, verdict-tagged and ordered —
+  // 'same' rows (the overwhelming bulk at any scale) never leave the
+  // join, so output stays proportional to churn, not table size. Shape
+  // at scale: one equi-shuffle on the key (or zero with both snapshots
+  // bucketed on it); the +1.00 update arithmetic is exact in doubles.
+  private val a14 = QueryDef.graded(
+    "a14_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.00
+      |         ELSE o_totalprice END AS v
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000 AS k, o_totalprice AS v
+      |  FROM orders WHERE o_orderkey % 113 = 0)
+      |SELECT
+      |  coalesce(v1.k, v2.k) AS k,
+      |  CASE WHEN v1.k IS NULL THEN 'insert'
+      |       WHEN v2.k IS NULL THEN 'delete'
+      |       ELSE 'update' END AS verdict,
+      |  round(v1.v, 2) AS v_old, round(v2.v, 2) AS v_new
+      |FROM v1 FULL JOIN v2 ON v1.k = v2.k
+      |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.v <> v2.v
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("v"))
+    val v2 = base.where($"k" % 97 =!= 0)
+      .select($"k",
+        when($"k" % 31 === 0, $"v" + 1.00).otherwise($"v").as("v"))
+      .unionAll(base.where($"k" % 113 === 0)
+        .select(($"k" + 100000000L).as("k"), $"v"))
+    val d = base.toDF("k1", "v1").join(v2.toDF("k2", "v2"),
+      $"k1" === $"k2", "full")
+    d.where($"k1".isNull || $"k2".isNull || $"v1" =!= $"v2")
+      .select(coalesce($"k1", $"k2").as("k"),
+        when($"k1".isNull, "insert")
+          .when($"k2".isNull, "delete")
+          .otherwise("update").as("verdict"),
+        round($"v1", 2).as("v_old"), round($"v2", 2).as("v_new"))
+      .orderBy("k")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
-    a7, a8, a9, a10, a11, a12, a13)
+    a7, a8, a9, a10, a11, a12, a13, a14)
 }

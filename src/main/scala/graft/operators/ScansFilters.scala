@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.graded
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A: scans/sources. B: projection, filter, predicates.
@@ -520,6 +521,53 @@ object ScansFilters {
       .orderBy("k")
   }
 
+  // a15 — SCD2 DIMENSION HISTORY BUILD: the maintenance job that turns a
+  // mutation log into a slowly-changing-dimension type-2 table
+  // (valid_from / valid_to / is_current version intervals). The change
+  // log is each customer's order stream read as attribute updates to
+  // o_orderpriority: last-write-wins per (customer, day) — row_number
+  // by descending orderkey, the deterministic tiebreak — then no-op
+  // updates are compressed away (a version is cut only when the value
+  // CHANGES, the defining SCD2 rule), then lead() closes each interval
+  // and the open one is flagged current. Shape at scale: every window
+  // partitions on the customer key, so the whole build is ONE shuffle
+  // on c_custkey and then colocated window passes; output is
+  // proportional to the number of value changes, not the log size.
+  private val a15 = QueryDef.graded(
+    "a15_scd2",
+    """WITH daily AS (
+      |  SELECT k, d, attr FROM (
+      |    SELECT o_custkey AS k, o_orderdate AS d, o_orderpriority AS attr,
+      |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1),
+      |ver AS (
+      |  SELECT k, d, attr FROM (
+      |    SELECT k, d, attr,
+      |      lag(attr) OVER (PARTITION BY k ORDER BY d) AS prev
+      |    FROM daily) WHERE prev IS NULL OR attr <> prev)
+      |SELECT k AS c_custkey, attr, d AS valid_from,
+      |  lead(d) OVER (PARTITION BY k ORDER BY d) AS valid_to,
+      |  (lead(d) OVER (PARTITION BY k ORDER BY d) IS NULL) AS is_current
+      |FROM ver
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val byDay = Window.partitionBy($"k", $"d").orderBy($"o_orderkey".desc)
+    val byKey = Window.partitionBy($"k").orderBy($"d")
+    Tables.orders(spark, dir)
+      .select($"o_custkey".as("k"), $"o_orderdate".as("d"),
+        $"o_orderpriority".as("attr"), $"o_orderkey")
+      .withColumn("rn", row_number().over(byDay))
+      .where($"rn" === 1)
+      .withColumn("prev", lag($"attr", 1).over(byKey))
+      .where($"prev".isNull || $"attr" =!= $"prev")
+      .select($"k", $"d", $"attr")
+      .withColumn("valid_to", lead($"d", 1).over(byKey))
+      .select($"k".as("c_custkey"), $"attr", $"d".as("valid_from"),
+        $"valid_to", $"valid_to".isNull.as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
-    a7, a8, a9, a10, a11, a12, a13, a14)
+    a7, a8, a9, a10, a11, a12, a13, a14, a15)
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.QueryDef.{benchOnly, graded}
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -484,6 +485,80 @@ object Curation {
         |FROM probed""".stripMargin)
   }
 
+  // g51 — PAGERANK over the nation trade graph (customer nation →
+  // supplier nation via orders⋈lineitem): iterative rank propagation,
+  // the domain-quality signal web-scale curation runs over the URL host
+  // graph (rank feeds the g10/g39 quality gates). Beyond Components
+  // (g40), this is the OTHER fixed-point graph algorithm class — value
+  // propagation rather than label collapse. Determinism: ranks live in
+  // integer parts-per-million (r₀ = 1,000,000; damping 0.85 applied as
+  // ×85 div 100; per-edge contribution r div outdeg) so every engine
+  // sums exact BIGINTs — float PageRank would be order-sensitive and
+  // hash-unstable. Three unrolled iterations (the oracle states each as
+  // a CTE; a driver-side convergence loop would hide the fixed point
+  // from Catalyst). Dangling-node mass is dropped, not redistributed —
+  // both engines state the same simplification. Shape at scale: the
+  // edge derivation is the c2-class fact join (dims broadcast, one
+  // shuffle on the fact keys) collapsing to ≤ |nations|² distinct
+  // edges via partial aggregation; each iteration is then a
+  // broadcast-sized join — rank state never exceeds the node count.
+  private val g51 = graded(
+    "g51_pagerank", {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.n_nationkey AS node,
+           |    (150000 + (85 * coalesce(sum(p.r // dg.d), 0)) // 100)::BIGINT
+           |      AS r
+           |  FROM nation n
+           |  LEFT JOIN edges e ON e.dst = n.n_nationkey
+           |  LEFT JOIN $prev p ON p.node = e.src
+           |  LEFT JOIN dg ON dg.src = e.src
+           |  GROUP BY n.n_nationkey)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey),
+         |dg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT n_nationkey AS node, 1000000::BIGINT AS r FROM nation),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT n.n_nationkey, n.n_name, r3.r AS rank_ppm
+         |FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+         |ORDER BY rank_ppm DESC, n_nationkey""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .where($"src" =!= $"dst")
+      .distinct()
+    val withDeg = edges.join(
+      edges.groupBy($"src").agg(count(lit(1)).as("d")), "src")
+    val nodes = nation.select($"n_nationkey".as("node"))
+    def iter(prev: DataFrame): DataFrame = {
+      val contrib = withDeg
+        .join(prev.select($"node".as("pnode"), $"r".as("pr")),
+          $"pnode" === $"src")
+        .groupBy($"dst").agg(sum(expr("pr div d")).as("s"))
+      nodes.join(contrib, $"dst" === $"node", "left")
+        .selectExpr("node",
+          "cast(150000 + (85 * coalesce(s, 0L)) div 100 as bigint) AS r")
+    }
+    val r3 = iter(iter(iter(
+      nodes.select($"node", lit(1000000L).as("r")))))
+    r3.join(nation, $"n_nationkey" === $"node")
+      .select($"n_nationkey", $"n_name", $"r".as("rank_ppm"))
+      .orderBy($"rank_ppm".desc, $"n_nationkey")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50)
+    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51)
 }

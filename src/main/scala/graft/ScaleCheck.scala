@@ -50,7 +50,9 @@ object ScaleCheck {
       "g49_dedup_eval", "f16_regexp_funcs", "b6_partition_prune",
       "e11_win_cond", "c16_recursive_cte", "d21_decimal_exact",
       "g50_bloom_membership", "a13_zorder", "a14_snapshot_diff",
-      "r7_integrity_audit", "g51_pagerank", "a15_scd2")
+      "r7_integrity_audit", "g51_pagerank", "a15_scd2",
+      "d22_equidepth_hist", "e12_win_nav", "g52_oov_rate",
+      "g53_perplexity_bucket")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

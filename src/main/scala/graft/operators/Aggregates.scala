@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.{benchOnly, graded}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** D: aggregation.
@@ -565,6 +566,41 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // d22 — EQUI-DEPTH histogram (the CBO statistics object next to d17's
+  // equi-WIDTH width_bucket and a12's scalar column stats): 8 buckets of
+  // equal row count per return flag, each with its exact [lo, hi] value
+  // bounds — the selectivity-estimation structure ANALYZE actually
+  // builds, because equal-width buckets are useless on skewed value
+  // distributions. Bucket assignment is e8's tie-broken ntile (total
+  // order via the (price, orderkey, linenumber) key, so bucket
+  // membership is deterministic, not tie-arbitrary). Shape at scale:
+  // ntile partitions on the flag key — one shuffle, then a colocated
+  // partial-agg groupBy on (flag, bucket); constant 24-row output.
+  private val d22 = graded(
+    "d22_equidepth_hist",
+    """WITH t AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    ntile(8) OVER (PARTITION BY l_returnflag
+      |                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |    ) AS bucket
+      |  FROM lineitem)
+      |SELECT flag, bucket, count(*) AS n,
+      |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+      |FROM t GROUP BY flag, bucket
+      |ORDER BY flag, bucket""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"flag")
+      .orderBy($"v", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
+        $"l_orderkey", $"l_linenumber")
+      .withColumn("bucket", ntile(8).over(w))
+      .groupBy($"flag", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"v"), 2).as("lo"), round(max($"v"), 2).as("hi"))
+      .orderBy("flag", "bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

@@ -264,6 +264,36 @@ object Windows {
       .orderBy("event_id")
   }
 
+  // E12 — window NAVIGATION functions (first_value / last_value /
+  // nth_value): anchor every event to its user's first, latest and
+  // second reading — the "compare to baseline" projection session
+  // analytics runs constantly. All three read one full-partition frame
+  // (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING stated explicitly:
+  // the default frame STOPS at CURRENT ROW, which silently turns
+  // last_value into "current value" — the classic navigation bug, here
+  // pinned by the oracle). Values are exact picks of stored doubles (no
+  // arithmetic), so parity needs no rounding. One shuffle on user_id.
+  private val e12 = graded(
+    "e12_win_nav",
+    """SELECT event_id, user_id,
+      |  first_value(value) OVER w AS first_v,
+      |  last_value(value) OVER w AS last_v,
+      |  nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.eventsUs(spark, dir)
+      .select($"event_id", $"user_id",
+        first($"value").over(w).as("first_v"),
+        last($"value").over(w).as("last_v"),
+        nth_value($"value", 2).over(w).as("second_v"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }

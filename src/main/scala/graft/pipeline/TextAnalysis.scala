@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.QueryDef.graded
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G (text-analysis family): corpus statistics, TF-IDF, language-ID
@@ -566,6 +567,96 @@ object TextAnalysis {
       .orderBy("lang", "pred_lang")
   }
 
+  // g52 — VOCABULARY COVERAGE / OOV RATE: per-document out-of-vocabulary
+  // token share against the corpus's own top-25 word vocabulary — the
+  // tokenizer-fit metric a curation pass computes before committing to a
+  // vocab (high OOV ⇒ the tokenizer will shred this document into
+  // bytes). Vocabulary selection is fully deterministic: frequency with
+  // the word itself as tiebreak, taken with a TakeOrdered top-k (a
+  // total-order sort+limit, NOT a single-partition window). OOV share is
+  // reported in integer basis points (10000·oov div tokens) — g31's
+  // integer-quotient determinism rule. Shape at scale: one token-key
+  // shuffle for frequencies, a broadcast of the tiny vocab, then a
+  // per-doc colocated count; nothing global but the 25-row vocab.
+  private val g52 = graded(
+    "g52_oov_rate",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM freq)
+      |  WHERE rk <= 25),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_tok,
+      |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_tok, n_oov, (10000 * n_oov) // n_tok AS oov_bp
+      |FROM per ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(25)
+      .select($"w".as("vw"))
+    tok.join(broadcast(vocab), $"w" === $"vw", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"vw".isNull, 1).otherwise(0)).cast("bigint").as("n_oov"))
+      .selectExpr("doc_id", "n_tok", "n_oov",
+        "(10000 * n_oov) div n_tok AS oov_bp")
+      .orderBy("doc_id")
+  }
+
+  // g53 — PERPLEXITY BUCKETING (the CCNet stage: split each language's
+  // corpus into head / middle / tail by LM score, keep head+middle,
+  // audit tail): g35's unigram mean-logprob feeds a per-lang ntile(3).
+  // The tertile orders by the ROUNDED score with doc_id tiebreak — the
+  // unrounded per-doc sum adds in engine order (g35's documented ulp
+  // hazard), so ranking on it would make bucket membership
+  // engine-dependent; ranking on the 6dp value both engines already
+  // agree on (g35 is hash-graded) makes the cut deterministic. Shape at
+  // scale: g35's token shuffle + broadcast vocab, then one per-lang
+  // window — the ntile partitions on lang, never a global sort.
+  private val g53 = graded(
+    "g53_perplexity_bucket",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |uni AS (SELECT word, count(*)::DOUBLE AS n FROM w GROUP BY word),
+      |tot AS (SELECT sum(n) AS total FROM uni),
+      |lp AS (
+      |  SELECT doc_id, round(sum(ln(n / total)) / count(*), 6) AS mlp
+      |  FROM w JOIN uni USING (word) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT d.doc_id, d.lang, lp.mlp,
+      |    ntile(3) OVER (PARTITION BY d.lang ORDER BY lp.mlp DESC, d.doc_id
+      |    ) AS t
+      |  FROM documents d JOIN lp ON d.doc_id = lp.doc_id)
+      |SELECT doc_id, lang, mlp AS mean_logprob,
+      |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket
+      |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    val uni = w.groupBy($"word").agg(count(lit(1)).cast("double").as("n"))
+    val tot = uni.agg(sum($"n").as("total"))
+    val lp = w.join(broadcast(uni), "word")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(round(sum(log($"n" / $"total")) / count(lit(1)), 6).as("mlp"))
+    val nt = Window.partitionBy($"lang").orderBy($"mlp".desc, $"doc_id")
+    Tables.documents(spark, dir).select($"doc_id", $"lang")
+      .join(lp, "doc_id")
+      .withColumn("t", ntile(3).over(nt))
+      .select($"doc_id", $"lang", $"mlp".as("mean_logprob"),
+        when($"t" === 1, "head").when($"t" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42, g43)
+    g37, g38, g41, g42, g43, g52, g53)
 }

@@ -52,7 +52,7 @@ object ScaleCheck {
       "g50_bloom_membership", "a13_zorder", "a14_snapshot_diff",
       "r7_integrity_audit", "g51_pagerank", "a15_scd2",
       "d22_equidepth_hist", "e12_win_nav", "g52_oov_rate",
-      "g53_perplexity_bucket")
+      "g53_perplexity_bucket", "r8_report_curation_funnel")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -571,11 +571,16 @@ object Aggregates {
   // equal row count per return flag, each with its exact [lo, hi] value
   // bounds — the selectivity-estimation structure ANALYZE actually
   // builds, because equal-width buckets are useless on skewed value
-  // distributions. Bucket assignment is e8's tie-broken ntile (total
-  // order via the (price, orderkey, linenumber) key, so bucket
-  // membership is deterministic, not tie-arbitrary). Shape at scale:
-  // ntile partitions on the flag key — one shuffle, then a colocated
-  // partial-agg groupBy on (flag, bucket); constant 24-row output.
+  // distributions. The oracle states it as e8's tie-broken ntile; the
+  // Spark side does NOT run that window — l_returnflag has 3 values, so
+  // a flag-partitioned ntile sorts a third of the table in ONE task (an
+  // 8× ScaleCheck measured ratio 3.6 on the naive form — a real
+  // scale-killer). Instead: the g28 two-pass distributed rank (value
+  // bands give range-local row_numbers; per-band counts — ~55 rows per
+  // flag — prefix-sum into carry-in offsets), then ntile's bucket
+  // boundaries reproduced in closed-form integer arithmetic from
+  // (rank, n): the first n%8 buckets get n/8+1 rows, the rest n/8 —
+  // identical output, no low-cardinality-partition sort anywhere.
   private val d22 = graded(
     "d22_equidepth_hist",
     """WITH t AS (
@@ -589,12 +594,36 @@ object Aggregates {
       |FROM t GROUP BY flag, bucket
       |ORDER BY flag, bucket""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val w = Window.partitionBy($"flag")
-      .orderBy($"v", $"l_orderkey", $"l_linenumber")
-    Tables.lineitem(spark, dir)
+    val base = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
         $"l_orderkey", $"l_linenumber")
-      .withColumn("bucket", ntile(8).over(w))
+      .withColumn("band", ($"v" / 2000.0).cast("int"))
+    // pass 1: fine-grained (flag, band) windows — thousands of small
+    // partitions, never a per-flag global sort
+    val wLocal = Window.partitionBy($"flag", $"band")
+      .orderBy($"v", $"l_orderkey", $"l_linenumber")
+    // pass 2: per-band counts (tiny) → carry-in offset per band + per-flag n
+    val bandCounts = base.groupBy($"flag", $"band")
+      .agg(count(lit(1)).as("bc"))
+    val wOff = Window.partitionBy($"flag").orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandCounts
+      .withColumn("off", coalesce(sum($"bc").over(wOff), lit(0L)))
+      .withColumn("n", sum($"bc").over(Window.partitionBy($"flag")))
+      .select($"flag", $"band", $"off", $"n")
+    base
+      .withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("flag", "band"))
+      .withColumn("rk", $"off" + $"rn")
+      // ntile(8) closed form: q = n div 8, r = n mod 8; ranks up to
+      // r·(q+1) land in the first r (q+1)-sized buckets, the rest in
+      // q-sized buckets
+      .withColumn("bucket", expr(
+        """CASE WHEN rk <= (n % 8) * (n div 8 + 1)
+          |  THEN cast((rk - 1) div (n div 8 + 1) + 1 as int)
+          |  ELSE cast(n % 8
+          |    + (rk - (n % 8) * (n div 8 + 1) - 1) div (n div 8) + 1 as int)
+          |END""".stripMargin))
       .groupBy($"flag", $"bucket")
       .agg(count(lit(1)).as("n"),
         round(min($"v"), 2).as("lo"), round(max($"v"), 2).as("hi"))

@@ -316,5 +316,117 @@ object Reports {
       .orderBy("rel")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7)
+  // r8 — CURATION FUNNEL: the yield report every training-data pipeline
+  // prints — per language, how many documents survive each gate in
+  // sequence: raw → exact-text dedup (g1's rule) → normalized-text dedup
+  // (lowercase, strip non-alphanumerics, collapse spaces — the trivial-
+  // variant catcher between exact and SimHash) → quality gate (g10's
+  // exact formula, keep q ≥ 0.5) → langid consistency (g9's stopword
+  // rule; keep docs whose predicted class agrees with the label). Each
+  // stage is nested in the previous, so the columns are monotone
+  // non-increasing — the shape that makes attrition attributable to ONE
+  // gate. All-integer output. Shape at scale: dedup windows partition on
+  // the (high-cardinality) content digests, scoring is per-row map-side,
+  // per-lang counts are 5-key aggregates — nothing global anywhere.
+  private val r8 = graded(
+    "r8_report_curation_funnel", {
+      val stopIn = graft.pipeline.TextAnalysis.stopSqlIn
+      val stopList = graft.pipeline.TextAnalysis.stopList
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text FROM documents),
+         |ex AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id
+         |      ) AS rn
+         |    FROM base) WHERE rn = 1),
+         |nrm AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      row_number() OVER (
+         |        PARTITION BY md5(trim(regexp_replace(regexp_replace(
+         |          lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+         |        ORDER BY doc_id) AS rn
+         |    FROM ex) WHERE rn = 1),
+         |qual AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      0.4 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * least(10.0 * len(list_filter(string_split(text, ' '),
+         |          t -> t IN $stopIn))::DOUBLE
+         |          / len(string_split(text, ' '))::DOUBLE, 1.0)
+         |      + 0.3 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |          / len(string_split(text, ' '))::DOUBLE) AS q
+         |    FROM nrm) WHERE q >= 0.5),
+         |lid AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |      CASE WHEN len(list_intersect(
+         |          list_distinct(string_split(text, ' ')), $stopList))::DOUBLE
+         |        / len(list_distinct(string_split(text, ' ')))::DOUBLE >= 0.05
+         |      THEN 'en' ELSE 'other' END AS pred
+         |    FROM qual)
+         |  WHERE (lang = 'en') = (pred = 'en'))
+         |SELECT b.lang,
+         |  count(*) AS n_raw,
+         |  count(e.doc_id) AS n_exact,
+         |  count(n.doc_id) AS n_norm,
+         |  count(q.doc_id) AS n_quality,
+         |  count(l.doc_id) AS n_lang
+         |FROM base b
+         |LEFT JOIN (SELECT doc_id FROM ex) e ON b.doc_id = e.doc_id
+         |LEFT JOIN (SELECT doc_id FROM nrm) n ON b.doc_id = n.doc_id
+         |LEFT JOIN (SELECT doc_id FROM qual) q ON b.doc_id = q.doc_id
+         |LEFT JOIN (SELECT doc_id FROM lid) l ON b.doc_id = l.doc_id
+         |GROUP BY b.lang
+         |ORDER BY b.lang""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val stopArr = array(graft.pipeline.TextAnalysis.stopList.map(lit): _*)
+    val inList = graft.pipeline.TextAnalysis.stopSqlIn
+    val base = Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+    val wExact = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val exact = base.withColumn("rn", row_number().over(wExact))
+      .where($"rn" === 1).drop("rn")
+    val normKey = md5(trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+    val wNorm = Window.partitionBy(normKey).orderBy($"doc_id")
+    val norm = exact.withColumn("rn", row_number().over(wNorm))
+      .where($"rn" === 1).drop("rn")
+    val qual = norm
+      .withColumn("n_words", size(split($"text", " ")).cast("double"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN $inList))")
+          .cast("double"))
+      .withColumn("n_uniq",
+        size(array_distinct(split($"text", " "))).cast("double"))
+      .withColumn("q",
+        lit(0.4) * least($"n_words" / 50.0, lit(1.0))
+          + lit(0.3) * least(lit(10.0) * $"n_stop" / $"n_words", lit(1.0))
+          + lit(0.3) * ($"n_uniq" / $"n_words"))
+      .where($"q" >= 0.5)
+    val lid = qual
+      .withColumn("tk", array_distinct(split($"text", " ")))
+      .withColumn("sc", size(array_intersect($"tk", stopArr)).cast("double")
+        / size($"tk").cast("double"))
+      .withColumn("pred", when($"sc" >= 0.05, "en").otherwise("other"))
+      .where(($"lang" === "en") === ($"pred" === "en"))
+    def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.groupBy($"lang").agg(count(lit(1)).as(name))
+    cnt(base, "n_raw")
+      .join(cnt(exact, "n_exact"), Seq("lang"), "left")
+      .join(cnt(norm, "n_norm"), Seq("lang"), "left")
+      .join(cnt(qual, "n_quality"), Seq("lang"), "left")
+      .join(cnt(lid, "n_lang"), Seq("lang"), "left")
+      .select($"lang", $"n_raw",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_norm", lit(0L)).as("n_norm"),
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"n_lang", lit(0L)).as("n_lang"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8)
 }

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private[pipeline] val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
-  private[pipeline] val stopSqlIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[graft] val stopList = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[graft] val stopSqlIn = stopList.map(w => s"'$w'").mkString("(", ", ", ")")
 
   // g6 — TF-IDF scoring, pure relational pipeline (no MLlib needed):
   // explode → TF per (doc, word), DF per word, idf = ln(N/df).

@@ -17,6 +17,7 @@ class PlanQualitySpec extends SparkSpec {
     "g12_ann_lsh", "g17_ann_ivf", "g21_knn_join", "g30_bigram_lift",
     "g32_cluster_assign", // broadcasts the 8-row prototype set (g4's shape)
     "g35_unigram_logprob", // crosses the 1-row corpus-total (g30's shape)
+    "g53_perplexity_bucket", // g35's logprob stage — same 1-row cross
     "g37_keywords", // crosses the 1-row corpus-total (g6's shape)
     "d20_hll_merge") // crosses the 1-row whole-table exact count
 

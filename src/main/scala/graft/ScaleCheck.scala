@@ -52,7 +52,8 @@ object ScaleCheck {
       "g50_bloom_membership", "a13_zorder", "a14_snapshot_diff",
       "r7_integrity_audit", "g51_pagerank", "a15_scd2",
       "d22_equidepth_hist", "e12_win_nav", "g52_oov_rate",
-      "g53_perplexity_bucket", "r8_report_curation_funnel")
+      "g53_perplexity_bucket", "r8_report_curation_funnel",
+      "g54_url_dedup")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

@@ -891,6 +891,62 @@ object Dedup {
         nullif(($"tp" + $"fn"), lit(0)).cast("double"), 6).as("rec"))
   }
 
+  // g54 — URL CANONICALIZATION DEDUP: the crawl-frontier stage that runs
+  // BEFORE any content is fetched — collapse scheme/host case, default
+  // ports, tracking parameters, fragments and trailing slashes so the
+  // same resource isn't crawled (or kept) N times under N spellings. The
+  // corpus has no URL column, so three deterministic spellings per
+  // document are synthesized in-query (g27/f15's declared-fixture
+  // pattern): the clean form, a cased+port+slash variant, and a
+  // utm+fragment variant — the canonicalizer must collapse all three
+  // (closed form: every group is exactly 3 → 1). Each rewrite pattern
+  // occurs at most once per URL by construction, so Spark's replace-all
+  // regexp_replace and DuckDB's replace-first agree. Map-side
+  // canonicalization + one groupBy on the canonical key — at crawl scale
+  // this is the g1 exact-dedup shape with a normalizer in front.
+  private val g54 = graded(
+    "g54_url_dedup",
+    """WITH v AS (
+      |  SELECT doc_id, unnest([
+      |    'https://' || source || '.example.org/' || lang || '/doc-'
+      |      || doc_id,
+      |    'HTTPS://' || upper(source) || '.Example.ORG:443/' || lang
+      |      || '/doc-' || doc_id || '/',
+      |    'https://' || source || '.example.org/' || lang || '/doc-'
+      |      || doc_id || '?utm_source=feed&utm_campaign=x#sec-2']) AS raw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, raw,
+      |    regexp_replace(regexp_replace(lower(regexp_replace(
+      |      regexp_replace(raw, '#.*$', ''), '\?utm[^#]*', '')),
+      |      ':443/', '/'), '/$', '') AS canonical
+      |  FROM v)
+      |SELECT canonical, count(*) AS n_raw,
+      |  count(DISTINCT raw) AS n_distinct_raw, min(raw) AS kept_raw
+      |FROM c GROUP BY canonical
+      |ORDER BY canonical""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"source", $"lang")
+      .withColumn("raw", explode(array(
+        concat(lit("https://"), $"source", lit(".example.org/"), $"lang",
+          lit("/doc-"), $"doc_id"),
+        concat(lit("HTTPS://"), upper($"source"), lit(".Example.ORG:443/"),
+          $"lang", lit("/doc-"), $"doc_id", lit("/")),
+        concat(lit("https://"), $"source", lit(".example.org/"), $"lang",
+          lit("/doc-"), $"doc_id",
+          lit("?utm_source=feed&utm_campaign=x#sec-2")))))
+    v.withColumn("canonical",
+        regexp_replace(regexp_replace(lower(regexp_replace(
+          regexp_replace($"raw", "#.*$", ""), "\\?utm[^#]*", "")),
+          ":443/", "/"), "/$", ""))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"raw").as("n_distinct_raw"),
+        min($"raw").as("kept_raw"))
+      .orderBy("canonical")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54)
 }

@@ -540,8 +540,16 @@ object Curation {
       .select($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .where($"src" =!= $"dst")
       .distinct()
-    val withDeg = edges.join(
-      edges.groupBy($"src").agg(count(lit(1)).as("d")), "src")
+    // materialize the ≤|nations|² edge set ONCE: each of the 3 unrolled
+    // iterations references it, and without a checkpoint Spark re-executes
+    // the whole fact join per reference (measured: 6 lineitem scans in the
+    // plan) — at 100 TB that is 5 wasted passes over the biggest table
+    val edgesM = {
+      val cp = edges.localCheckpoint()
+      spark.createDataFrame(cp.rdd, cp.schema)
+    }
+    val withDeg = edgesM.join(
+      edgesM.groupBy($"src").agg(count(lit(1)).as("d")), "src")
     val nodes = nation.select($"n_nationkey".as("node"))
     def iter(prev: DataFrame): DataFrame = {
       val contrib = withDeg

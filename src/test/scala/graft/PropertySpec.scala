@@ -325,4 +325,104 @@ class PropertySpec extends SparkSpec {
       assert(curve.max <= 5 && curve.min >= 1)
     }
   }
+
+  test("a15 SCD2 laws: one current row per key, contiguous change-only intervals") {
+    val rows = SparkEntry.queries("a15_scd2")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs0) <- rows.groupBy(_.getLong(0))) {
+      // timestamps are NTZ → LocalDateTime rows
+      def t(r: org.apache.spark.sql.Row, i: Int) =
+        r.getAs[java.time.LocalDateTime](i)
+      val rs = rs0.sortBy(r =>
+        t(r, 2).toEpochSecond(java.time.ZoneOffset.UTC))
+      // exactly one open interval, and it is the last one
+      assert(rs.count(_.isNullAt(3)) == 1 && rs.last.isNullAt(3))
+      for (Array(a, b) <- rs.sliding(2).filter(_.length == 2)) {
+        // closed intervals: [from, to) with to == next.from (contiguous)
+        assert(t(a, 3) == t(b, 2))
+        // a version is cut only on CHANGE: consecutive attrs differ
+        assert(a.getString(1) != b.getString(1))
+      }
+      for (r <- rs if !r.isNullAt(3))
+        assert(t(r, 2).isBefore(t(r, 3)))
+    }
+  }
+
+  test("r8 funnel law: gate survivors are monotone non-increasing") {
+    val rows =
+      SparkEntry.queries("r8_report_curation_funnel")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val counts = (1 to 5).map(r.getLong)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"funnel not monotone for lang ${r.getString(0)}: $counts")
+      assert(counts.last >= 0)
+    }
+  }
+
+  test("d22 equi-depth laws: 8 buckets per flag, sizes within 1, disjoint ranges") {
+    val rows = SparkEntry.queries("d22_equidepth_hist")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs0) <- rows.groupBy(_.getString(0))) {
+      val rs = rs0.sortBy(_.getInt(1))
+      assert(rs.map(_.getInt(1)).toSeq == (1 to 8))
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"not equi-depth: ${sizes.toSeq}")
+      // ntile's remainder goes to the FIRST buckets
+      assert(sizes.sameElements(sizes.sortBy(-(_: Long))))
+      for (r <- rs) assert(r.getDouble(3) <= r.getDouble(4))
+      for (Array(a, b) <- rs.sliding(2).filter(_.length == 2))
+        assert(a.getDouble(4) <= b.getDouble(3),
+          s"bucket value ranges overlap: ${a.getDouble(4)} > ${b.getDouble(3)}")
+    }
+  }
+
+  test("g51 pagerank laws: rank bounded by damping floor and total mass") {
+    val rows = SparkEntry.queries("g51_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getLong(2))
+    // floor: an inbound-free node keeps exactly the 0.15 base; ceiling:
+    // no node can hold more than the whole graph's initial mass
+    assert(ranks.forall(r => r >= 150000L && r <= 25L * 1000000L))
+    // presentation order is rank-descending
+    assert(ranks.sameElements(ranks.sortBy(-(_: Long))))
+  }
+
+  test("g52 oov laws: counts nested, basis points are the floor quotient") {
+    val rows = SparkEntry.queries("g52_oov_rate")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nTok, nOov, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov >= 0 && nOov <= nTok && nTok > 0)
+      assert(bp == 10000L * nOov / nTok && bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("g53 bucket laws: per-lang tertiles within 1, head scores >= tail scores") {
+    val rows =
+      SparkEntry.queries("g53_perplexity_bucket")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getString(1))) {
+      val by = rs.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      assert(by.keySet == Set("head", "middle", "tail"))
+      assert(by.values.max - by.values.min <= 1, s"tertiles uneven: $by")
+      def scores(b: String) = rs.filter(_.getString(3) == b).map(_.getDouble(2))
+      assert(scores("head").min >= scores("middle").max ||
+        scores("head").min >= scores("middle").min) // ties split at the edge
+      assert(scores("middle").min >= scores("tail").max ||
+        scores("middle").min >= scores("tail").min)
+    }
+  }
+
+  test("g54 canonicalization laws: every 3-variant group collapses, output clean") {
+    val rows = SparkEntry.queries("g54_url_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val canonical = r.getString(0)
+      assert(r.getLong(1) == 3 && r.getLong(2) == 3)
+      assert(canonical == canonical.toLowerCase)
+      assert(!canonical.contains("utm_") && !canonical.contains("#")
+        && !canonical.contains(":443") && !canonical.endsWith("/"))
+    }
+  }
 }

@@ -630,6 +630,47 @@ object Aggregates {
       .orderBy("flag", "bucket")
   }
 
+  // d23 — A/B COMPARISON (Welch's t): the statistical-inference surface
+  // (d3 gives the moments; this is the decision statistic built on
+  // them) — compare every event type's value distribution against the
+  // 'click' control: per-group n/mean/variance plus the Welch t
+  // statistic. Determinism rule: the t is computed FROM THE 6dp-ROUNDED
+  // moments (d3 proves those hash-stable across engines), so the
+  // derived statistic is exact arithmetic over values both engines
+  // already agree on — never a fresh ulp-order-sensitive pass. Shape at
+  // scale: one partial-agg groupBy on the 5-value type key, control row
+  // broadcast; constant-size output.
+  private val d23 = graded(
+    "d23_ab_ttest",
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    round(avg(value), 6) AS mean_v,
+      |    round(var_samp(value), 6) AS var_v
+      |  FROM events GROUP BY event_type),
+      |c AS (SELECT n AS n0, mean_v AS m0, var_v AS v0 FROM g
+      |      WHERE event_type = 'click')
+      |SELECT g.event_type, g.n, g.mean_v, g.var_v,
+      |  round((g.mean_v - c.m0) / sqrt(g.var_v / g.n + c.v0 / c.n0), 6)
+      |    AS t_vs_click
+      |FROM g CROSS JOIN c
+      |WHERE g.event_type <> 'click'
+      |ORDER BY g.event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.eventsUs(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 6).as("mean_v"),
+        round(var_samp($"value"), 6).as("var_v"))
+    val c = g.where($"event_type" === "click")
+      .select($"n".as("n0"), $"mean_v".as("m0"), $"var_v".as("v0"))
+    g.where($"event_type" =!= "click")
+      .crossJoin(broadcast(c))
+      .select($"event_type", $"n", $"mean_v", $"var_v",
+        round(($"mean_v" - $"m0")
+          / sqrt($"var_v" / $"n" + $"v0" / $"n0"), 6).as("t_vs_click"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }

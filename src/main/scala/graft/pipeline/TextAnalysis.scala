@@ -657,6 +657,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // g55 — CROSS-DOCUMENT n-gram repetition (the Lee et al. exact-
+  // substring dedup signal, distributed form): per document, the share
+  // of its distinct 13-grams that also appear in at least one OTHER
+  // document — distinct from g31 (repetition WITHIN a doc) and g26
+  // (overlap with a fixed benchmark set); this is the corpus-wide
+  // repeated-span profile an exact-substring dedup policy thresholds
+  // on. Share in integer basis points (g31's quotient rule). Shape at
+  // scale: two shuffles on the gram key (distinct + doc-count), then a
+  // per-doc colocated count — the g26 machinery pointed at the corpus
+  // itself; gram doc-counts partial-aggregate, so the hot 'the same
+  // boilerplate everywhere' grams never concentrate on one task.
+  private val g55 = graded(
+    "g55_repeated_ngram_frac",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(t) >= 13 THEN
+      |      list_transform(generate_series(1, len(t) - 12),
+      |        i -> array_to_string(list_slice(t, i, i + 12), ' '))
+      |      ELSE [] END) AS gr
+      |  FROM tk),
+      |dg AS (SELECT DISTINCT doc_id, gr FROM g),
+      |cnt AS (SELECT gr, count(*) AS nd FROM dg GROUP BY gr),
+      |per AS (
+      |  SELECT dg.doc_id, count(*) AS n_grams,
+      |    sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+      |  FROM dg JOIN cnt USING (gr) GROUP BY dg.doc_id)
+      |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+      |  coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+      |  (CASE WHEN coalesce(p.n_grams, 0) > 0
+      |    THEN (10000 * p.n_shared) // p.n_grams ELSE 0 END)::BIGINT
+      |    AS shared_bp
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // sub-13-token docs contribute no grams (g26's descending-sequence guard)
+    val grams = Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(t) >= 13 THEN
+          |  transform(sequence(1, size(t) - 12),
+          |    i -> array_join(slice(t, i, 13), ' '))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
+    val dg = grams.distinct()
+    val cnt = dg.groupBy($"gr").agg(count(lit(1)).as("nd"))
+    val per = dg.join(cnt, "gr")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"nd" >= 2, 1).otherwise(0)).cast("bigint").as("n_shared"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        expr("""CASE WHEN coalesce(n_grams, 0L) > 0
+          |  THEN (10000 * n_shared) div n_grams ELSE 0L END""".stripMargin)
+          .cast("bigint").as("shared_bp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42, g43, g52, g53)
+    g37, g38, g41, g42, g43, g52, g53, g55)
 }

@@ -671,6 +671,36 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  // d24 — LINEAR REGRESSION aggregates (regr_slope / intercept / r2):
+  // the model-fit member of the statistics family (d3 moments, d19
+  // correlation, d23 inference) — one distributive pass computes the
+  // OLS fit per group; both engines state the same closed-form
+  // sums-of-products definition, and d19's corr() precedent covers the
+  // rounding rule (6dp on the derived ratios). Shape at scale: a single
+  // partial-agg groupBy on the 3-value flag key — the regression state
+  // (six running sums) merges associatively like any moment sketch.
+  private val d24 = graded(
+    "d24_linreg",
+    """SELECT l_returnflag AS flag,
+      |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("flag"))
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").cast("bigint")
+          .as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+          .as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy("flag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.QueryDef.graded
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** F: sort / limit / top-k, set operations, and the scalar function surface
@@ -416,6 +417,45 @@ object SortSetScalar {
       .orderBy("doc_id")
   }
 
+  // f17 — NULL ORDERING pinned explicitly: Spark's ASC default is NULLS
+  // FIRST, DuckDB's is NULLS LAST — an ORDER BY or ranking window over a
+  // nullable key silently disagrees between the engines unless the null
+  // position is stated. This key states it both ways (ASC NULLS FIRST /
+  // DESC NULLS LAST) inside ranking windows partitioned on the priority
+  // key (never a global single-partition sort), so the placement is
+  // graded as DATA (rank columns), not just presentation order; the
+  // nullable column is a declared derived band (every 7th order's price
+  // nulled — the corpus has no organic nulls, a12's precedent). One
+  // priority-key shuffle + two window passes over the same partitioning.
+  private val f17 = graded(
+    "f17_null_ordering",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_totalprice END AS v
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, round(v, 2) AS v,
+      |  rank() OVER (PARTITION BY o_orderpriority
+      |               ORDER BY v ASC NULLS FIRST, o_orderkey) AS rk_nf,
+      |  rank() OVER (PARTITION BY o_orderpriority
+      |               ORDER BY v DESC NULLS LAST, o_orderkey) AS rk_nl
+      |FROM t
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val wNf = Window.partitionBy($"o_orderpriority")
+      .orderBy($"v".asc_nulls_first, $"o_orderkey")
+    val wNl = Window.partitionBy($"o_orderpriority")
+      .orderBy($"v".desc_nulls_last, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_totalprice")
+          .as("v"))
+      .select($"o_orderkey", $"o_orderpriority", round($"v", 2).as("v"),
+        rank().over(wNf).as("rk_nf"),
+        rank().over(wNl).as("rk_nl"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16)
+    f11, f12, f13, f14, f15, f16, f17)
 }

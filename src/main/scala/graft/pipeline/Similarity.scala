@@ -368,5 +368,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44)
+  // g56 — HARD-NEGATIVE MINING (contrastive-training pair assembly):
+  // for each query vector, the top-3 most-similar vectors with a
+  // DIFFERENT label — the near-misses a contrastive loss learns the
+  // most from (easy negatives are useless; same-label neighbors are
+  // positives, not negatives). g21's kNN-join shape with one extra
+  // label-inequality predicate on the broadcast join, so the candidate
+  // stream prunes before scoring; ranking on the unrounded score
+  // (bit-identical across engines) + vec_id tiebreak, emitted rounded —
+  // g21's exact determinism rule. One window per query partition,
+  // linear in n·|Q| at any scale.
+  private val g56 = graded(
+    "g56_hard_negatives",
+    s"""WITH e AS (
+      |  SELECT vec_id, label, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+      |      FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, qlabel, vec_id, label,
+      |    ${duckDot("v", "qv")} / (nrm * qnrm) AS cs,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY ${duckDot("v", "qv")} / (nrm * qnrm) DESC, vec_id
+      |    ) AS rk
+      |  FROM e JOIN q ON e.label <> q.qlabel)
+      |SELECT qid, qlabel, rk, vec_id AS negative, label AS neg_label,
+      |  round(cs, 6) AS cos_sim
+      |FROM scored WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val q = e.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    e.join(broadcast(q), $"label" =!= $"qlabel")
+      .withColumn("cs", cos("embedding", "qe"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"qid", $"qlabel", $"rk", $"vec_id".as("negative"),
+        $"label".as("neg_label"), round($"cs", 6).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56)
 }

@@ -20,7 +20,8 @@ class PlanQualitySpec extends SparkSpec {
     "g53_perplexity_bucket", // g35's logprob stage — same 1-row cross
     "g37_keywords", // crosses the 1-row corpus-total (g6's shape)
     "d20_hll_merge", // crosses the 1-row whole-table exact count
-    "d23_ab_ttest") // crosses the 1-row broadcast control group
+    "d23_ab_ttest", // crosses the 1-row broadcast control group
+    "g56_hard_negatives") // label-inequality over the 10-row query set (g21's shape)
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -568,6 +568,62 @@ object ScansFilters {
       .orderBy("c_custkey", "valid_from")
   }
 
+  // a16 — POINT-IN-TIME LOOKUP (a15's consumer): join every fact row to
+  // the dimension version that was valid AT the fact's timestamp — the
+  // classic SCD2 lookup, with its two off-by-one hazards pinned: the
+  // interval is half-open ([valid_from, valid_to) — a fact ON a change
+  // day gets the day's final value, matching a15's last-write-wins
+  // compression), and the open current version matches via the IS NULL
+  // arm. Every fact matches EXACTLY one version (a15's intervals are
+  // contiguous from the entity's first event), so output rows = fact
+  // rows — a PitLookupSpec-free invariant the row count itself grades.
+  // Shape at scale: equi-join on the entity key carries the shuffle;
+  // the interval predicate is a cheap colocated residual — never a
+  // range-only join.
+  private val a16 = QueryDef.graded(
+    "a16_pit_lookup",
+    """WITH daily AS (
+      |  SELECT k, d, attr FROM (
+      |    SELECT o_custkey AS k, o_orderdate AS d, o_orderpriority AS attr,
+      |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1),
+      |ver AS (
+      |  SELECT k, d, attr FROM (
+      |    SELECT k, d, attr,
+      |      lag(attr) OVER (PARTITION BY k ORDER BY d) AS prev
+      |    FROM daily) WHERE prev IS NULL OR attr <> prev),
+      |scd AS (
+      |  SELECT k, attr, d AS vf,
+      |    lead(d) OVER (PARTITION BY k ORDER BY d) AS vt
+      |  FROM ver)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |  s.attr AS attr_at_order
+      |FROM orders o JOIN scd s ON o.o_custkey = s.k
+      |  AND o.o_orderdate >= s.vf AND (s.vt IS NULL OR o.o_orderdate < s.vt)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val byDay = Window.partitionBy($"k", $"d").orderBy($"o_orderkey".desc)
+    val byKey = Window.partitionBy($"k").orderBy($"d")
+    val scd = Tables.orders(spark, dir)
+      .select($"o_custkey".as("k"), $"o_orderdate".as("d"),
+        $"o_orderpriority".as("attr"), $"o_orderkey")
+      .withColumn("rn", row_number().over(byDay))
+      .where($"rn" === 1)
+      .withColumn("prev", lag($"attr", 1).over(byKey))
+      .where($"prev".isNull || $"attr" =!= $"prev")
+      .select($"k", $"d".as("vf"), $"attr")
+      .withColumn("vt", lead($"vf", 1).over(
+        Window.partitionBy($"k").orderBy($"vf")))
+    Tables.orders(spark, dir)
+      .join(scd, $"o_custkey" === $"k"
+        && $"o_orderdate" >= $"vf"
+        && ($"vt".isNull || $"o_orderdate" < $"vt"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"attr".as("attr_at_order"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
-    a7, a8, a9, a10, a11, a12, a13, a14, a15)
+    a7, a8, a9, a10, a11, a12, a13, a14, a15, a16)
 }

@@ -714,6 +714,47 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  // h18 — ROLLING DISTINCT ACTIVES (DAU + trailing-7-day WAU per day):
+  // the engagement staple whose naive form is a per-day COUNT(DISTINCT)
+  // over a sliding range join. The oracle states exactly that (day
+  // spine × user-days, range predicate); the Spark side computes the
+  // identical result with the scale-correct shape — each user-day
+  // CONTRIBUTES itself to the 7 spine days it falls in (a 7-row
+  // sequence explode), turning the range join into an equi-join on the
+  // day key with partial aggregation, then the contribution days are
+  // clipped to the observed spine (broadcast — one row per calendar
+  // day, growing with time span, never with row count). h10's day-spine
+  // trick pointed at distinct-count instead of concurrency.
+  private val h18 = graded(
+    "h18_rolling_dau",
+    """WITH ud AS (
+      |  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      |spine AS (SELECT DISTINCT day FROM ud),
+      |wau AS (
+      |  SELECT s.day, count(DISTINCT u.user_id) AS wau
+      |  FROM spine s JOIN ud u
+      |    ON u.day <= s.day AND u.day > s.day - 7
+      |  GROUP BY s.day),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+      |SELECT d.day, d.dau, w.wau
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ud = Tables.eventsUs(spark, dir)
+      .select(to_date($"ts_us").as("day"), $"user_id").distinct()
+    val spine = ud.select($"day".as("sday")).distinct()
+    // each user-day feeds spine days [day, day+6]; clip to observed days
+    val wau = ud
+      .select($"user_id",
+        explode(expr("sequence(day, date_add(day, 6))")).as("sday"))
+      .join(broadcast(spine), "sday")
+      .groupBy($"sday").agg(countDistinct($"user_id").as("wau"))
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, $"day" === $"sday")
+      .select($"day", $"dau", $"wau")
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17)
+    h12, h13, h14, h15, h16, h17, h18)
 }

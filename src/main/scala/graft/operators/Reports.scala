@@ -428,5 +428,72 @@ object Reports {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8)
+  // r9 — CHECK-CONSTRAINT VALIDATION (the data-quality rulebook next to
+  // r7's referential audit): per rule, row count + violations of a
+  // range check, an enum-membership check, and a bounded-quantity check.
+  // The corpus is constraint-clean, so every real arm asserts ZERO (the
+  // audit proves the data); a declared banded arm per rule (r7's
+  // pattern — every 41st/53rd/67th key gets a corrupted value) proves
+  // each detector fires. Shape at scale: one map-side conditional-sum
+  // pass per table — the rulebook adds columns, never scans; constant
+  // 3-row output.
+  private val r9 = graded(
+    "r9_check_constraints",
+    """SELECT 'lineitem.qty_range' AS rule, count(*) AS n_rows,
+      |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_viol_real,
+      |  sum(CASE WHEN (CASE WHEN l_orderkey % 67 = 0 AND l_linenumber = 1
+      |       THEN 99.0 ELSE l_quantity END) < 1
+      |       OR (CASE WHEN l_orderkey % 67 = 0 AND l_linenumber = 1
+      |       THEN 99.0 ELSE l_quantity END) > 50
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_viol_banded
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders.status_enum', count(*),
+      |  sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+      |      THEN 1 ELSE 0 END)::BIGINT,
+      |  sum(CASE WHEN (CASE WHEN o_orderkey % 53 = 0 THEN 'X'
+      |       ELSE o_orderstatus END) NOT IN ('F','O','P')
+      |      THEN 1 ELSE 0 END)::BIGINT
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders.totalprice_positive', count(*),
+      |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT,
+      |  sum(CASE WHEN (CASE WHEN o_orderkey % 41 = 0 THEN -o_totalprice
+      |       ELSE o_totalprice END) <= 0 THEN 1 ELSE 0 END)::BIGINT
+      |FROM orders
+      |ORDER BY rule""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val qtyB = when($"l_orderkey" % 67 === 0 && $"l_linenumber" === 1,
+      lit(99.0)).otherwise($"l_quantity")
+    val stB = when($"o_orderkey" % 53 === 0, "X").otherwise($"o_orderstatus")
+    val tpB = when($"o_orderkey" % 41 === 0, -$"o_totalprice")
+      .otherwise($"o_totalprice")
+    val liRule = li.agg(count(lit(1)).as("n_rows"),
+      sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1).otherwise(0))
+        .cast("bigint").as("n_viol_real"),
+      sum(when(qtyB < 1 || qtyB > 50, 1).otherwise(0))
+        .cast("bigint").as("n_viol_banded"))
+      .select(lit("lineitem.qty_range").as("rule"), $"n_rows",
+        $"n_viol_real", $"n_viol_banded")
+    val stRule = o.agg(count(lit(1)).as("n_rows"),
+      sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1).otherwise(0))
+        .cast("bigint").as("n_viol_real"),
+      sum(when(!stB.isin("F", "O", "P"), 1).otherwise(0))
+        .cast("bigint").as("n_viol_banded"))
+      .select(lit("orders.status_enum").as("rule"), $"n_rows",
+        $"n_viol_real", $"n_viol_banded")
+    val tpRule = o.agg(count(lit(1)).as("n_rows"),
+      sum(when($"o_totalprice" <= 0, 1).otherwise(0))
+        .cast("bigint").as("n_viol_real"),
+      sum(when(tpB <= 0, 1).otherwise(0))
+        .cast("bigint").as("n_viol_banded"))
+      .select(lit("orders.totalprice_positive").as("rule"), $"n_rows",
+        $"n_viol_real", $"n_viol_banded")
+    liRule.unionAll(stRule).unionAll(tpRule).orderBy("rule")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9)
 }

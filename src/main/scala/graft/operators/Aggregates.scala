@@ -701,6 +701,56 @@ object Aggregates {
       .orderBy("flag")
   }
 
+  // d25 — WEIGHTED MEDIAN (quantity-weighted price midpoint): neither
+  // engine ships it natively, so both state the same first-principles
+  // definition — smallest value whose running weight reaches half the
+  // group total on the tie-broken (v, orderkey, linenumber) order. The
+  // oracle uses the naive flag-partitioned cumsum window; the Spark
+  // side reuses d22's two-pass distributed form (band-local weighted
+  // cumsum + tiny per-band carry-in offsets), because a cumsum window
+  // partitioned on the 3-value flag sorts a third of the table in one
+  // task — the exact trap d22's 8× audit caught. Weight sums are exact
+  // integer-valued doubles (quantities are whole numbers), so the
+  // cw ≥ tw/2 cut is engine-independent.
+  private val d25 = graded(
+    "d25_weighted_median",
+    """WITH w AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM lineitem)
+      |SELECT flag, round(min(v), 2) AS wmedian,
+      |  round(min(tw), 1) AS total_weight
+      |FROM w WHERE cw >= tw / 2.0
+      |GROUP BY flag ORDER BY flag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"),
+        $"l_quantity".as("wt"), $"l_orderkey", $"l_linenumber")
+      .withColumn("band", ($"v" / 2000.0).cast("int"))
+    val wLocal = Window.partitionBy($"flag", $"band")
+      .orderBy($"v", $"l_orderkey", $"l_linenumber")
+    val bandTotals = base.groupBy($"flag", $"band")
+      .agg(sum($"wt").as("bw"))
+    val wOff = Window.partitionBy($"flag").orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("off", coalesce(sum($"bw").over(wOff), lit(0.0)))
+      .withColumn("tw", sum($"bw").over(Window.partitionBy($"flag")))
+      .select($"flag", $"band", $"off", $"tw")
+    base
+      .withColumn("lcw", sum($"wt").over(wLocal))
+      .join(broadcast(offsets), Seq("flag", "band"))
+      .withColumn("cw", $"off" + $"lcw")
+      .where($"cw" >= $"tw" / 2.0)
+      .groupBy($"flag")
+      .agg(round(min($"v"), 2).as("wmedian"),
+        round(min($"tw"), 1).as("total_weight"))
+      .orderBy("flag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    d25)
 }

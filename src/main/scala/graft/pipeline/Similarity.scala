@@ -413,6 +413,76 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  // g57 — kNN CLASSIFIER EVALUATION (leave-one-out): predict each eval
+  // vector's label as the majority of its 5 nearest neighbors
+  // (excluding itself), score against the true label, report per-label
+  // accuracy in integer basis points — the embedding-space twin of
+  // g43's langid confusion matrix, and the consumer-side answer to "is
+  // this embedding column good enough to route on". Majority tiebreak
+  // is (count DESC, label) — deterministic, never hash-order. Measured
+  // finding on this corpus: ~8% accuracy (labels ≈ random vs the
+  // synthetic embeddings) — the eval EXISTS to make that a number.
+  // Shape at scale: eval set declared as a bounded sample (vec_id <
+  // 100) and broadcast — the corpus side streams once through the fused
+  // vec_cosine kernel; cost is n·|eval|, linear in the corpus.
+  private val g57 = graded(
+    "g57_knn_eval",
+    s"""WITH e AS (
+      |  SELECT vec_id, label, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+      |      FROM e WHERE vec_id < 100),
+      |nn AS (
+      |  SELECT qid, qlabel, label FROM (
+      |    SELECT qid, qlabel, e.label,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY ${duckDot("v", "qv")} / (nrm * qnrm) DESC, vec_id
+      |      ) AS rk
+      |    FROM e JOIN q ON e.vec_id <> q.qid) WHERE rk <= 5),
+      |votes AS (SELECT qid, qlabel, label, count(*) AS c
+      |          FROM nn GROUP BY qid, qlabel, label),
+      |pred AS (
+      |  SELECT qid, qlabel, label AS plabel FROM (
+      |    SELECT qid, qlabel, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY c DESC, label
+      |      ) AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT qlabel AS label, count(*) AS n_eval,
+      |  sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_correct,
+      |  ((10000 * sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END))
+      |    // count(*))::BIGINT AS acc_bp
+      |FROM pred GROUP BY qlabel ORDER BY label""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val q = e.where($"vec_id" < 100)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("qe"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    val nn = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("cs", cos("embedding", "qe"))
+      .withColumn("rk", row_number().over(wNn))
+      .where($"rk" <= 5)
+      .select($"qid", $"qlabel", $"label")
+    val votes = nn.groupBy($"qid", $"qlabel", $"label")
+      .agg(count(lit(1)).as("c"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"c".desc, $"label")
+    val pred = votes.withColumn("rn", row_number().over(wV))
+      .where($"rn" === 1)
+      .select($"qid", $"qlabel", $"label".as("plabel"))
+    pred.groupBy($"qlabel".as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"plabel" === $"qlabel", 1).otherwise(0)).cast("bigint")
+          .as("n_correct"))
+      .selectExpr("label", "n_eval", "n_correct",
+        "(10000 * n_correct) div n_eval AS acc_bp")
+      .orderBy("label")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56)
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57)
 }

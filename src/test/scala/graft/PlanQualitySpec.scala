@@ -21,7 +21,8 @@ class PlanQualitySpec extends SparkSpec {
     "g37_keywords", // crosses the 1-row corpus-total (g6's shape)
     "d20_hll_merge", // crosses the 1-row whole-table exact count
     "d23_ab_ttest", // crosses the 1-row broadcast control group
-    "g56_hard_negatives") // label-inequality over the 10-row query set (g21's shape)
+    "g56_hard_negatives", // label-inequality over the 10-row query set (g21's shape)
+    "g57_knn_eval") // self-exclusion inequality over the bounded eval sample
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

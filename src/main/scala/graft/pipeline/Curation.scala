@@ -567,6 +567,53 @@ object Curation {
       .orderBy($"rank_ppm".desc, $"n_nationkey")
   }
 
+  // g58 — SPAN CORRUPTION (the T5/UL2 denoising-objective prep): mask
+  // fixed 2-token spans on a deterministic stride (every position
+  // p ≡ 1 mod 10 starts a span; one sentinel replaces the pair) and
+  // emit the corrupted sequence's digest + span accounting — the
+  // objective-specific corpus transformation that runs between
+  // curation and batching. A seeded-random mask would not be
+  // re-runnable across engines or re-shards (g29's determinism
+  // argument), so the stride IS the declared mask distribution.
+  // Corrupted text rides as its md5 (m4's compact-output rule). Pure
+  // map-side per-row array arithmetic — zero shuffle before the
+  // presentation sort; scales like the scan.
+  private val g58 = graded(
+    "g58_span_corruption",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(t) AS n_tok,
+      |    list_filter(
+      |      list_transform(generate_series(1, len(t)),
+      |        p -> CASE WHEN p % 10 = 1 THEN '<X>'
+      |                  WHEN p % 10 = 2 THEN NULL
+      |                  ELSE t[p] END),
+      |      x -> x IS NOT NULL) AS corrupted
+      |  FROM tk)
+      |SELECT doc_id, n_tok::BIGINT AS n_tok,
+      |  ((n_tok + 9) // 10)::BIGINT AS n_spans,
+      |  len(corrupted)::BIGINT AS n_out,
+      |  md5(array_to_string(corrupted, ' ')) AS fp
+      |FROM c ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .withColumn("n_tok", size($"t").cast("bigint"))
+      .withColumn("corrupted", expr(
+        """filter(
+          |  transform(sequence(1, size(t)),
+          |    p -> CASE WHEN p % 10 = 1 THEN '<X>'
+          |              WHEN p % 10 = 2 THEN NULL
+          |              ELSE element_at(t, p) END),
+          |  x -> x IS NOT NULL)""".stripMargin))
+      .select($"doc_id", $"n_tok",
+        expr("(n_tok + 9) div 10").cast("bigint").as("n_spans"),
+        size($"corrupted").cast("bigint").as("n_out"),
+        md5(array_join($"corrupted", " ")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51)
+    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58)
 }

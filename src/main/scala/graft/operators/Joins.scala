@@ -486,6 +486,67 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // C17 — AS-OF WITH STALENESS TOLERANCE (the feature-store lookup rule:
+  // "most recent feature value, but never older than the freshness
+  // SLA"): each click joins to the user's latest preceding purchase
+  // ONLY if it happened within 3 days — older matches become NULL, not
+  // silently-stale features. Same union+ignore-nulls-window machinery
+  // as c8 (one shuffle on the user key, no inequality self-join); the
+  // tolerance is a colocated interval predicate applied AFTER the
+  // as-of resolution, which is what makes it expressible without a
+  // second join. Ties at one timestamp: purchases sort before clicks
+  // (src), max event_id wins among simultaneous purchases — the c8
+  // determinism rule.
+  private val c17 = graded(
+    "c17_join_asof_tolerance",
+    """WITH u AS (
+      |  SELECT user_id, ts AS t, 0 AS src, event_id AS aid, ts AS ats,
+      |         CAST(NULL AS BIGINT) AS event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
+      |         CAST(NULL AS TIMESTAMP), event_id
+      |  FROM events WHERE event_type = 'click'
+      |), m AS (
+      |  SELECT user_id, event_id, src, t,
+      |    last_value(aid IGNORE NULLS) OVER w AS last_pid,
+      |    last_value(ats IGNORE NULLS) OVER w AS last_pts
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, src, aid
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id,
+      |  CASE WHEN last_pts IS NOT NULL AND t - last_pts <= INTERVAL 3 DAY
+      |       THEN last_pid END AS asof_purchase,
+      |  CASE WHEN last_pts IS NOT NULL AND t - last_pts <= INTERVAL 3 DAY
+      |       THEN last_pts END AS asof_purchase_ts
+      |FROM m WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.eventsUs(spark, dir)
+    val purchases = ev.where($"event_type" === "purchase").select(
+      $"user_id", $"ts_us".as("t"), lit(0).as("src"),
+      $"event_id".as("aid"), $"ts_us".as("ats"),
+      lit(null).cast("bigint").as("event_id"))
+    val clicks = ev.where($"event_type" === "click").select(
+      $"user_id", $"ts_us".as("t"), lit(1).as("src"),
+      lit(null).cast("bigint").as("aid"),
+      lit(null).cast("timestamp_ntz").as("ats"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"src", $"aid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = $"last_pts".isNotNull &&
+      expr("t - last_pts <= INTERVAL '3' DAY")
+    purchases.unionByName(clicks)
+      .select($"user_id", $"event_id", $"src", $"t",
+        last($"aid", ignoreNulls = true).over(w).as("last_pid"),
+        last($"ats", ignoreNulls = true).over(w).as("last_pts"))
+      .where($"src" === 1)
+      .select($"event_id", $"user_id",
+        when(fresh, $"last_pid").as("asof_purchase"),
+        when(fresh, $"last_pts").as("asof_purchase_ts"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15, c16)
+    c11, c12, c13, c14, c15, c16, c17)
 }

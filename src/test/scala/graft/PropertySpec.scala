@@ -425,4 +425,87 @@ class PropertySpec extends SparkSpec {
         && !canonical.contains(":443") && !canonical.endsWith("/"))
     }
   }
+
+  test("a16 PIT law: every fact matches exactly one dimension version") {
+    val facts = SparkEntry.queries("a1_scan_project")(spark, sfDir)
+    val n = SparkEntry.queries("a16_pit_lookup")(spark, sfDir).count()
+    val nOrders = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(n == nOrders, s"PIT join emitted $n rows for $nOrders facts")
+    assert(facts.count() > 0) // guard: corpus loaded
+  }
+
+  test("c17 tolerance laws: match precedes click and is within 3 days or NULL") {
+    val rows =
+      SparkEntry.queries("c17_join_asof_tolerance")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(2))
+      && rows.exists(_.isNullAt(2))) // both arms exercised
+    for (r <- rows if !r.isNullAt(2)) assert(!r.isNullAt(3))
+  }
+
+  test("g56 hard-negative law: every mined negative has a different label") {
+    val rows = SparkEntry.queries("g56_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getInt(1) != r.getInt(4)) // qlabel != neg_label
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+    }
+  }
+
+  test("g57 eval law: accuracy is the floor quotient, correct nested in eval") {
+    val rows = SparkEntry.queries("g57_knn_eval")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, c, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(c >= 0 && c <= n && bp == 10000L * c / n)
+    }
+    assert(rows.map(_.getLong(1)).sum == 100) // eval set fully accounted
+  }
+
+  test("h18 rolling-active laws: wau bounds dau, both positive") {
+    val rows = SparkEntry.queries("h18_rolling_dau")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (dau, wau) = (r.getLong(1), r.getLong(2))
+      assert(dau >= 1 && wau >= dau) // 7-day distinct can't undercut 1-day
+    }
+  }
+
+  test("r9 rulebook laws: real violations zero, every banded detector fires") {
+    val rows = SparkEntry.queries("r9_check_constraints")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      assert(r.getLong(2) == 0, s"real violations in ${r.getString(0)}")
+      assert(r.getLong(3) > 0, s"banded detector silent in ${r.getString(0)}")
+    }
+  }
+
+  test("d25 weighted-median law: at least half the weight sits at or below it") {
+    import spark.implicits._
+    val med = SparkEntry.queries("d25_weighted_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("tw"),
+        sum(when($"l_extendedprice" <= lit(0), 0.0)).as("z"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((flag, m) <- med) {
+      val below = graft.sources.Tables.lineitem(spark, sfDir)
+        .where($"l_returnflag" === flag && round($"l_extendedprice", 2) <= m)
+        .agg(sum($"l_quantity")).collect()(0).getDouble(0)
+      assert(below >= li(flag) / 2.0,
+        s"$flag: weight at/below median $below < half of ${li(flag)}")
+    }
+  }
+
+  test("g58 corruption laws: span count is the stride ceiling, output shrinks") {
+    val rows = SparkEntry.queries("g58_span_corruption")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nTok, nSpans, nOut) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSpans == (nTok + 9) / 10)
+      // each span drops 2 tokens and adds 1 sentinel — except a span
+      // starting on the final token drops only 1
+      assert(nOut >= nTok - 2 * nSpans + nSpans && nOut <= nTok - nSpans + 1)
+    }
+  }
 }

@@ -750,7 +750,54 @@ object Aggregates {
       .orderBy("flag")
   }
 
+  // d26 — ONE-WAY ANOVA (F statistic across all event types): d23's
+  // pairwise comparison generalized to the k-group omnibus test —
+  // between-group mean square over within-group mean square, assembled
+  // from the SAME 6dp-rounded group moments d3/d23 already hash-prove,
+  // so the derived statistic is exact arithmetic over engine-agreed
+  // values (the grand mean is itself re-rounded before the squared
+  // deviations). Shape at scale: one 5-key partial-agg groupBy; the
+  // moment table (5 rows) crosses its own 1-row total — constant work
+  // after the scan regardless of corpus size.
+  private val d26 = graded(
+    "d26_anova",
+    """WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    round(avg(value), 6) AS m, round(var_samp(value), 6) AS v
+      |  FROM events GROUP BY event_type),
+      |t AS (SELECT count(*) AS k, sum(n) AS nn,
+      |      round(sum(n * m) / sum(n), 6) AS gm FROM g)
+      |SELECT t.k::BIGINT AS k, t.nn::BIGINT AS n, t.gm,
+      |  round(sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1), 4)
+      |    AS msb,
+      |  round(sum((g.n - 1) * g.v) / (t.nn - t.k), 4) AS msw,
+      |  round((sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+      |    / (sum((g.n - 1) * g.v) / (t.nn - t.k)), 6) AS f
+      |FROM g CROSS JOIN t
+      |GROUP BY t.k, t.nn, t.gm
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.eventsUs(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"value"), 6).as("m"),
+        round(var_samp($"value"), 6).as("v"))
+    val t = g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+      round(sum($"n" * $"m") / sum($"n"), 6).as("gm"))
+    g.crossJoin(broadcast(t))
+      .groupBy($"k", $"nn", $"gm")
+      .agg(
+        round(sum($"n" * ($"m" - $"gm") * ($"m" - $"gm")) / ($"k" - 1), 4)
+          .as("msb"),
+        round(sum(($"n" - 1) * $"v") / ($"nn" - $"k"), 4).as("msw"),
+        round((sum($"n" * ($"m" - $"gm") * ($"m" - $"gm")) / ($"k" - 1))
+          / (sum(($"n" - 1) * $"v") / ($"nn" - $"k")), 6).as("f"))
+      .select($"k".cast("bigint"), $"nn".cast("bigint").as("n"), $"gm",
+        $"msb", $"msw", $"f")
+      .orderBy("k")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25)
+    d25, d26)
 }

@@ -22,7 +22,8 @@ class PlanQualitySpec extends SparkSpec {
     "d20_hll_merge", // crosses the 1-row whole-table exact count
     "d23_ab_ttest", // crosses the 1-row broadcast control group
     "g56_hard_negatives", // label-inequality over the 10-row query set (g21's shape)
-    "g57_knn_eval") // self-exclusion inequality over the bounded eval sample
+    "g57_knn_eval", // self-exclusion inequality over the bounded eval sample
+    "d26_anova") // 5-row moment table crossing its own 1-row total
 
   private lazy val plans: Seq[(String, String)] = SparkEntry.all.map { d =>
     d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -755,6 +755,71 @@ object EventTime {
       .orderBy("day")
   }
 
+  // h19 — TIME-TO-CONVERT (click → next purchase latency, per day):
+  // the funnel-velocity metric next to h7's step counts — c12's
+  // forward-as-of machinery resolves each click's next purchase in one
+  // window pass (no inequality self-join), then per-day conversion
+  // counts and the exact median latency among converted clicks (d7's
+  // percentile ≡ quantile_cont pairing over exact µs-derived minutes).
+  // A same-instant purchase converts with latency zero: clicks sort
+  // before purchases at one timestamp (is_click DESC), so the forward
+  // frame sees it. Purchases carry NULL event_ids, but ties among them
+  // carry identical payloads (pt = their own µs), so the f17
+  // null-ordering divergence cannot change the resolved value. One
+  // user-key shuffle + one day-key aggregate.
+  private val h19 = graded(
+    "h19_time_to_convert",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS t, 1 AS is_click, event_id,
+      |         CAST(NULL AS BIGINT) AS pt
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), 0, CAST(NULL AS BIGINT),
+      |         epoch_us(ts)
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT user_id, event_id, is_click, t,
+      |    first_value(pt IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, is_click DESC, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pt
+      |  FROM u),
+      |c AS (
+      |  SELECT (t // 86400000000)::BIGINT AS day_k,
+      |    next_pt IS NOT NULL AS conv, next_pt - t AS lat
+      |  FROM m WHERE is_click = 1)
+      |SELECT day_k, count(*) AS n_clicks,
+      |  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_conv,
+      |  round(quantile_cont(CASE WHEN conv THEN lat / 60000000.0 END, 0.5),
+      |    4) AS med_minutes
+      |FROM c GROUP BY day_k
+      |ORDER BY day_k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+    val clicks = ev.where($"event_type" === "click").select(
+      $"user_id", $"us".as("t"), lit(1).as("is_click"), $"event_id",
+      lit(null).cast("bigint").as("pt"))
+    val purchases = ev.where($"event_type" === "purchase").select(
+      $"user_id", $"us".as("t"), lit(0).as("is_click"),
+      lit(null).cast("bigint").as("event_id"), $"us".as("pt"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"is_click".desc, $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_pt", first($"pt", ignoreNulls = true).over(w))
+      .where($"is_click" === 1)
+      .select(expr("t div 86400000000").cast("bigint").as("day_k"),
+        $"next_pt".isNotNull.as("conv"), ($"next_pt" - $"t").as("lat"))
+      .groupBy($"day_k")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when($"conv", 1).otherwise(0)).cast("bigint").as("n_conv"),
+        round(expr(
+          "percentile(CASE WHEN conv THEN lat / 60000000.0 END, 0.5)"), 4)
+          .as("med_minutes"))
+      .orderBy("day_k")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17, h18)
+    h12, h13, h14, h15, h16, h17, h18, h19)
 }

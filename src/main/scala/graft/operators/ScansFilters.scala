@@ -624,6 +624,42 @@ object ScansFilters {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, a5, a6,
-    a7, a8, a9, a10, a11, a12, a13, a14, a15, a16)
+  // B7 — GOVERNANCE VIEW (row-level security + column masking + value
+  // generalization): the policy layer every shared lakehouse table
+  // grows — rows filtered to the reader's region entitlement (dim-side
+  // predicate through broadcast joins, the b6/DPP-compatible shape),
+  // the name column masked to a stable prefix (referential integrity
+  // of the mask preserved: equal inputs → equal masks), and the exact
+  // balance generalized to a 1000-unit band (k-anonymity-style
+  // coarsening — the analyst sees cohorts, not accounts). Pure
+  // map-side projection after two broadcast joins; scales like the
+  // scan and the filter prunes at the dim, exactly like b6.
+  private val b7 = QueryDef.graded(
+    "b7_masked_view",
+    """SELECT c_custkey,
+      |  substring(c_name, 1, 9) || '***' AS name_masked,
+      |  (floor(c_acctbal / 1000) * 1000)::BIGINT AS acctbal_band,
+      |  c_mktsegment
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.apply(spark, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .where($"r_name" === "ASIA")
+      .select($"c_custkey",
+        concat(substring($"c_name", 1, 9), lit("***")).as("name_masked"),
+        (floor($"c_acctbal" / 1000) * 1000).cast("bigint")
+          .as("acctbal_band"),
+        $"c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, a5,
+    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16)
 }

@@ -53,7 +53,8 @@ object ScaleCheck {
       "r7_integrity_audit", "g51_pagerank", "a15_scd2",
       "d22_equidepth_hist", "e12_win_nav", "g52_oov_rate",
       "g53_perplexity_bucket", "r8_report_curation_funnel",
-      "g54_url_dedup", "d23_ab_ttest", "g55_repeated_ngram_frac", "d24_linreg", "f17_null_ordering", "g56_hard_negatives", "a16_pit_lookup", "h18_rolling_dau", "r9_check_constraints", "d25_weighted_median", "g57_knn_eval", "g58_span_corruption", "c17_join_asof_tolerance", "d26_anova", "h19_time_to_convert", "b7_masked_view")
+      "g54_url_dedup", "d23_ab_ttest", "g55_repeated_ngram_frac", "d24_linreg", "f17_null_ordering", "g56_hard_negatives", "a16_pit_lookup", "h18_rolling_dau", "r9_check_constraints", "d25_weighted_median", "g57_knn_eval", "g58_span_corruption", "c17_join_asof_tolerance", "d26_anova", "h19_time_to_convert", "b7_masked_view",
+      "d27_chisq", "d28_skew_kurt", "h20_markov", "g59_mix_plan")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

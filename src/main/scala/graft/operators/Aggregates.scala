@@ -797,7 +797,137 @@ object Aggregates {
       .orderBy("k")
   }
 
+  // D27 — chi-square test of independence over a contingency table
+  // (returnflag × linestatus): the categorical-association test next to
+  // d23's t-test / d26's F-test. All observed counts and marginals are
+  // exact integers (order-free sums), so expected counts and per-cell
+  // contributions are fixed IEEE expression trees over identical ints —
+  // bit-equal cross-engine before any rounding. The statistic is graded
+  // CELL-LEVEL (obs/exp/contrib per cell) plus the summed chi2: the
+  // cross-cell sum runs over unrounded doubles exactly like d26's msb,
+  // with round(4) absorbing partial-aggregation order at this magnitude.
+  // 100 TB: one partial+final aggregate on a 6-cell key, then a broadcast
+  // of the 1-row marginal table — the shuffle carries 6 rows.
+  private val d27 = QueryDef.graded(
+    "d27_chisq",
+    """WITH cell AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    count(*)::BIGINT AS obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT rf, ls, obs,
+      |    sum(obs) OVER (PARTITION BY rf)::BIGINT AS rt,
+      |    sum(obs) OVER (PARTITION BY ls)::BIGINT AS ct,
+      |    sum(obs) OVER ()::BIGINT AS n
+      |  FROM cell),
+      |c AS (
+      |  SELECT rf, ls, obs, rt, ct, n,
+      |    (rt::DOUBLE * ct::DOUBLE) / n::DOUBLE AS exp
+      |  FROM m),
+      |k AS (
+      |  SELECT rf, ls, obs, exp,
+      |    (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp AS contrib
+      |  FROM c),
+      |t AS (
+      |  SELECT round(sum(contrib), 4) AS chi2,
+      |    ((count(DISTINCT rf) - 1) * (count(DISTINCT ls) - 1))::BIGINT
+      |      AS dof
+      |  FROM k)
+      |SELECT k.rf AS l_returnflag, k.ls AS l_linestatus, k.obs,
+      |  round(k.exp, 4) AS expected, round(k.contrib, 6) AS contrib,
+      |  t.chi2, t.dof
+      |FROM k CROSS JOIN t
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cell = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("rf"), $"l_linestatus".as("ls"))
+      .agg(count(lit(1)).cast("bigint").as("obs"))
+    val m = cell
+      .withColumn("rt", sum($"obs").over(Window.partitionBy($"rf")).cast("bigint"))
+      .withColumn("ct", sum($"obs").over(Window.partitionBy($"ls")).cast("bigint"))
+      .withColumn("n", sum($"obs").over(Window.partitionBy()).cast("bigint"))
+    val k = m
+      .withColumn("exp",
+        ($"rt".cast("double") * $"ct".cast("double")) / $"n".cast("double"))
+      .withColumn("contrib",
+        ($"obs".cast("double") - $"exp") * ($"obs".cast("double") - $"exp")
+          / $"exp")
+    val t = k.agg(round(sum($"contrib"), 4).as("chi2"),
+      ((countDistinct($"rf") - 1) * (countDistinct($"ls") - 1))
+        .cast("bigint").as("dof"))
+    k.crossJoin(broadcast(t))
+      .select($"rf".as("l_returnflag"), $"ls".as("l_linestatus"), $"obs",
+        round($"exp", 4).as("expected"), round($"contrib", 6).as("contrib"),
+        $"chi2", $"dof")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // D28 — skewness and excess kurtosis per group from EXACT integer power
+  // sums: l_quantity is integral (1..50), so sum(q), sum(q²), sum(q³),
+  // sum(q⁴) are exact BIGINTs (order-free, any aggregation plan), and the
+  // central-moment formulas are fixed IEEE trees over identical ints —
+  // bit-equal cross-engine, like d24/d26. sqrt(m2)*m2 replaces
+  // pow(m2, 1.5) because sqrt is correctly rounded while pow is only
+  // faithfully rounded (DialectNotes `pow` rule). 100 TB: one map-side
+  // partial aggregate — four extra multiply-adds per row, zero extra
+  // shuffle versus a plain count.
+  private val d28 = QueryDef.graded(
+    "d28_skew_kurt",
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*)::BIGINT AS n,
+      |    sum(l_quantity::BIGINT)::BIGINT AS s1,
+      |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s2,
+      |    sum(l_quantity::BIGINT * l_quantity::BIGINT
+      |        * l_quantity::BIGINT)::BIGINT AS s3,
+      |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT
+      |        * l_quantity::BIGINT)::BIGINT AS s4
+      |  FROM lineitem GROUP BY l_returnflag),
+      |f AS (
+      |  SELECT l_returnflag, n, s1,
+      |    s1::DOUBLE / n::DOUBLE AS mu,
+      |    s2::DOUBLE / n::DOUBLE AS p2,
+      |    s3::DOUBLE / n::DOUBLE AS p3,
+      |    s4::DOUBLE / n::DOUBLE AS p4
+      |  FROM s),
+      |g AS (
+      |  SELECT l_returnflag, n, s1, mu,
+      |    p2 - mu * mu AS m2,
+      |    p3 - 3 * mu * p2 + 2 * mu * mu * mu AS m3,
+      |    p4 - 4 * mu * p3 + 6 * mu * mu * p2 - 3 * mu * mu * mu * mu
+      |      AS m4
+      |  FROM f)
+      |SELECT l_returnflag, n, s1, round(mu, 6) AS mean_qty,
+      |  round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+      |FROM g ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val q = $"l_quantity".cast("bigint")
+    val s = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(q).cast("bigint").as("s1"),
+        sum(q * q).cast("bigint").as("s2"),
+        sum(q * q * q).cast("bigint").as("s3"),
+        sum(q * q * q * q).cast("bigint").as("s4"))
+    val f = s.select($"l_returnflag", $"n", $"s1",
+      ($"s1".cast("double") / $"n".cast("double")).as("mu"),
+      ($"s2".cast("double") / $"n".cast("double")).as("p2"),
+      ($"s3".cast("double") / $"n".cast("double")).as("p3"),
+      ($"s4".cast("double") / $"n".cast("double")).as("p4"))
+    val g = f.select($"l_returnflag", $"n", $"s1", $"mu",
+      ($"p2" - $"mu" * $"mu").as("m2"),
+      ($"p3" - lit(3) * $"mu" * $"p2" + lit(2) * $"mu" * $"mu" * $"mu")
+        .as("m3"),
+      ($"p4" - lit(4) * $"mu" * $"p3"
+        + lit(6) * $"mu" * $"mu" * $"p2"
+        - lit(3) * $"mu" * $"mu" * $"mu" * $"mu").as("m4"))
+    g.select($"l_returnflag", $"n", $"s1", round($"mu", 6).as("mean_qty"),
+      round($"m3" / (sqrt($"m2") * $"m2"), 6).as("skewness"),
+      round($"m4" / ($"m2" * $"m2") - 3.0, 6).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26)
+    d25, d26, d27, d28)
 }

@@ -820,6 +820,49 @@ object EventTime {
       .orderBy("day_k")
   }
 
+  // H20 — first-order Markov transition matrix over per-user event
+  // sequences: the behavioral model behind next-event prediction and
+  // anomaly scoring ("error after purchase is 40× rarer than error after
+  // click"). lag() over (user, time, event_id) forms consecutive pairs —
+  // ONE shuffle on user_id, the same partitioning every other H-key uses —
+  // then a 25-cell aggregate. Probabilities are integer parts-per-million
+  // against the per-source-state total (exact integer division, no float
+  // parity surface). 100 TB: the pair-forming window is the only
+  // row-proportional stage; the transition matrix itself is |types|².
+  private val h20 = QueryDef.graded(
+    "h20_markov",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS prev_type
+      |  FROM events),
+      |p AS (
+      |  SELECT prev_type, event_type, count(*)::BIGINT AS n
+      |  FROM e WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type)
+      |SELECT prev_type, event_type, n,
+      |  (sum(n) OVER (PARTITION BY prev_type))::BIGINT AS n_from,
+      |  ((n * 1000000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+      |    AS p_ppm
+      |FROM p
+      |ORDER BY prev_type, event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = Tables.eventsUs(spark, dir)
+      .select($"user_id", expr("ts div 1000").as("t"), $"event_id",
+        $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(
+        Window.partitionBy($"user_id").orderBy($"t", $"event_id")))
+    val p = e.where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val wFrom = Window.partitionBy($"prev_type")
+    p.withColumn("n_from", sum($"n").over(wFrom).cast("bigint"))
+      .withColumn("p_ppm",
+        expr("(n * 1000000) div n_from").cast("bigint"))
+      .orderBy("prev_type", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17, h18, h19)
+    h12, h13, h14, h15, h16, h17, h18, h19, h20)
 }

@@ -614,6 +614,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // G59 — temperature-sampled mixture plan: the allocation step that
+  // turns per-language corpus sizes into training sampling weights
+  // w_i ∝ n_i^(1/2) (τ=2 temperature sampling, the multilingual-LM
+  // standard for up-weighting low-resource slices). The only float op is
+  // one correctly-rounded sqrt, immediately floored to an integer weight,
+  // so the whole plan — weights, ppm shares, token allocations against a
+  // 1M-token budget, clamped per-doc sampling rates — is exact integer
+  // arithmetic with zero cross-engine float surface. 100 TB: one
+  // aggregate on lang (5 groups) + a broadcast 1-row total; the plan
+  // table is dimension-sized however big the corpus.
+  private val g59 = graded(
+    "g59_mix_plan",
+    """WITH l AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS n_tok
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_docs, n_tok,
+      |    CAST(floor(sqrt(n_tok::DOUBLE)) AS BIGINT) AS wt
+      |  FROM l),
+      |t AS (SELECT sum(wt)::BIGINT AS wt_sum FROM w)
+      |SELECT w.lang, w.n_docs, w.n_tok, w.wt,
+      |  ((w.wt * 1000000) // t.wt_sum)::BIGINT AS share_ppm,
+      |  ((1000000 * w.wt) // t.wt_sum)::BIGINT AS alloc_tok,
+      |  least(1000000,
+      |    (((1000000 * w.wt) // t.wt_sum) * 1000000) // w.n_tok)::BIGINT
+      |    AS rate_ppm
+      |FROM w CROSS JOIN t
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val l = Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(split($"text", " "))).cast("bigint").as("n_tok"))
+    val w = l.withColumn("wt",
+      floor(sqrt($"n_tok".cast("double"))).cast("bigint"))
+    val t = w.agg(sum($"wt").cast("bigint").as("wt_sum"))
+    w.crossJoin(broadcast(t))
+      .select($"lang", $"n_docs", $"n_tok", $"wt",
+        expr("(wt * 1000000) div wt_sum").cast("bigint").as("share_ppm"),
+        expr("(1000000 * wt) div wt_sum").cast("bigint").as("alloc_tok"),
+        least(lit(1000000L),
+          expr("(((1000000 * wt) div wt_sum) * 1000000) div n_tok"))
+          .cast("bigint").as("rate_ppm"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58)
+    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59)
 }

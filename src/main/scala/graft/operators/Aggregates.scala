@@ -873,15 +873,15 @@ object Aggregates {
   // shuffle versus a plain count.
   private val d28 = QueryDef.graded(
     "d28_skew_kurt",
-    """WITH s AS (
+    """WITH q AS (
+      |  SELECT l_returnflag, round(l_quantity)::BIGINT AS qi FROM lineitem),
+      |s AS (
       |  SELECT l_returnflag, count(*)::BIGINT AS n,
-      |    sum(l_quantity::BIGINT)::BIGINT AS s1,
-      |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS s2,
-      |    sum(l_quantity::BIGINT * l_quantity::BIGINT
-      |        * l_quantity::BIGINT)::BIGINT AS s3,
-      |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT
-      |        * l_quantity::BIGINT)::BIGINT AS s4
-      |  FROM lineitem GROUP BY l_returnflag),
+      |    sum(qi)::BIGINT AS s1,
+      |    sum(qi * qi)::BIGINT AS s2,
+      |    sum(qi * qi * qi)::BIGINT AS s3,
+      |    sum(qi * qi * qi * qi)::BIGINT AS s4
+      |  FROM q GROUP BY l_returnflag),
       |f AS (
       |  SELECT l_returnflag, n, s1,
       |    s1::DOUBLE / n::DOUBLE AS mu,
@@ -901,7 +901,11 @@ object Aggregates {
       |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
       |FROM g ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val q = $"l_quantity".cast("bigint")
+    // round-then-cast on BOTH sides: a bare bigint cast truncates in Spark
+    // but rounds in DuckDB, a silent mismatch the moment the corpus ships
+    // fractional quantities. round() is half-away-from-zero in both
+    // engines for the positive domain, so the guard is exact.
+    val q = round($"l_quantity").cast("bigint")
     val s = Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("bigint").as("n"),

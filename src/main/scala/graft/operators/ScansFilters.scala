@@ -28,9 +28,12 @@ object ScansFilters {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  // A2 — the nanosecond-timestamp trap (SURVEY §1.3), surfaced as its own
-  // graded query: emit µs-normalized timestamps that match the oracle's
-  // truncated view exactly.
+  // A2 — the events-timestamp vintage trap (SURVEY §1.3), surfaced as its
+  // own graded query: the corpus has shipped ts as both TIMESTAMP(NANOS)
+  // (read as epoch-ns bigint) and TIMESTAMP(MICROS); the schema-adaptive
+  // loader (Tables.apply) normalizes both, and this key grades that the
+  // emitted µs timestamps match the oracle's view of the same file exactly,
+  // whichever vintage is on disk. Key name kept for contract stability.
   private val a2 = graded(
     "a2_scan_events_ns",
     """SELECT event_id, ts AS ts_us, event_type, value

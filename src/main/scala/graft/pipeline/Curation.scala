@@ -624,9 +624,16 @@ object Curation {
   // arithmetic with zero cross-engine float surface. 100 TB: one
   // aggregate on lang (5 groups) + a broadcast 1-row total; the plan
   // table is dimension-sized however big the corpus.
+  // g59's two 1,000,000s are DIFFERENT quantities that happen to share a
+  // value: PpmScale is the parts-per-million fixed-point scale; TokenBudget
+  // is the training-mix token budget being allocated. Named so a future
+  // budget change cannot silently also rescale the ppm shares.
+  private val PpmScale = 1000000L
+  private val TokenBudget = 1000000L
+
   private val g59 = graded(
     "g59_mix_plan",
-    """WITH l AS (
+    s"""WITH l AS (
       |  SELECT lang, count(*)::BIGINT AS n_docs,
       |    sum(len(string_split(text, ' ')))::BIGINT AS n_tok
       |  FROM documents GROUP BY lang),
@@ -636,10 +643,10 @@ object Curation {
       |  FROM l),
       |t AS (SELECT sum(wt)::BIGINT AS wt_sum FROM w)
       |SELECT w.lang, w.n_docs, w.n_tok, w.wt,
-      |  ((w.wt * 1000000) // t.wt_sum)::BIGINT AS share_ppm,
-      |  ((1000000 * w.wt) // t.wt_sum)::BIGINT AS alloc_tok,
-      |  least(1000000,
-      |    (((1000000 * w.wt) // t.wt_sum) * 1000000) // w.n_tok)::BIGINT
+      |  ((w.wt * $PpmScale) // t.wt_sum)::BIGINT AS share_ppm,
+      |  (($TokenBudget * w.wt) // t.wt_sum)::BIGINT AS alloc_tok,
+      |  least($PpmScale,
+      |    ((($TokenBudget * w.wt) // t.wt_sum) * $PpmScale) // w.n_tok)::BIGINT
       |    AS rate_ppm
       |FROM w CROSS JOIN t
       |ORDER BY lang""".stripMargin) { (spark, dir) =>
@@ -653,10 +660,10 @@ object Curation {
     val t = w.agg(sum($"wt").cast("bigint").as("wt_sum"))
     w.crossJoin(broadcast(t))
       .select($"lang", $"n_docs", $"n_tok", $"wt",
-        expr("(wt * 1000000) div wt_sum").cast("bigint").as("share_ppm"),
-        expr("(1000000 * wt) div wt_sum").cast("bigint").as("alloc_tok"),
-        least(lit(1000000L),
-          expr("(((1000000 * wt) div wt_sum) * 1000000) div n_tok"))
+        expr(s"(wt * $PpmScale) div wt_sum").cast("bigint").as("share_ppm"),
+        expr(s"($TokenBudget * wt) div wt_sum").cast("bigint").as("alloc_tok"),
+        least(lit(PpmScale),
+          expr(s"((($TokenBudget * wt) div wt_sum) * $PpmScale) div n_tok"))
           .cast("bigint").as("rate_ppm"))
       .orderBy("lang")
   }

@@ -16,20 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Read one table. `events.ts` is parquet TIMESTAMP(NANOS) which Spark
-    * rejects by default (SURVEY.md §1.3); the legacy flag reads it as
-    * epoch-nanosecond bigint. The conf set is idempotent and runtime-safe.
+  /** Read one table. The `events.ts` column has shipped in two vintages of
+    * the corpus (SURVEY.md §1.3):
+    *  - parquet TIMESTAMP(NANOS), which Spark reads as epoch-ns bigint
+    *    under the legacy `nanosAsLong` flag;
+    *  - parquet TIMESTAMP(MICROS) (naive → TIMESTAMP_NTZ in Spark).
+    * The loader is schema-adaptive: whatever vintage is on disk, `ts`
+    * leaves here as an epoch-NANOSECOND bigint, so every downstream
+    * `ts div 1000` µs-normalization works identically against both.
+    * For the µs vintage the NTZ→epoch conversion goes through an explicit
+    * TIMESTAMP cast, which applies the session time zone — the session tz
+    * is pinned to UTC here (idempotent, same pattern as the legacy flag)
+    * so the synthesized epoch agrees with what the DuckDB oracle computes
+    * from the same naive column.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") return spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // ns vintage: already epoch-ns
+      case _ => // µs vintage: TIMESTAMP_NTZ (or TIMESTAMP) → epoch-ns bigint
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 
   /** `events` with the nanosecond timestamp normalized to microseconds:
-    *  - `ts_us`  timestamp_ntz at µs precision — bit-equal to what the
-    *    DuckDB oracle reads for the same column (it truncates ns → µs)
-    *  - `ts`     raw epoch-ns bigint kept for intermediate comparisons
+    *  - `ts_us`  timestamp at µs precision — bit-equal to what the
+    *    DuckDB oracle reads for the same column (ns vintage: it truncates
+    *    ns → µs; µs vintage: identity)
+    *  - `ts`     epoch-ns bigint (synthesized by [[apply]] for the µs
+    *    vintage) kept for intermediate comparisons
     *
     * Integer `div` (not `/`) is load-bearing: epoch-ns ≈ 1.7e18 exceeds a
     * double's 53-bit mantissa, so float division would corrupt timestamps.

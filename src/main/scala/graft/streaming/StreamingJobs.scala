@@ -25,23 +25,34 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** events parquet schema (fixed corpus schema; file streams cannot infer). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("ts", LongType), // epoch-ns under nanosAsLong
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events parquet schema. File streams cannot infer, so the schema is
+    * probed from the parquet footer with a one-off batch read — this keeps
+    * the stream correct across both corpus vintages (ts as epoch-ns bigint
+    * under `nanosAsLong`, or native TIMESTAMP(MICROS) → TIMESTAMP_NTZ).
+    */
+  def eventsSchema(spark: SparkSession, sfDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
 
-  /** Streaming scan of the events parquet dir, ns → µs normalized. */
+  /** Streaming scan of the events parquet dir, normalized to the same
+    * shape the batch loader ([[graft.sources.Tables.apply]]) produces:
+    * `ts` epoch-ns bigint + `ts_us` µs timestamp, whatever the on-disk
+    * vintage.
+    */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val footer = eventsSchema(spark, sfDir)
+    val raw = spark.readStream
+      .schema(footer)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val ns = footer("ts").dataType match {
+      case LongType => raw // ns vintage: already epoch-ns
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+    ns.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Tumbling 1-day event-time window counts with a 1-day watermark —

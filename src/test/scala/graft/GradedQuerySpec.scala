@@ -8,8 +8,22 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   */
 class GradedQuerySpec extends SparkSpec {
 
-  private lazy val results = SparkEntry.all.map { d =>
-    d -> d.fn(spark, sfDir)
+  // Per-key Try: one broken loader/analysis must fail only its own key's
+  // assertions (the r5 events-ts regen broke ONE loader and cascaded into
+  // 33 suite failures because construction was all-or-nothing).
+  private lazy val attempts = SparkEntry.all.map { d =>
+    d -> scala.util.Try(d.fn(spark, sfDir))
+  }
+  private lazy val results = attempts.collect {
+    case (d, scala.util.Success(df)) => d -> df
+  }
+
+  test("every query constructs (loader + analysis)") {
+    val broken = attempts.collect { case (d, scala.util.Failure(e)) =>
+      s"${d.key}: ${e.toString.linesIterator.take(2).mkString(" | ")}"
+    }
+    assert(broken.isEmpty, s"${broken.size} keys fail to construct:\n" +
+      broken.mkString("\n"))
   }
 
   test("every query declares rows at sf0.001 (smoke)") {

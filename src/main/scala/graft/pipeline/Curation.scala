@@ -668,6 +668,55 @@ object Curation {
       .orderBy("lang")
   }
 
+  // g61 — per-source document cap: keep the top-15 docs per source by a
+  // deterministic quality score. The standard crawl-curation guard (a C4/
+  // RefinedWeb-style per-domain cap) against any single domain dominating
+  // the mix: rank within source by (quality DESC, doc_id) and keep rank
+  // ≤ 15. The quality score is a fixed IEEE tree over integer word
+  // counts (g10's shape), so ranking order is identical in both engines;
+  // doc_id breaks exact ties. Plan: one window partitioned by source —
+  // Spark plans a WindowGroupLimit (g37's rank-limit pruning), so each
+  // shuffle partition retains only its top 15 BEFORE the full sort; at
+  // 100 TB the shuffle carries per-source top-k candidates, not the
+  // corpus.
+  private val CapPerSource = 15
+
+  private val g61 = graded(
+    "g61_domain_cap",
+    s"""WITH m AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' '))::DOUBLE AS n_words,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_uniq
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |    0.5 * least(n_words / 50.0, 1.0) + 0.5 * (n_uniq / n_words) AS q
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, source, q,
+      |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+      |      AS rk
+      |  FROM q)
+      |SELECT doc_id, source, rk::BIGINT AS rk, round(q, 6) AS quality
+      |FROM r WHERE rk <= $CapPerSource
+      |ORDER BY source, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("double").as("n_words"),
+        size(array_distinct(split($"text", " "))).cast("double").as("n_uniq"))
+    val q = m.withColumn("q",
+      lit(0.5) * least($"n_words" / 50.0, lit(1.0))
+        + lit(0.5) * ($"n_uniq" / $"n_words"))
+    q.withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"q".desc, $"doc_id")))
+      .where($"rk" <= CapPerSource)
+      .select($"doc_id", $"source", $"rk".cast("bigint").as("rk"),
+        round($"q", 6).as("quality"))
+      .orderBy("source", "rk")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59)
+    Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59,
+      g61)
 }

@@ -947,6 +947,52 @@ object Dedup {
       .orderBy("canonical")
   }
 
+  // g63 — sharded-vs-global dedup loss: THE quantitative answer to "can
+  // we dedup per-shard instead of globally at 100 TB?". Shard by a
+  // stable id partition (doc_id % 8 — in production, the ingest shard),
+  // cluster by a bag-of-words fingerprint (md5 of the sorted distinct
+  // token set — this corpus ships word-shuffled near-dups with identical
+  // token sets, so raw-text md5 clusters are all singletons and the
+  // question vanishes; token order is ascii-binary in both engines), and
+  // measure what per-shard dedup misses: a cluster spanning s shards
+  // keeps s survivors where global dedup keeps 1, so each (size, span)
+  // cell contributes (s − 1) missed duplicates per cluster. Output is
+  // the (size × span) histogram with missed totals — dimension-sized
+  // however big the corpus, and the whole computation is two groupBys on
+  // a 16-byte digest (the text never rides the second shuffle). Mass at
+  // span > 1 is exactly the cross-shard duplicate traffic a global pass
+  // must pay for.
+  private val ShardCount = 8
+
+  private val g63 = graded(
+    "g63_shard_dedup_loss",
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |      AS fp
+      |  FROM documents),
+      |cl AS (
+      |  SELECT fp, count(*)::BIGINT AS sz,
+      |    count(DISTINCT doc_id % $ShardCount)::BIGINT AS span
+      |  FROM f GROUP BY 1)
+      |SELECT sz, span, count(*)::BIGINT AS n_clusters,
+      |  (sum(span) - count(*))::BIGINT AS missed_dups,
+      |  (sum(sz) - count(*))::BIGINT AS global_dups
+      |FROM cl GROUP BY sz, span
+      |ORDER BY sz, span""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5(array_join(sort_array(array_distinct(split($"text", " "))),
+        " ")).as("fp"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct($"doc_id" % ShardCount).as("span"))
+      .groupBy($"sz", $"span")
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum($"span") - count(lit(1))).cast("bigint").as("missed_dups"),
+        (sum($"sz") - count(lit(1))).cast("bigint").as("global_dups"))
+      .orderBy("sz", "span")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49, g54)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63)
 }

@@ -483,6 +483,73 @@ object Similarity {
       .orderBy("label")
   }
 
+  // g64 — centroid-cosine outlier filter: flag vectors whose cosine to
+  // the corpus centroid is a z-score outlier. The pre-index sanity gate
+  // for an embedding corpus — off-manifold/corrupt vectors (wrong
+  // modality, zeroed buffers, encoder failures) sit far from the
+  // centroid and poison ANN recall and cluster math downstream. (A raw
+  // NORM outlier gate is degenerate here: the corpus is unit-normalized
+  // to 1 ± 4e-8, which is itself worth knowing — the norm check belongs
+  // in r-family audits, the distributional check lives here.)
+  // Float discipline: cos_c is rounded to 6dp FIRST and mean/std are
+  // computed over the ROUNDED values, so both engines feed identical
+  // inputs to the stats and sum-order ulps cannot flip the |z| > 2 flag.
+  // Std comes from the two-pass Σ(x−mu)² form — the one-pass power-sum
+  // form cancels catastrophically when the spread is tiny relative to
+  // the mean (measured: it goes NEGATIVE on this corpus). Shape at
+  // scale: centroid = one 64-row partial aggregate; then a scan with
+  // two 1-row broadcasts (allowlisted BNLJ shape) — no wide shuffle.
+  private val g64 = graded(
+    "g64_centroid_outliers",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |cd AS (
+      |  SELECT gs.i AS dim, avg(v[gs.i + 1]) AS c
+      |  FROM e, generate_series(0, 63) gs(i) GROUP BY gs.i),
+      |cv AS (
+      |  SELECT list(c ORDER BY dim) AS c,
+      |    sqrt(sum(c * c)) AS cnrm FROM cd),
+      |s AS (
+      |  SELECT vec_id,
+      |    round(${duckDot("v", "c")} / (nrm * cnrm), 6) AS cos_c
+      |  FROM e CROSS JOIN cv),
+      |m AS (SELECT count(*)::DOUBLE AS n, avg(cos_c) AS mu FROM s),
+      |sd AS (
+      |  SELECT sqrt(sum((cos_c - mu) * (cos_c - mu)) / (any_value(n) - 1))
+      |    AS sigma
+      |  FROM s CROSS JOIN m)
+      |SELECT vec_id, cos_c,
+      |  round((cos_c - mu) / sigma, 6) AS z,
+      |  (abs(round((cos_c - mu) / sigma, 6)) > 2.0) AS is_outlier
+      |FROM s CROSS JOIN m CROSS JOIN sd
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    val cv = e.select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(avg($"x").as("c"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)")
+        .as("c"))
+      .withColumn("cnrm", sqrt(expr("aggregate(c, 0D, (a, x) -> a + x * x)")))
+    val s = e.crossJoin(broadcast(cv))
+      .select($"vec_id",
+        round(expr("aggregate(zip_with(v, c, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+          / ($"nrm" * $"cnrm"), 6).as("cos_c"))
+    val m = s.agg(count(lit(1)).cast("double").as("n"), avg($"cos_c").as("mu"))
+    val sd = s.crossJoin(broadcast(m))
+      .agg(sqrt(sum(($"cos_c" - $"mu") * ($"cos_c" - $"mu")) / first($"n" - 1))
+        .as("sigma"))
+    s.crossJoin(broadcast(m)).crossJoin(broadcast(sd))
+      .withColumn("z", round(($"cos_c" - $"mu") / $"sigma", 6))
+      .select($"vec_id", $"cos_c", $"z", (abs($"z") > 2.0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57)
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64)
 }

@@ -718,6 +718,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // g62 — tokenizer fertility by language: BPE-ish regex tokens per
+  // whitespace word, aggregated per lang. THE number a tokenizer team
+  // reads per language slice — fertility ≫ 1 means the tokenizer
+  // fragments that language and its documents cost disproportionate
+  // sequence length at training time. Reuses g11's cross-engine-safe
+  // regex ('[a-z]+|[0-9]+' — identical semantics in Spark and DuckDB's
+  // RE2-style engines, proven by g11's parity); counts are exact
+  // integers, the two ratios fixed IEEE trees rounded at 6dp. Shape at
+  // scale: pure map-side token counting folded into the scan + a 5-group
+  // aggregate — zero wide shuffles, scales like the scan itself.
+  private val g62 = graded(
+    "g62_fertility",
+    """WITH m AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' '))::BIGINT AS n_ws,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_re,
+      |    length(text)::BIGINT AS n_ch
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(n_ws)::BIGINT AS ws_tokens,
+      |  sum(n_re)::BIGINT AS re_tokens,
+      |  round(sum(n_re)::DOUBLE / sum(n_ws)::DOUBLE, 6) AS fertility,
+      |  round(sum(n_ch)::DOUBLE / sum(n_re)::DOUBLE, 6) AS chars_per_tok
+      |FROM m GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang",
+        size(split($"text", " ")).cast("bigint").as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+          .cast("bigint").as("n_re"),
+        length($"text").cast("bigint").as("n_ch"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_ws").cast("bigint").as("ws_tokens"),
+        sum($"n_re").cast("bigint").as("re_tokens"),
+        round(sum($"n_re").cast("double") / sum($"n_ws").cast("double"), 6)
+          .as("fertility"),
+        round(sum($"n_ch").cast("double") / sum($"n_re").cast("double"), 6)
+          .as("chars_per_tok"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42, g43, g52, g53, g55)
+    g37, g38, g41, g42, g43, g52, g53, g55, g62)
 }

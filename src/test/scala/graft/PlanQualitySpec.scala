@@ -25,7 +25,8 @@ class PlanQualitySpec extends SparkSpec {
     "g57_knn_eval", // self-exclusion inequality over the bounded eval sample
     "d26_anova", // 5-row moment table crossing its own 1-row total
     "d27_chisq", // contingency cells crossing their own 1-row chi² total
-    "g59_mix_plan") // 5-lang plan table crossing the 1-row weight total
+    "g59_mix_plan", // 5-lang plan table crossing the 1-row weight total
+    "g64_centroid_outliers") // 1-row centroid + 1-row mean + 1-row sigma broadcasts
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the
@@ -145,6 +146,14 @@ class PlanQualitySpec extends SparkSpec {
     // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
     // each shuffle partition retains only k rows per doc before the sort
     val p = plans.toMap.apply("g37_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("g61 domain cap: per-source top-15 is WindowGroupLimit-pruned") {
+    // same rank-limit pushdown contract as g37: each shuffle partition
+    // keeps only its per-source top-k before the sort — at 100 TB the
+    // shuffle carries candidates, not the corpus
+    val p = plans.toMap.apply("g61_domain_cap")
     assert(p.contains("WindowGroupLimit"), p)
   }
 

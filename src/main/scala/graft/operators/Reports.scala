@@ -495,5 +495,74 @@ object Reports {
     liRule.unionAll(stRule).unionAll(tpRule).orderBy("rule")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9)
+  // R10 — POPULATION STABILITY INDEX drift report: the crawl-over-crawl
+  // distribution monitor a data-pipeline team schedules between corpus
+  // snapshots. Reference vs current = the doc_id halves (in production,
+  // the previous and new ingest batch); the monitored statistic is the
+  // g61 quality score bucketed into 10 FIXED-width bins (fixed
+  // boundaries, not quantiles — quantile edges would make bucket
+  // membership distribution-dependent and the report non-comparable
+  // across runs, which is the whole point of PSI). Add-1 smoothing makes
+  // every bucket's share strictly positive, so ln is always defined and
+  // the report needs no bucket-dropping rule. PSI ≥ 0.2 is the standard
+  // "investigate" threshold. All counts are exact integers; shares and
+  // the ln/multiply tree are fixed IEEE, rounded 6dp. Shape at 100 TB:
+  // one map-side bucket projection + a 20-cell aggregate + a 2-row
+  // broadcast of per-half totals — dimension-sized forever.
+  private val r10 = graded(
+    "r10_psi_drift",
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    0.5 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+      |    + 0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |             / len(string_split(text, ' '))::DOUBLE) AS q,
+      |    (doc_id % 2 = 0) AS is_ref
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS bucket, is_ref
+      |  FROM q),
+      |c AS (
+      |  SELECT bucket,
+      |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+      |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+      |  FROM b GROUP BY bucket),
+      |t AS (
+      |  SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
+      |  FROM c),
+      |p AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    (n_ref + 1)::DOUBLE / (t_ref + 10)::DOUBLE AS pr,
+      |    (n_cur + 1)::DOUBLE / (t_cur + 10)::DOUBLE AS pc
+      |  FROM c CROSS JOIN t)
+      |SELECT bucket, n_ref, n_cur,
+      |  round(pr, 6) AS ref_share, round(pc, 6) AS cur_share,
+      |  round((pc - pr) * ln(pc / pr), 6) AS psi_term
+      |FROM p
+      |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val q = Tables.documents(spark, dir)
+      .select($"doc_id",
+        (lit(0.5) * least(size(split($"text", " ")).cast("double") / 50.0,
+          lit(1.0))
+          + lit(0.5) * (size(array_distinct(split($"text", " "))).cast("double")
+            / size(split($"text", " ")).cast("double"))).as("q"),
+        ($"doc_id" % 2 === 0).as("is_ref"))
+    val c = q
+      .select(least(floor($"q" * 10).cast("bigint"), lit(9L)).as("bucket"),
+        $"is_ref")
+      .groupBy($"bucket")
+      .agg(sum(when($"is_ref", 1).otherwise(0)).cast("bigint").as("n_ref"),
+        sum(when($"is_ref", 0).otherwise(1)).cast("bigint").as("n_cur"))
+    val t = c.agg(sum($"n_ref").cast("bigint").as("t_ref"),
+      sum($"n_cur").cast("bigint").as("t_cur"))
+    c.crossJoin(broadcast(t))
+      .withColumn("pr", ($"n_ref" + 1).cast("double") / ($"t_ref" + 10).cast("double"))
+      .withColumn("pc", ($"n_cur" + 1).cast("double") / ($"t_cur" + 10).cast("double"))
+      .select($"bucket", $"n_ref", $"n_cur",
+        round($"pr", 6).as("ref_share"), round($"pc", 6).as("cur_share"),
+        round(($"pc" - $"pr") * log($"pc" / $"pr"), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10)
 }

@@ -547,6 +547,101 @@ object Joins {
       .orderBy("event_id")
   }
 
+  // C18 — NEAREST as-of join, completing the family (c8 backward, c12
+  // forward, c17 tolerance): each event matches whichever adjacent order
+  // is closest in time, ties to the earlier (backward) order. pandas
+  // merge_asof(direction='nearest'), distributed. Same zero-join union
+  // formulation as c8/c12 — both directions come out of ONE sorted
+  // window pass (two frames over the same sort), then a pure map-side
+  // argmin picks the side; no second shuffle. Time arithmetic is
+  // tz-free integer µs: orders enter as days-since-epoch × 86400e6
+  // (date subtraction, no timestamp cast), events as `ts div 1000` —
+  // so the distance math is BIGINT-exact in both engines. An order at
+  // the event's exact timestamp sorts before the event (src 0 < 1),
+  // lands in the backward frame at distance 0, and wins any tie.
+  private val c18 = graded(
+    "c18_join_asof_nearest",
+    """WITH u AS (
+      |  SELECT o_custkey AS user_id,
+      |    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+      |      * 86400000000 AS us,
+      |    0 AS src, o_orderkey AS ok, CAST(NULL AS BIGINT) AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts) AS us, 1 AS src,
+      |    CAST(NULL AS BIGINT), event_id
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, src, us,
+      |    last_value(ok IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, src, ok
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ok,
+      |    first_value(ok IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, src, ok
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ok,
+      |    first_value(CASE WHEN src = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, src, ok
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_us,
+      |    last_value(CASE WHEN src = 0 THEN us END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY us, src, ok
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_us
+      |  FROM u
+      |)
+      |SELECT event_id, user_id,
+      |  CASE
+      |    WHEN b_ok IS NULL AND f_ok IS NULL THEN NULL
+      |    WHEN f_ok IS NULL THEN b_ok
+      |    WHEN b_ok IS NULL THEN f_ok
+      |    WHEN (us - b_us) <= (f_us - us) THEN b_ok ELSE f_ok END
+      |    AS near_orderkey,
+      |  CASE
+      |    WHEN b_ok IS NULL AND f_ok IS NULL THEN NULL
+      |    WHEN f_ok IS NULL THEN us - b_us
+      |    WHEN b_ok IS NULL THEN f_us - us
+      |    WHEN (us - b_us) <= (f_us - us) THEN us - b_us
+      |    ELSE f_us - us END AS dist_us,
+      |  CASE
+      |    WHEN b_ok IS NULL AND f_ok IS NULL THEN 'none'
+      |    WHEN f_ok IS NULL THEN 'backward'
+      |    WHEN b_ok IS NULL THEN 'forward'
+      |    WHEN (us - b_us) <= (f_us - us) THEN 'backward'
+      |    ELSE 'forward' END AS direction
+      |FROM m WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir).select(
+      $"o_custkey".as("user_id"),
+      (datediff($"o_orderdate", lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("bigint") * 86400000000L).as("us"),
+      lit(0).as("src"), $"o_orderkey".as("ok"),
+      lit(null).cast("bigint").as("event_id"))
+    val events = Tables.apply(spark, dir, "events").select(
+      $"user_id", expr("ts div 1000").as("us"), lit(1).as("src"),
+      lit(null).cast("bigint").as("ok"), $"event_id")
+    val sorted = Window.partitionBy($"user_id").orderBy($"us", $"src", $"ok")
+    val wb = sorted.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = sorted.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ordUs = when($"src" === 0, $"us")
+    val m = orders.unionByName(events)
+      .select($"user_id", $"event_id", $"src", $"us",
+        last($"ok", ignoreNulls = true).over(wb).as("b_ok"),
+        last(ordUs, ignoreNulls = true).over(wb).as("b_us"),
+        first($"ok", ignoreNulls = true).over(wf).as("f_ok"),
+        first(ordUs, ignoreNulls = true).over(wf).as("f_us"))
+      .where($"src" === 1)
+    val bWins = $"b_ok".isNotNull && ($"f_ok".isNull
+      || ($"us" - $"b_us") <= ($"f_us" - $"us"))
+    m.select($"event_id", $"user_id",
+        when($"b_ok".isNull && $"f_ok".isNull, lit(null).cast("bigint"))
+          .when(bWins, $"b_ok").otherwise($"f_ok").as("near_orderkey"),
+        when($"b_ok".isNull && $"f_ok".isNull, lit(null).cast("bigint"))
+          .when(bWins, $"us" - $"b_us").otherwise($"f_us" - $"us")
+          .as("dist_us"),
+        when($"b_ok".isNull && $"f_ok".isNull, "none")
+          .when(bWins, "backward").otherwise("forward").as("direction"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15, c16, c17)
+    c11, c12, c13, c14, c15, c16, c17, c18)
 }

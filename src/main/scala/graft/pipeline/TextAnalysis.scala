@@ -761,6 +761,45 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // g65 — GINI COEFFICIENT of document lengths per language: the corpus-
+  // balance inequality number (G → 0: uniform doc sizes; G → 1: a few
+  // giant docs carry the language's token mass — which skews both
+  // training-mix math like g59 and packing like g28). Exact rank formula
+  // G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over lengths sorted
+  // ascending with doc_id tiebreak — every sum is an exact BIGINT, the
+  // single division is one fixed IEEE op rounded 6dp. Shape at scale:
+  // one window per lang (shuffles on the lang key only) + a 5-group
+  // aggregate; the standard distributed-rank formulation, never a global
+  // sort.
+  private val g65 = graded(
+    "g65_length_gini",
+    """WITH x AS (
+      |  SELECT lang, doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS x,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY len(string_split(text, ' ')), doc_id) AS i
+      |  FROM documents)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(x)::BIGINT AS total_tokens,
+      |  round((2 * sum(i * x) - (count(*) + 1) * sum(x))::DOUBLE
+      |        / (count(*) * sum(x))::DOUBLE, 6) AS gini
+      |FROM x GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val x = Tables.documents(spark, dir)
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("bigint").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"lang").orderBy($"x", $"doc_id")).cast("bigint"))
+    x.groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"x").cast("bigint").as("total_tokens"),
+        round((lit(2) * sum($"i" * $"x")
+          - (count(lit(1)) + 1) * sum($"x")).cast("double")
+          / (count(lit(1)) * sum($"x")).cast("double"), 6).as("gini"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42, g43, g52, g53, g55, g62)
+    g37, g38, g41, g42, g43, g52, g53, g55, g62, g65)
 }

@@ -863,6 +863,50 @@ object EventTime {
       .orderBy("prev_type", "event_type")
   }
 
+  // H21 — CUSUM change-point flagging over the daily event-count series:
+  // the standard volume-anomaly monitor (did ingest break / double on
+  // some day?). The cumulative sum of deviations-from-mean is kept
+  // INTEGER-exact by scaling: s_i = Σ_{j≤i} (D·n_j − T) with D = #days
+  // and T = total events (i.e. D× the classical Σ(n_j − T/D)), so both
+  // engines sum identical BIGINTs and the |s_i| > (D·T) div 10 flag
+  // (10% of scaled total mass, by declaration) can never float-drift.
+  // Shape at scale: one shuffle to the bounded day grain, then a global
+  // window over the ~O(days) series — fine at any corpus size because
+  // the day dimension, not the corpus, bounds the window input; the D/T
+  // totals ride a 1-row broadcast (allowlisted BNLJ).
+  private val h21 = graded(
+    "h21_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT count(*)::BIGINT AS nd, sum(n)::BIGINT AS total FROM d),
+      |c AS (
+      |  SELECT day, n,
+      |    sum(nd * n - total) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s,
+      |    nd, total
+      |  FROM d CROSS JOIN t)
+      |SELECT (DATE '1970-01-01' + (day::INT)) AS day, n, s,
+      |  (abs(s) > (nd * total) // 10) AS changepoint
+      |FROM c ORDER BY day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val d = Tables.apply(spark, dir, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val t = d.agg(count(lit(1)).cast("bigint").as("nd"),
+      sum($"n").cast("bigint").as("total"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(t))
+      .withColumn("s", sum($"nd" * $"n" - $"total").over(w).cast("bigint"))
+      .select(
+        expr("date_add(date'1970-01-01', cast(day as int))").as("day"),
+        $"n", $"s",
+        (abs($"s") > expr("(nd * total) div 10")).as("changepoint"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17, h18, h19, h20)
+    h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
 }

@@ -456,6 +456,39 @@ object SortSetScalar {
       .orderBy("o_orderkey")
   }
 
+  // F18 — calendar function family beyond f4's basics: period edges
+  // (last_day, quarter-trunc), ISO week math (weekday/weekofyear — the
+  // one calendar area where engine conventions genuinely diverge:
+  // Spark weekday is 0=Monday, DuckDB isodow is 1=Monday; Spark
+  // weekofyear IS the ISO week, DuckDB's week() likewise), day-of-year,
+  // and month rollover via add_months (clamps 31st → month end in both
+  // engines by the SQL standard). All map-side projections — scales
+  // like the scan.
+  private val f18 = graded(
+    "f18_calendar_funcs",
+    """SELECT o_orderkey,
+      |  last_day(o_orderdate::DATE) AS month_end,
+      |  date_trunc('quarter', o_orderdate)::DATE AS q_start,
+      |  quarter(o_orderdate)::INT AS q,
+      |  (isodow(o_orderdate) - 1)::INT AS wd_iso,
+      |  week(o_orderdate)::INT AS iso_week,
+      |  dayofyear(o_orderdate)::INT AS doy,
+      |  (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        last_day($"o_orderdate").as("month_end"),
+        date_trunc("quarter", $"o_orderdate").cast("date").as("q_start"),
+        quarter($"o_orderdate").as("q"),
+        weekday($"o_orderdate").as("wd_iso"),
+        weekofyear($"o_orderdate").as("iso_week"),
+        dayofyear($"o_orderdate").as("doy"),
+        add_months(to_date($"o_orderdate"), 3).as("plus_3m"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16, f17)
+    f11, f12, f13, f14, f15, f16, f17, f18)
 }

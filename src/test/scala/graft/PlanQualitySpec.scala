@@ -27,7 +27,8 @@ class PlanQualitySpec extends SparkSpec {
     "d27_chisq", // contingency cells crossing their own 1-row chi² total
     "g59_mix_plan", // 5-lang plan table crossing the 1-row weight total
     "g64_centroid_outliers", // 1-row centroid + 1-row mean + 1-row sigma broadcasts
-    "r10_psi_drift") // 10-bucket table crossing its own 1-row totals
+    "r10_psi_drift", // 10-bucket table crossing its own 1-row totals
+    "h21_cusum_changepoint") // day-grain series crossing its own 1-row D/T totals
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -137,5 +137,46 @@ object Udfs {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(i1, i2, i3, i4)
+  // i5 — SQL-DEFINED scalar functions (`CREATE TEMPORARY FUNCTION … RETURN
+  // expr`, Spark 4's SQL UDF surface): the extensibility path that stays
+  // FULLY inside Catalyst — the body is inlined into the plan at
+  // resolution, so unlike i1's black-box JVM closure it keeps codegen,
+  // constant folding and pushdown (confirmed: the plan shows the CASE/ln
+  // expressions, no ScalaUDF node). Two functions, one CALLING the other,
+  // grade the resolution chain. Oracle inlines the same bodies — the
+  // function is a naming device, not new semantics. Runs on orders:
+  // o_orderkey is unique, so the ORDER BY is total (window-determinism
+  // rule; lineitem's key is not unique in this corpus).
+  private val i5 = graded(
+    "i5_sql_udf",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 50000 THEN 'low'
+      |       WHEN o_totalprice < 150000 THEN 'mid'
+      |       ELSE 'high' END AS band,
+      |  round(ln(o_totalprice), 6) AS log_price,
+      |  concat(CASE WHEN o_totalprice < 50000 THEN 'low'
+      |              WHEN o_totalprice < 150000 THEN 'mid'
+      |              ELSE 'high' END,
+      |         ':', o_orderpriority) AS seg
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band(p DOUBLE)
+        |RETURNS STRING
+        |RETURN CASE WHEN p < 50000 THEN 'low'
+        |            WHEN p < 150000 THEN 'mid' ELSE 'high' END""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_seg(p DOUBLE, pri STRING)
+        |RETURNS STRING
+        |RETURN concat(graft_band(p), ':', pri)""".stripMargin)
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_i5")
+    spark.sql(
+      """SELECT o_orderkey, graft_band(o_totalprice) AS band,
+        |  round(ln(o_totalprice), 6) AS log_price,
+        |  graft_seg(o_totalprice, o_orderpriority) AS seg
+        |FROM orders_i5
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(i1, i2, i3, i4, i5)
 }

@@ -907,6 +907,186 @@ object EventTime {
       .orderBy("day")
   }
 
+  // h22 — Poisson overdispersion monitor on the arrival process: hourly
+  // event counts per type, then the variance-to-mean (Fano) dispersion
+  // index — ≈1 for a well-behaved Poisson arrival stream, ≫1 signals
+  // bursty/bot traffic or an ingest replay. Every statistic is derived
+  // from EXACT BIGINT power sums over the hourly counts (Σn, Σn², nb),
+  // so mean / var_samp / dispersion are each ONE double division of two
+  // exact integers — no float accumulation anywhere, and the > 1.2 flag
+  // compares the ROUNDED index (cannot ulp-flip). var_samp =
+  // (nb·Σn² − (Σn)²) / (nb·(nb−1)); dispersion = var/mean =
+  // (nb·Σn² − (Σn)²) / ((nb−1)·Σn). Shape at scale: one shuffle to the
+  // bounded (type, hour) grain with map-side partial counts, then a
+  // 5-row aggregate — the corpus never rides the second shuffle.
+  private val h22 = graded(
+    "h22_dispersion",
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, count(*)::BIGINT AS nb, sum(n)::BIGINT AS sn,
+      |    sum(n * n)::BIGINT AS sn2
+      |  FROM b GROUP BY event_type)
+      |SELECT event_type, nb AS n_buckets, sn AS n_events,
+      |  round(sn::DOUBLE / nb::DOUBLE, 6) AS mean_rate,
+      |  round((nb * sn2 - sn * sn)::DOUBLE / (nb * (nb - 1))::DOUBLE, 6)
+      |    AS var_rate,
+      |  round((nb * sn2 - sn * sn)::DOUBLE / ((nb - 1) * sn)::DOUBLE, 6)
+      |    AS dispersion,
+      |  (round((nb * sn2 - sn * sn)::DOUBLE / ((nb - 1) * sn)::DOUBLE, 6)
+      |    > 1.2) AS overdispersed
+      |FROM p ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val b = Tables.apply(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("(ts div 1000) div 3600000000").as("hr"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    b.groupBy($"event_type")
+      .agg(count(lit(1)).cast("bigint").as("nb"),
+        sum($"n").cast("bigint").as("sn"),
+        sum($"n" * $"n").cast("bigint").as("sn2"))
+      .select($"event_type", $"nb".as("n_buckets"), $"sn".as("n_events"),
+        round($"sn".cast("double") / $"nb".cast("double"), 6).as("mean_rate"),
+        round(($"nb" * $"sn2" - $"sn" * $"sn").cast("double")
+          / ($"nb" * ($"nb" - 1)).cast("double"), 6).as("var_rate"),
+        round(($"nb" * $"sn2" - $"sn" * $"sn").cast("double")
+          / (($"nb" - 1) * $"sn").cast("double"), 6).as("dispersion"))
+      .withColumn("overdispersed", $"dispersion" > 1.2)
+      .orderBy("event_type")
+  }
+
+  // h23 — cohort churn/inactivity report (the retention team's
+  // dashboard, h8's complement): users grouped by FIRST-event DAY
+  // (integer days since epoch — no calendar/tz surface; the corpus spans
+  // ~30 days, so day is the informative cohort grain), a user is CHURNED
+  // when their last event is more than 7 days older than the corpus's
+  // newest event (the "as-of now" inactivity rule, entirely in exact µs
+  // integers), and the per-cohort churn rate is an exact ppm integer —
+  // no float anywhere in the query. Shape at scale: one user_id shuffle
+  // for the min/max pass (map-side partial), a 1-row global-max
+  // broadcast (allowlisted BNLJ), then a day-grain rollup bounded by the
+  // calendar, not the corpus.
+  private val h23 = graded(
+    "h23_inactivity_churn",
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts))::BIGINT AS first_us,
+      |    max(epoch_us(ts))::BIGINT AS last_us
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT max(last_us)::BIGINT AS now_us FROM u)
+      |SELECT (DATE '1970-01-01'
+      |    + ((u.first_us // 86400000000)::INT)) AS cohort_day,
+      |  count(*)::BIGINT AS n_users,
+      |  sum(CASE WHEN u.last_us < m.now_us - 604800000000
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+      |  ((sum(CASE WHEN u.last_us < m.now_us - 604800000000
+      |      THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS churn_ppm
+      |FROM u CROSS JOIN m
+      |GROUP BY 1 ORDER BY cohort_day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val u = Tables.apply(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(min(expr("ts div 1000")).cast("bigint").as("first_us"),
+        max(expr("ts div 1000")).cast("bigint").as("last_us"))
+    val m = u.agg(max($"last_us").cast("bigint").as("now_us"))
+    u.crossJoin(broadcast(m))
+      .groupBy(expr(
+        "date_add(date'1970-01-01', cast(first_us div 86400000000 as int))")
+        .as("cohort_day"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(when($"last_us" < $"now_us" - 604800000000L, 1).otherwise(0))
+          .cast("bigint").as("n_churned"))
+      .select($"cohort_day", $"n_users", $"n_churned",
+        expr("(n_churned * 1000000) div n_users").cast("bigint")
+          .as("churn_ppm"))
+      .orderBy("cohort_day")
+  }
+
+  // h24 — hour-of-day × day-of-week SEASONAL PROFILE per event type with
+  // hot-cell flags (the traffic-shape fingerprint capacity planning and
+  // anomaly baselines read). Day-of-week is computed ARITHMETICALLY —
+  // (days_since_epoch + 3) mod 7, 0 = Monday (1970-01-01 was a
+  // Thursday) — so no calendar/locale/tz function surface can diverge
+  // between engines. Each cell's load ratio vs the type's uniform
+  // 168-cell expectation is an exact integer cross-multiplication:
+  // ratio_ppm = n·168·10⁶ div total; hot ⟺ ratio > 2×10⁶. Shape at
+  // scale: one shuffle to the bounded (type, dow, hour) grain with
+  // map-side partial counts, then a per-type rollup of ≤ 840 cells.
+  private val h24 = graded(
+    "h24_seasonal_profile",
+    """WITH c AS (
+      |  SELECT event_type,
+      |    ((epoch_us(ts) // 86400000000 + 3) % 7)::INT AS dow,
+      |    ((epoch_us(ts) // 3600000000) % 24)::INT AS hour,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, sum(n)::BIGINT AS total FROM c
+      |      GROUP BY event_type)
+      |SELECT c.event_type, c.dow, c.hour, c.n,
+      |  ((c.n * 168 * 1000000) // t.total)::BIGINT AS ratio_ppm,
+      |  (((c.n * 168 * 1000000) // t.total) > 2000000) AS hot
+      |FROM c JOIN t USING (event_type)
+      |ORDER BY event_type, dow, hour""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.apply(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("cast(((ts div 1000) div 86400000000 + 3) % 7 as int)")
+          .as("dow"),
+        expr("cast(((ts div 1000) div 3600000000) % 24 as int)").as("hour"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val t = c.groupBy($"event_type")
+      .agg(sum($"n").cast("bigint").as("total"))
+    c.join(broadcast(t), "event_type")
+      .select($"event_type", $"dow", $"hour", $"n",
+        expr("(n * 168 * 1000000) div total").cast("bigint")
+          .as("ratio_ppm"),
+        (expr("(n * 168 * 1000000) div total") > 2000000L).as("hot"))
+      .orderBy("event_type", "dow", "hour")
+  }
+
+  // h25 — per-user BURST DETECTION (the bot/abuse screen a trust-and-
+  // safety pipeline runs): a user's active minute is a burst when its
+  // event count exceeds 1.5× the user's own mean active-minute rate
+  // (this synthetic stream is near-uniform — measured max ratio ≈ 1.98 —
+  // so the classic 3× bar would be vacuously empty; the MECHANISM is
+  // what's graded and the bar is data-calibrated by declaration). The
+  // comparison is an exact integer CROSS-MULTIPLICATION —
+  // 2·n·nm_u > 3·total_u — so no division, no float, no rounding anywhere;
+  // only bursty minutes are emitted. Shape at scale: one shuffle to the
+  // (user, minute) grain with map-side partial counts, one user-grain
+  // rollup joined back on user_id — both shuffles user-keyed, and the
+  // per-user totals table is user-dimension-sized.
+  private val h25 = graded(
+    "h25_burst_flags",
+    """WITH m AS (
+      |  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, count(*)::BIGINT AS nm, sum(n)::BIGINT AS total
+      |  FROM m GROUP BY user_id)
+      |SELECT m.user_id,
+      |  make_timestamp(m.minute * 60000000) AS minute_ts,
+      |  m.n, u.nm AS active_minutes, u.total AS user_events
+      |FROM m JOIN u USING (user_id)
+      |WHERE 2 * m.n * u.nm > 3 * u.total
+      |ORDER BY user_id, minute_ts""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.apply(spark, dir, "events")
+      .groupBy($"user_id", expr("(ts div 1000) div 60000000").as("minute"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val u = m.groupBy($"user_id")
+      .agg(count(lit(1)).cast("bigint").as("nm"),
+        sum($"n").cast("bigint").as("total"))
+    m.join(u, "user_id")
+      .where(lit(2) * $"n" * $"nm" > lit(3) * $"total")
+      .select($"user_id",
+        expr("timestamp_micros(minute * 60000000)").as("minute_ts"),
+        $"n", $"nm".as("active_minutes"), $"total".as("user_events"))
+      .orderBy("user_id", "minute_ts")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
+    h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25)
 }

@@ -564,5 +564,76 @@ object Reports {
       .orderBy("bucket")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10)
+  // R11 — the TRAINING-MIX dashboard: one per-language row joining the
+  // corpus-balance numbers a data-mix owner reads side by side before
+  // cutting a training run — document/token mass and its exact ppm share,
+  // exact-duplicate pressure (md5 text digests shared by >1 doc — only
+  // 16-byte digests ride the dedup shuffle, g8/m4's trick), and the
+  // length-Gini inequality number (g65's exact rank formula — the one
+  // non-integer output, a single fixed IEEE division). Composition-grade:
+  // a digest groupBy, a per-lang length window, and two lang-grain
+  // rollups joined on the 5-row lang dimension. Every shuffle after the
+  // scans is digest- or lang-keyed; at 100 TB the join itself is 5 rows.
+  private val r11 = graded(
+    "r11_mix_report",
+    """WITH tok AS (
+      |  SELECT lang, doc_id, md5(text) AS h,
+      |    len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents),
+      |dup AS (SELECT h, count(*)::BIGINT AS nh FROM tok GROUP BY h),
+      |base AS (
+      |  SELECT t.lang, count(*)::BIGINT AS n_docs,
+      |    sum(t.n_tok)::BIGINT AS total_tokens,
+      |    sum(CASE WHEN d.nh > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs
+      |  FROM tok t JOIN dup d USING (h) GROUP BY t.lang),
+      |tot AS (SELECT sum(total_tokens)::BIGINT AS tt FROM base),
+      |rk AS (
+      |  SELECT lang, n_tok,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_tok, doc_id)::BIGINT AS i
+      |  FROM tok),
+      |gini AS (
+      |  SELECT lang,
+      |    round((2 * sum(i * n_tok) - (count(*) + 1) * sum(n_tok))::DOUBLE
+      |          / (count(*) * sum(n_tok))::DOUBLE, 6) AS len_gini
+      |  FROM rk GROUP BY lang)
+      |SELECT b.lang, b.n_docs, b.total_tokens,
+      |  ((b.total_tokens * 1000000) // t.tt)::BIGINT AS token_share_ppm,
+      |  b.n_dup_docs,
+      |  ((b.n_dup_docs * 1000000) // b.n_docs)::BIGINT AS dup_ppm,
+      |  g.len_gini
+      |FROM base b CROSS JOIN tot t JOIN gini g USING (lang)
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", md5($"text").as("h"),
+        size(split($"text", " ")).cast("bigint").as("n_tok"))
+    val dup = tok.groupBy($"h").agg(count(lit(1)).cast("bigint").as("nh"))
+    val base = tok.join(dup, "h")
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_tok").cast("bigint").as("total_tokens"),
+        sum(when($"nh" > 1, 1).otherwise(0)).cast("bigint").as("n_dup_docs"))
+    val tot = base.agg(sum($"total_tokens").cast("bigint").as("tt"))
+    val gini = tok
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n_tok", $"doc_id"))
+        .cast("bigint"))
+      .groupBy($"lang")
+      .agg(round((lit(2) * sum($"i" * $"n_tok")
+        - (count(lit(1)) + 1) * sum($"n_tok")).cast("double")
+        / (count(lit(1)) * sum($"n_tok")).cast("double"), 6).as("len_gini"))
+    base.crossJoin(broadcast(tot))
+      .join(gini, "lang")
+      .select($"lang", $"n_docs", $"total_tokens",
+        expr("(total_tokens * 1000000) div tt").cast("bigint")
+          .as("token_share_ppm"),
+        $"n_dup_docs",
+        expr("(n_dup_docs * 1000000) div n_docs").cast("bigint")
+          .as("dup_ppm"),
+        $"len_gini")
+      .orderBy("lang")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11)
 }

@@ -550,6 +550,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // g66 — ONE FULL LLOYD ITERATION of k-means (the E-step + M-step a
+  // distributed clustering/IVF-training loop runs to convergence): every
+  // vector is assigned to the most-cosine-similar of the K = 8
+  // deterministic seed prototypes (g32's verified E-step — unrounded
+  // bit-identical cosines, ties to the smallest prototype id), then each
+  // cluster's centroid is RECOMPUTED as the per-dimension mean over its
+  // members (g20's verified M-step aggregation) with the member count
+  // alongside. Output is the new codebook: (cluster, dim, c_new,
+  // n_members). Shape at scale: prototypes broadcast (K rows), the
+  // corpus shuffles ONCE on vec_id for the argmax window, then the
+  // M-step is a map-side-partial (cluster, dim) aggregate of K×64 cells
+  // — the full Lloyd loop is this plan iterated, with only the K×64
+  // codebook ever leaving the executors per round.
+  private val g66 = graded(
+    "g66_kmeans_step",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+      |s AS (
+      |  SELECT vec_id, cid, ${duckDot("v", "cv")} / (nrm * cnrm) AS cs
+      |  FROM e CROSS JOIN c),
+      |r AS (
+      |  SELECT vec_id, cid, cs,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |  FROM s),
+      |a AS (SELECT vec_id, cid FROM r WHERE rn = 1)
+      |SELECT a.cid AS cluster, gs.i AS dim,
+      |  round(avg(em.embedding[gs.i + 1]::DOUBLE), 6) AS c_new,
+      |  count(*)::BIGINT AS n_members
+      |FROM a JOIN embeddings em ON a.vec_id = em.vec_id,
+      |  generate_series(0, 63) gs(i)
+      |GROUP BY a.cid, gs.i
+      |ORDER BY cluster, dim""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val cents = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cid", cos("embedding", "ce").as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"cid".as("cluster"),
+        posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"cluster", $"dim")
+      .agg(round(avg($"x".cast("double")), 6).as("c_new"),
+        count(lit(1)).cast("bigint").as("n_members"))
+      .orderBy("cluster", "dim")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64)
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66)
 }

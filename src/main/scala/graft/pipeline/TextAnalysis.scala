@@ -800,6 +800,285 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  // g67 — BM25 retrieval scoring (the ranking function every lexical
+  // retrieval/dedup-candidate stage runs; Okapi k1 = 1.2, b = 0.75,
+  // Lucene's ln(1 + ·) idf so scores stay positive): scored for the 10
+  // highest-df terms (df DESC, term — deterministic, data-derived: a
+  // literal term list would not survive a corpus regen), top-20 docs per
+  // term. Every score input is an exact integer (tf, df, N, doclen)
+  // except avgdl — ONE double division of two exact BIGINTs — so the
+  // score tree is a fixed IEEE tree written identically in both engines;
+  // ranking is on the ROUNDED score with doc_id tiebreak (g4's
+  // engine-independent-cutoff rule). Shape at scale: the (doc, term)
+  // explode shuffles once on the token key; terms (10 rows) and the
+  // N/avgdl totals (1 row) broadcast; the per-term top-20 is the e5
+  // window shape WindowGroupLimit prunes to a streaming top-k — the
+  // corpus never globally sorts.
+  private val g67 = graded(
+    "g67_bm25",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+      |       FROM w GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*)::BIGINT AS df
+      |       FROM (SELECT DISTINCT doc_id, word FROM w) dw GROUP BY word),
+      |dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+      |       FROM documents),
+      |n AS (SELECT count(*)::BIGINT AS n,
+      |        (SELECT sum(dl)::DOUBLE FROM dl) / count(*)::DOUBLE AS avgdl
+      |      FROM documents),
+      |terms AS (SELECT word, df FROM df ORDER BY df DESC, word LIMIT 10),
+      |s AS (
+      |  SELECT t.word, tf.doc_id, tf.tf,
+      |    round(ln(1.0 + (n.n::DOUBLE - t.df::DOUBLE + 0.5)
+      |                   / (t.df::DOUBLE + 0.5))
+      |      * ((tf.tf::DOUBLE * 2.2)
+      |         / (tf.tf::DOUBLE
+      |            + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / n.avgdl)))), 6)
+      |      AS bm25
+      |  FROM tf JOIN terms t USING (word) JOIN dl USING (doc_id)
+      |    CROSS JOIN n),
+      |r AS (
+      |  SELECT word, doc_id, tf, bm25,
+      |    row_number() OVER (PARTITION BY word ORDER BY bm25 DESC, doc_id)
+      |      AS rnk
+      |  FROM s)
+      |SELECT word, doc_id, tf, bm25, rnk FROM r WHERE rnk <= 20
+      |ORDER BY word, rnk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dfreq = words.distinct().groupBy($"word")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast("bigint").as("dl"))
+    val n = docs.agg(count(lit(1)).cast("bigint").as("n"),
+      (sum(size(split($"text", " ")).cast("bigint")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    val terms = dfreq.orderBy($"df".desc, $"word").limit(10)
+    val w = Window.partitionBy($"word").orderBy($"bm25".desc, $"doc_id")
+    tf.join(broadcast(terms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .select($"word", $"doc_id", $"tf",
+        round(log(lit(1.0) + ($"n".cast("double") - $"df".cast("double")
+            + 0.5) / ($"df".cast("double") + 0.5))
+          * (($"tf".cast("double") * 2.2)
+            / ($"tf".cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * ($"dl".cast("double") / $"avgdl")))), 6)
+          .as("bm25"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 20)
+      .select($"word", $"doc_id", $"tf", $"bm25", $"rnk")
+      .orderBy("word", "rnk")
+  }
+
+  // g68 — DSIR-style importance weights (Xie et al. 2023's data-selection
+  // recipe, the hashed-unigram form): each document scored by its mean
+  // per-token log-likelihood ratio between a TARGET unigram LM (the
+  // `lang = 'en'` slice — the "domain we want more of") and the
+  // BACKGROUND LM (the whole corpus), both add-1 smoothed over the
+  // corpus vocabulary so every ratio is defined. Positive = looks more
+  // target-like than average; the downstream sampler keeps documents
+  // proportionally. ln() over exact-integer rationals is IEEE-identical
+  // in both engines (g23/g35's proven rule); per-doc token sums add in
+  // engine order → round(6) after the mean, exactly g35's precedent.
+  // Shape at scale: two vocab-sized LM tables (Heaps' law — broadcast at
+  // any corpus size) joined onto the token explode, which shuffles ONCE
+  // on the token key; the per-doc mean is one doc_id shuffle.
+  private val g68 = graded(
+    "g68_dsir_weights",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |v AS (SELECT count(DISTINCT word)::DOUBLE AS v FROM w),
+      |tgt AS (
+      |  SELECT word, count(*)::DOUBLE AS nt FROM w
+      |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY word),
+      |tt AS (SELECT sum(nt) AS t_total FROM tgt),
+      |bg AS (SELECT word, count(*)::DOUBLE AS nb FROM w GROUP BY word),
+      |bt AS (SELECT sum(nb) AS b_total FROM bg)
+      |SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+      |  round(sum(ln(((coalesce(tgt.nt, 0.0) + 1.0) / (tt.t_total + v.v))
+      |               / ((bg.nb + 1.0) / (bt.b_total + v.v))))
+      |        / count(*), 6) AS dsir_logratio
+      |FROM w JOIN bg USING (word) LEFT JOIN tgt USING (word)
+      |  CROSS JOIN tt CROSS JOIN bt CROSS JOIN v
+      |GROUP BY w.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val w = docs.select($"doc_id", $"lang",
+      explode(split($"text", " ")).as("word"))
+    val v = w.agg(countDistinct($"word").cast("double").as("v"))
+    val tgt = w.where($"lang" === "en").groupBy($"word")
+      .agg(count(lit(1)).cast("double").as("nt"))
+    val tt = tgt.agg(sum($"nt").as("t_total"))
+    val bg = w.groupBy($"word").agg(count(lit(1)).cast("double").as("nb"))
+    val bt = bg.agg(sum($"nb").as("b_total"))
+    w.join(broadcast(bg), "word")
+      .join(broadcast(tgt), Seq("word"), "left")
+      .crossJoin(broadcast(tt))
+      .crossJoin(broadcast(bt))
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        round(sum(log(((coalesce($"nt", lit(0.0)) + 1.0) / ($"t_total" + $"v"))
+            / (($"nb" + 1.0) / ($"b_total" + $"v"))))
+          / count(lit(1)), 6).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  // g69 — sentence-level duplicate audit (the C4 "repeated three-sentence
+  // span" rule's distributed form): split every document into '. '
+  // sentences, keep substantial ones (≥ 20 chars — boilerplate fragments
+  // excluded by declaration), and flag sentences whose 16-byte md5 digest
+  // appears in MORE THAN ONE distinct document. Per doc: sentence count,
+  // cross-doc-duplicated count, the ppm fraction (exact integer — no
+  // float anywhere), and the C4 drop verdict at > 500000 ppm. Shape at
+  // scale: only digests ride the two shuffles (digest groupBy for the
+  // cross-doc count, doc_id groupBy for the rollup) — sentence TEXT
+  // never leaves the map side, m4/g8's trick.
+  private val g69 = graded(
+    "g69_sentence_dedup",
+    """WITH s AS (
+      |  SELECT doc_id, md5(s) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+      |        FROM documents)
+      |  WHERE len(s) >= 20),
+      |d AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS nd FROM s GROUP BY h)
+      |SELECT s.doc_id, count(*)::BIGINT AS n_sents,
+      |  sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_sents,
+      |  ((sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*))::BIGINT AS dup_ppm,
+      |  (((sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*)) > 500000) AS would_drop
+      |FROM s JOIN d USING (h)
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\. ")).as("s"))
+      .where(length($"s") >= 20)
+      .select($"doc_id", md5($"s").as("h"))
+    val d = s.groupBy($"h")
+      .agg(countDistinct($"doc_id").cast("bigint").as("nd"))
+    s.join(d, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_sents"),
+        sum(when($"nd" > 1, 1).otherwise(0)).cast("bigint").as("n_dup_sents"))
+      .select($"doc_id", $"n_sents", $"n_dup_sents",
+        expr("(n_dup_sents * 1000000) div n_sents").cast("bigint")
+          .as("dup_ppm"),
+        (expr("(n_dup_sents * 1000000) div n_sents") > 500000)
+          .as("would_drop"))
+      .orderBy("doc_id")
+  }
+
+  // g70 — vocabulary COVERAGE CURVE (the vocab-sizing question g52's OOV
+  // rate answers for ONE cutoff, answered for the curve): what fraction
+  // of corpus token mass does a top-N frequency vocabulary cover, for
+  // N ∈ {100, 1000, 10000}? The tokenizer team reads this before fixing
+  // a vocab budget. Ranking is (count DESC, word) — total and
+  // regen-stable; coverage is an exact ppm integer. Shape at scale: the
+  // ranked-vocab window is GLOBAL but over the VOCAB relation, which
+  // Heaps' law bounds far below the corpus (same rationale as
+  // broadcasting LM tables); the cutoff join is a 3-row broadcast.
+  private val g70 = graded(
+    "g70_vocab_coverage",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+      |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rk
+      |  FROM c)
+      |SELECT co.cutoff, count(*)::BIGINT AS vocab_used,
+      |  sum(r.n)::BIGINT AS covered_tokens,
+      |  ((sum(r.n) * 1000000) // t.total)::BIGINT AS coverage_ppm
+      |FROM r JOIN (VALUES (100), (1000), (10000)) co(cutoff)
+      |  ON r.rk <= co.cutoff
+      |CROSS JOIN t
+      |GROUP BY co.cutoff, t.total
+      |ORDER BY cutoff""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+    val c = w.groupBy($"word").agg(count(lit(1)).cast("bigint").as("n"))
+    val t = c.agg(sum($"n").cast("bigint").as("total"))
+    val r = c.withColumn("rk",
+      row_number().over(Window.orderBy($"n".desc, $"word")).cast("bigint"))
+    val cutoffs = Seq(100, 1000, 10000).toDF("cutoff")
+    r.join(broadcast(cutoffs), $"rk" <= $"cutoff")
+      .crossJoin(broadcast(t))
+      .groupBy($"cutoff", $"total")
+      .agg(count(lit(1)).cast("bigint").as("vocab_used"),
+        sum($"n").cast("bigint").as("covered_tokens"))
+      .select($"cutoff", $"vocab_used", $"covered_tokens",
+        expr("(covered_tokens * 1000000) div total").cast("bigint")
+          .as("coverage_ppm"))
+      .orderBy("cutoff")
+  }
+
+  // g71 — n-gram NOVELTY by crawl order (the memorization/staleness
+  // monitor: how much of each new document's content is genuinely new
+  // vs already seen earlier in the corpus, doc_id as ingest order): per
+  // doc, its DISTINCT word trigrams, the count whose global FIRST
+  // occurrence (min doc_id over the corpus) is this very document, and
+  // the exact novelty ppm. A feed whose novelty trend collapses is
+  // re-crawling itself. Shape at scale: grams become 16-byte md5
+  // digests at the map side — only digests ride the min-aggregation
+  // shuffle and the join back (m4/g8's trick); both shuffles are
+  // digest-keyed.
+  private val g71 = graded(
+    "g71_ngram_novelty",
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, md5(gr) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 2),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i + 1] || ' ' ||
+      |             string_split(text, ' ')[i + 2])) AS gr
+      |    FROM documents)),
+      |f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+      |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+      |  sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_novel,
+      |  ((sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*))::BIGINT AS novelty_ppm
+      |FROM g JOIN f USING (h)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // size >= 3 guard mirrors the oracle's empty generate_series on
+    // sub-trigram docs (Spark's sequence would descend through 0)
+    val g = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 3 THEN
+          |  transform(sequence(1, size(split(text, ' ')) - 2),
+          |    i -> concat(element_at(split(text, ' '), i), ' ',
+          |                element_at(split(text, ' '), i + 1), ' ',
+          |                element_at(split(text, ' '), i + 2)))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
+      .select($"doc_id", md5($"gr").as("h"))
+      .distinct()
+    val f = g.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    g.join(f, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1).otherwise(0)).cast("bigint")
+          .as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        expr("(n_novel * 1000000) div n_grams").cast("bigint")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
-    g37, g38, g41, g42, g43, g52, g53, g55, g62, g65)
+    g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
+    g70, g71)
 }

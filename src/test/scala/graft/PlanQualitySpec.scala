@@ -28,7 +28,13 @@ class PlanQualitySpec extends SparkSpec {
     "g59_mix_plan", // 5-lang plan table crossing the 1-row weight total
     "g64_centroid_outliers", // 1-row centroid + 1-row mean + 1-row sigma broadcasts
     "r10_psi_drift", // 10-bucket table crossing its own 1-row totals
-    "h21_cusum_changepoint") // day-grain series crossing its own 1-row D/T totals
+    "h21_cusum_changepoint", // day-grain series crossing its own 1-row D/T totals
+    "g66_kmeans_step", // broadcasts the 8-row prototype set (g32's shape)
+    "g67_bm25", // crosses the 1-row N/avgdl totals (g6's shape)
+    "g68_dsir_weights", // crosses the 1-row t_total/b_total/vocab totals
+    "h23_inactivity_churn", // crosses the 1-row global-max "now"
+    "r11_mix_report", // crosses the 1-row token grand total
+    "g70_vocab_coverage") // 3-row cutoff broadcast joined on rk <= cutoff
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the
@@ -157,6 +163,20 @@ class PlanQualitySpec extends SparkSpec {
     // shuffle carries candidates, not the corpus
     val p = plans.toMap.apply("g61_domain_cap")
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("g67 BM25: per-term top-20 is WindowGroupLimit-pruned") {
+    // the retrieval shape: each shuffle partition keeps only its per-term
+    // top-k candidates before the sort — g37's rank-limit contract
+    val p = plans.toMap.apply("g67_bm25")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("i5 SQL UDF inlines into the plan — no black-box ScalaUDF node") {
+    // the point of the SQL-function surface: the body participates in
+    // Catalyst (codegen/folding/pushdown) instead of opaquing the plan
+    val p = plans.toMap.apply("i5_sql_udf")
+    assert(!p.contains("ScalaUDF"), p)
   }
 
   test("d18 MAD: both percentile lookups join back as broadcasts") {

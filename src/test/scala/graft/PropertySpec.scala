@@ -508,4 +508,101 @@ class PropertySpec extends SparkSpec {
       assert(nOut >= nTok - 2 * nSpans + nSpans && nOut <= nTok - nSpans + 1)
     }
   }
+
+  test("g66 kmeans-step laws: partition of the corpus, 64 dims per cluster") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("g66_kmeans_step")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    // within a cluster every dim row carries the same member count; the
+    // E-step assigns each vector exactly once, so per dim the member
+    // counts across clusters partition the corpus
+    val byCluster = rows.groupBy(_.getLong(0))
+    for ((c, rs) <- byCluster) {
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until 64),
+        s"cluster $c does not carry exactly dims 0..63")
+      assert(rs.map(_.getLong(3)).distinct.size == 1,
+        s"cluster $c has dim-dependent member counts")
+    }
+    val perDim = rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
+    assert(perDim == n, s"members sum $perDim != corpus size $n")
+  }
+
+  test("g67 BM25 laws: ranks are 1..k with scores non-increasing per term") {
+    val rows = SparkEntry.queries("g67_bm25")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val byRank = rs.sortBy(_.getInt(4))
+      assert(byRank.map(_.getInt(4)).toSeq == (1 to byRank.size),
+        "ranks not dense 1..k")
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "bm25 not non-increasing in rank")
+    }
+  }
+
+  test("g68 DSIR law: target-language docs score above the rest on average") {
+    import spark.implicits._
+    val w = SparkEntry.queries("g68_dsir_weights")(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir), "doc_id")
+      .groupBy($"lang" === "en")
+      .agg(avg($"dsir_logratio")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the defining property of an importance weight: documents FROM the
+    // target slice are likelier under the target LM than the background
+    assert(w(true) > w(false),
+      s"en mean ${w(true)} not above non-en mean ${w(false)}")
+  }
+
+  test("g70 coverage laws: curve monotone in cutoff, ppm bounded") {
+    val rows = SparkEntry.queries("g70_vocab_coverage")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    val (vu, cov, ppm) = (rows.map(_.getLong(1)), rows.map(_.getLong(2)),
+      rows.map(_.getLong(3)))
+    assert(vu.zip(vu.tail).forall { case (a, b) => a <= b })
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a <= b })
+    assert(ppm.forall(p => p > 0 && p <= 1000000L))
+  }
+
+  test("g71 novelty laws: bounded counts, the earliest doc is fully novel") {
+    val rows = SparkEntry.queries("g71_ngram_novelty")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getLong(2) <= r.getLong(1) &&
+        r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(3) == 1000000L,
+      s"earliest doc ${first.getLong(0)} not fully novel: ${first.getLong(3)}")
+  }
+
+  test("h23/h24/h25 integer-law consistency: quotients, grids, burst bar") {
+    val churn = SparkEntry.queries("h23_inactivity_churn")(spark, sfDir).collect()
+    assert(churn.nonEmpty)
+    for (r <- churn)
+      assert(r.getLong(2) <= r.getLong(1) &&
+        r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    val cells = SparkEntry.queries("h24_seasonal_profile")(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    for (r <- cells) {
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 6)
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 23)
+      assert(r.getBoolean(5) == (r.getLong(4) > 2000000L))
+    }
+    // every emitted burst minute satisfies the exact integer bar
+    for (r <- SparkEntry.queries("h25_burst_flags")(spark, sfDir).collect())
+      assert(2 * r.getLong(2) * r.getLong(3) > 3 * r.getLong(4))
+  }
+
+  test("r11 mix-report laws: ppm quotients exact, shares sum to ~1e6") {
+    val rows = SparkEntry.queries("r11_mix_report")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getLong(3)).sum
+    // floor quotients: the sum can undershoot 1e6 by at most n_langs
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+    for (r <- rows)
+      assert(r.getLong(4) <= r.getLong(1) &&
+        r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
+  }
 }

@@ -211,6 +211,47 @@ object Multimodal {
       RasterStats(mn, mx, distinct, spaces.toDouble / (w * h))
     }
 
+    /** dHash perceptual fingerprint for m9: real header walk, 9×8
+      * nearest-neighbor grid sample, 64 gradient bits packed into two
+      * non-negative BIGINT halves (rows 0–3 → hi, 4–7 → lo).
+      */
+    def dHash(bytes: Array[Byte]): (Long, Long) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a P5 PGM")
+      var pos = 2
+      def nextInt(): Long = {
+        while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        require(pos > start, "truncated PGM header")
+        new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toLong
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1
+      require(maxval == 255, s"unsupported maxval $maxval")
+      require(bytes.length - pos == w * h,
+        s"raster size ${bytes.length - pos} != ${w * h}")
+      def px(r: Long, c: Long): Int = {
+        val idx = (r * h / 8) * w + (c * w / 9)
+        java.lang.Byte.toUnsignedInt(bytes(pos + idx.toInt))
+      }
+      var hi = 0L; var lo = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (px(r, c) > px(r, c + 1)) {
+            if (r < 4) hi |= 1L << (r * 8 + c)
+            else lo |= 1L << ((r - 4) * 8 + c)
+          }
+          c += 1
+        }
+        r += 1
+      }
+      (hi, lo)
+    }
+
     /** Parse a P5 payload: magic + 3 whitespace-separated header ints +
       * exactly w·h raster bytes. Malformed input throws — a real decoder
       * fails loudly, it does not fabricate pixels.
@@ -544,5 +585,56 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
+  // m9 — PERCEPTUAL HASH (dHash) through the real codec: the standard
+  // near-duplicate image fingerprint (row-wise brightness gradient over a
+  // downsampled grid — survives re-encoding and small edits that break
+  // m4's exact digest). The raster is decoded by the REAL header walk,
+  // nearest-neighbor-sampled onto a 9×8 grid, and each of the 64 bits is
+  // p(r,c) > p(r,c+1); bits pack into two BIGINT halves (rows 0–3 → hi,
+  // 4–7 → lo) so no value touches the sign bit. The oracle recomputes
+  // every sampled pixel from the synthesis rule (pixel i = text byte
+  // i mod len, m5's documented ASCII assumption) without touching bytes —
+  // encoder, header walk, grid sampling and bit packing are all on the
+  // graded path. Blobs are created and consumed inside one mapPartitions;
+  // only (doc_id, hi, lo) leaves the scan stage. At 100 TB the Hamming
+  // bucketing of these hashes is g15/g16's SimHash block join, unchanged.
+  private val m9 = graded(
+    "m9_media_phash",
+    """WITH d AS (
+      |  SELECT doc_id, text, (8 + doc_id % 8)::BIGINT AS w,
+      |    (8 + doc_id % 5)::BIGINT AS h, length(text)::BIGINT AS len
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, rs.r, cs.c,
+      |    CASE WHEN len = 0 THEN 32
+      |      ELSE ascii(substring(text,
+      |        ((((rs.r * h) // 8) * w + (cs.c * w) // 9) % len)::INT + 1, 1))
+      |      END AS p
+      |  FROM d, generate_series(0, 7) rs(r), generate_series(0, 8) cs(c)),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c,
+      |    (CASE WHEN a.p > b.p THEN 1 ELSE 0 END)::BIGINT AS bit
+      |  FROM px a JOIN px b
+      |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8)
+      |SELECT doc_id,
+      |  sum(CASE WHEN r < 4 THEN bit << (r * 8 + c) ELSE 0 END)::BIGINT
+      |    AS dhash_hi,
+      |  sum(CASE WHEN r >= 4 THEN bit << ((r - 4) * 8 + c) ELSE 0 END)::BIGINT
+      |    AS dhash_lo
+      |FROM bits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (hi, lo) = Pgm.dHash(Pgm.encode(id, text))
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
 }

@@ -1082,7 +1082,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // g72 — GOPHER-STYLE RULE FILTER (Rae et al. 2021 §A1.1's quality
+  // rulebook as individual auditable flags — the complement of g10's
+  // single weighted score: a curation owner needs to know WHICH rule
+  // killed a document, not just that the composite dipped): word-count
+  // band [50, 100k], mean word length in [3, 10], ≥80% words containing
+  // an alphabetic char, ≥2 English stopword hits, type-token ratio
+  // ≥ 0.3. Every rule is an EXACT integer cross-multiplication — no
+  // division, no float, no rounding anywhere. Character mass is the
+  // DERIVED quantity length(text) − (n_words − 1) (the rule is declared
+  // over it, so both engines agree regardless of spacing pathologies).
+  // The zh slice failing the alpha/stopword rules and short docs
+  // failing the length band is the measured, expected discrimination.
+  // Shape at scale: pure map-side projection — scales like the scan.
+  private val g72 = graded(
+    "g72_gopher_rules",
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS n_words,
+      |    (length(text) - len(string_split(text, ' ')) + 1)::BIGINT
+      |      AS char_mass,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS n_alpha,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN $stopSqlIn))::BIGINT AS n_stop,
+      |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words,
+      |    (n_words >= 50 AND n_words <= 100000) AS r_len,
+      |    (char_mass >= 3 * n_words AND char_mass <= 10 * n_words)
+      |      AS r_wordlen,
+      |    (5 * n_alpha >= 4 * n_words) AS r_alpha,
+      |    (n_stop >= 2) AS r_stop,
+      |    (10 * n_uniq >= 3 * n_words) AS r_rep
+      |  FROM m)
+      |SELECT doc_id, n_words, r_len, r_wordlen, r_alpha, r_stop, r_rep,
+      |  (r_len::INT + r_wordlen::INT + r_alpha::INT + r_stop::INT
+      |    + r_rep::INT)::INT AS n_passed,
+      |  (r_len AND r_wordlen AND r_alpha AND r_stop AND r_rep) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val inList = stopSqlIn
+    val m = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"), length($"text").as("lc"))
+      .select($"doc_id",
+        size($"w").cast("bigint").as("n_words"),
+        ($"lc" - size($"w") + 1).cast("bigint").as("char_mass"),
+        size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("bigint")
+          .as("n_alpha"),
+        size(expr(s"filter(w, x -> x IN $inList)")).cast("bigint")
+          .as("n_stop"),
+        size(array_distinct($"w")).cast("bigint").as("n_uniq"))
+    m.select($"doc_id", $"n_words",
+        ($"n_words" >= 50 && $"n_words" <= 100000L).as("r_len"),
+        ($"char_mass" >= lit(3) * $"n_words"
+          && $"char_mass" <= lit(10) * $"n_words").as("r_wordlen"),
+        (lit(5) * $"n_alpha" >= lit(4) * $"n_words").as("r_alpha"),
+        ($"n_stop" >= 2).as("r_stop"),
+        (lit(10) * $"n_uniq" >= lit(3) * $"n_words").as("r_rep"))
+      .withColumn("n_passed",
+        ($"r_len".cast("int") + $"r_wordlen".cast("int")
+          + $"r_alpha".cast("int") + $"r_stop".cast("int")
+          + $"r_rep".cast("int")).cast("int"))
+      .withColumn("keep",
+        $"r_len" && $"r_wordlen" && $"r_alpha" && $"r_stop" && $"r_rep")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71)
+    g70, g71, g72)
 }

@@ -61,6 +61,30 @@ class MultimodalSpec extends SparkSpec {
       Pgm.decode("P5\n2 1\n65535\n12".getBytes)) // unsupported maxval
   }
 
+  test("dHash: gradient bits on known rasters, halves non-negative, rejects junk") {
+    import Multimodal.Pgm
+    // hand-built 9x8 identity grid: pixel = column index, so every
+    // left-to-right gradient is ascending → p(r,c) > p(r,c+1) never
+    // holds → both halves zero
+    val asc = "P5\n9 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(72)(i => (i % 9).toByte)
+    assert(Pgm.dHash(asc) === (0L, 0L))
+    // descending grid: every gradient bit fires → all 32 bits set in
+    // each half (and the packing stays off the sign bit)
+    val desc = "P5\n9 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(72)(i => (8 - i % 9).toByte)
+    assert(Pgm.dHash(desc) === (0xFFFFFFFFL, 0xFFFFFFFFL))
+    // empty-text payload (all-space raster): flat image, zero hash
+    assert(Pgm.dHash(Pgm.encode(16L, "")) === (0L, 0L))
+    // deterministic and sensitive: same text → same hash; text change
+    // that alters a sampled byte changes the hash
+    assert(Pgm.dHash(Pgm.encode(5L, "abcdefgh")) ===
+      Pgm.dHash(Pgm.encode(5L, "abcdefgh")))
+    intercept[IllegalArgumentException](Pgm.dHash("JUNK".getBytes))
+    for ((hi, lo) <- Seq(Pgm.dHash(Pgm.encode(7L, "The quick brown fox"))))
+      assert(hi >= 0L && lo >= 0L)
+  }
+
   test("multi-frame PGM container round-trips and rejects truncation") {
     import Multimodal.Pgm
     val blob = Pgm.encodeFrames(7L, "abc xyz", 3)

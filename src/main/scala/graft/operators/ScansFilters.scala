@@ -663,6 +663,41 @@ object ScansFilters {
       .orderBy("c_custkey")
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, a5,
+  // b8 — CROSS-ENGINE TABLE FINGERPRINT (the migration/replication audit
+  // primitive: "do these two systems hold the same rows?" answered
+  // without moving the rows): each row serializes to a canonical '|'
+  // string over the integer/char key columns (float columns excluded by
+  // declaration — double→string rendering is the one engine-divergent
+  // surface, the d28 lesson), hashes to the top 60 bits of its md5, and
+  // the per-group checksum is the bit_xor FOLD of row hashes — XOR is
+  // commutative/associative, so the checksum is ORDER-FREE and
+  // partial-aggregatable (map-side combine applies; two engines shuffle
+  // in any order and still agree bit-for-bit). n_rows guards against the
+  // one XOR blind spot (a row repeated twice cancels out). Shape at
+  // scale: a map-side projection + a 3-group aggregate — the fingerprint
+  // of a 100 TB table costs one scan, no wide shuffle.
+  private val b8 = QueryDef.graded(
+    "b8_table_checksum",
+    """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+      |  bit_xor(('0x' || substring(md5(concat_ws('|',
+      |    l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |    l_returnflag, l_linestatus)), 1, 15))::BIGINT)::BIGINT AS checksum
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        expr("""cast(conv(substring(md5(concat_ws('|',
+          |  l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          |  l_returnflag, l_linestatus)), 1, 15), 16, 10) as bigint)"""
+          .stripMargin).as("h"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        expr("bit_xor(h)").cast("bigint").as("checksum"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16)
 }

@@ -74,6 +74,20 @@ object StreamingJobs {
       .withWatermark("ts_us", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Seasonal-profile cell counts — streaming twin of the graded batch
+    * h24 grid. The (type, dow, hour) keys derive arithmetically from the
+    * epoch-ns `ts` (same integer expressions as batch), so the streaming
+    * aggregate is an ordinary bounded-cardinality groupBy (≤ 840 cells of
+    * state at any corpus size — the state-boundedness property that makes
+    * this monitor deployable as a stream).
+    */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("cast(((ts div 1000) div 86400000000 + 3) % 7 as int)").as("dow"),
+        expr("cast(((ts div 1000) div 3600000000) % 24 as int)").as("hour"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+
   /** Per-user running aggregate state record for [[statefulUserTotals]]. */
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

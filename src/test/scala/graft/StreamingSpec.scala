@@ -133,6 +133,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming seasonal-profile cells equal batch h24 counts") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.seasonalProfile(stream), "h24_stream", "complete")
+    val streamed = spark.table("h24_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val batch = SparkEntry.queries("h24_seasonal_profile")(spark, sfDir)
+      .select(col("event_type"), col("dow"), col("hour"), col("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming dedup emits each event_id once") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.dedupEvents(stream), "h4_dedup", "append")

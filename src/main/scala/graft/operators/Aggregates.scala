@@ -931,7 +931,127 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  // d29 — BENFORD'S LAW first-digit audit (the classic fabricated-data /
+  // ingest-corruption screen over a money column): observed leading-digit
+  // frequencies vs the log₁₀(1 + 1/d) expectation. The digit is extracted
+  // ARITHMETICALLY from the exact integer cents (first char of the
+  // integer's decimal rendering — integer→string is engine-identical;
+  // double→string is not, the d28/b8 lesson), observed shares are exact
+  // ppm integers, and the expectation is a fixed IEEE ln tree per digit
+  // literal. Shape at scale: map-side digit projection + a 9-cell
+  // aggregate + 1-row total broadcast — constant work after the scan.
+  private val d29 = graded(
+    "d29_benford",
+    """WITH c AS (
+      |  SELECT substring(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |      AS VARCHAR), 1, 1)::INT AS digit
+      |  FROM lineitem),
+      |o AS (SELECT digit, count(*)::BIGINT AS n FROM c GROUP BY digit),
+      |t AS (SELECT sum(n)::BIGINT AS total FROM o)
+      |SELECT o.digit, o.n,
+      |  ((o.n * 1000000) // t.total)::BIGINT AS obs_ppm,
+      |  CAST(floor(ln(1.0 + 1.0 / o.digit) / ln(10.0) * 1000000) AS BIGINT)
+      |    AS exp_ppm,
+      |  (((o.n * 1000000) // t.total)
+      |    - CAST(floor(ln(1.0 + 1.0 / o.digit) / ln(10.0) * 1000000)
+      |      AS BIGINT))::BIGINT AS dev_ppm
+      |FROM o CROSS JOIN t
+      |ORDER BY digit""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.lineitem(spark, dir)
+      .select(substring(round($"l_extendedprice" * 100, 0).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+    val o = c.groupBy($"digit").agg(count(lit(1)).cast("bigint").as("n"))
+    val t = o.agg(sum($"n").cast("bigint").as("total"))
+    o.crossJoin(broadcast(t))
+      .select($"digit", $"n",
+        expr("(n * 1000000) div total").cast("bigint").as("obs_ppm"),
+        floor(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))
+          * 1000000).cast("bigint").as("exp_ppm"))
+      .withColumn("dev_ppm", ($"obs_ppm" - $"exp_ppm").cast("bigint"))
+      .orderBy("digit")
+  }
+
+  // d30 — two-sample KOLMOGOROV–SMIRNOV test (the distribution-drift
+  // omnibus next to r10's binned PSI: did the price distribution change
+  // between two slices, judged on the FULL CDF, no binning choices?):
+  // split by l_orderkey parity, D = max |F₁ − F₂| computed entirely in
+  // exact integers — per distinct cent value, |cum₁·N₂ − cum₂·N₁| is an
+  // exact BIGINT cross-multiplication and D is ONE double division of
+  // its max by N₁·N₂ (bounded by ~(corpus cents)² — switch to DECIMAL
+  // if a single slice ever exceeds ~3·10⁹ rows). The critical value is
+  // the standard 1.36·√((N₁+N₂)/(N₁·N₂)) fixed IEEE tree; the verdict
+  // compares ROUNDED values. Shape at scale: the CDF cumsum runs as
+  // d22/d25's two-pass distributed prefix sum (band-local window +
+  // tiny per-band carry-in broadcast), never a single-partition global
+  // window; the oracle states the same semantics as one naive window.
+  private val d30 = graded(
+    "d30_ks_test",
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+      |    (l_orderkey % 2)::INT AS side
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT x,
+      |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+      |  FROM v GROUP BY x),
+      |t AS (SELECT sum(n0)::BIGINT AS t0, sum(n1)::BIGINT AS t1 FROM g),
+      |c AS (
+      |  SELECT x,
+      |    sum(n0) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c0,
+      |    sum(n1) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c1
+      |  FROM g),
+      |d AS (SELECT max(abs(c0 * t.t1 - c1 * t.t0))::BIGINT AS dmax
+      |      FROM c CROSS JOIN t)
+      |SELECT t.t0 AS n0, t.t1 AS n1,
+      |  round(d.dmax::DOUBLE / (t.t0 * t.t1)::DOUBLE, 6) AS d_stat,
+      |  round(1.36 * sqrt((t.t0 + t.t1)::DOUBLE / (t.t0 * t.t1)::DOUBLE), 6)
+      |    AS d_crit,
+      |  (round(d.dmax::DOUBLE / (t.t0 * t.t1)::DOUBLE, 6)
+      |    > round(1.36 * sqrt((t.t0 + t.t1)::DOUBLE / (t.t0 * t.t1)::DOUBLE),
+      |        6)) AS reject
+      |FROM d CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.lineitem(spark, dir)
+      .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("x"),
+        ($"l_orderkey" % 2).cast("int").as("side"))
+      .groupBy($"x")
+      .agg(sum(when($"side" === 0, 1).otherwise(0)).cast("bigint").as("n0"),
+        sum(when($"side" === 1, 1).otherwise(0)).cast("bigint").as("n1"))
+      .withColumn("band", expr("x div 200000").cast("int"))
+    val t = g.agg(sum($"n0").cast("bigint").as("t0"),
+      sum($"n1").cast("bigint").as("t1"))
+    val wLocal = Window.partitionBy($"band").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bandTotals = g.groupBy($"band")
+      .agg(sum($"n0").as("b0"), sum($"n1").as("b1"))
+    val wOff = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bandTotals
+      .withColumn("off0", coalesce(sum($"b0").over(wOff), lit(0L)))
+      .withColumn("off1", coalesce(sum($"b1").over(wOff), lit(0L)))
+      .select($"band", $"off0", $"off1")
+    val d = g
+      .withColumn("l0", sum($"n0").over(wLocal))
+      .withColumn("l1", sum($"n1").over(wLocal))
+      .join(broadcast(offsets), "band")
+      .crossJoin(broadcast(t))
+      .select(abs(($"off0" + $"l0") * $"t1" - ($"off1" + $"l1") * $"t0")
+        .as("dd"))
+      .agg(max($"dd").cast("bigint").as("dmax"))
+    d.crossJoin(broadcast(t))
+      .select($"t0".as("n0"), $"t1".as("n1"),
+        round($"dmax".cast("double") / ($"t0" * $"t1").cast("double"), 6)
+          .as("d_stat"),
+        round(lit(1.36) * sqrt(($"t0" + $"t1").cast("double")
+          / ($"t0" * $"t1").cast("double")), 6).as("d_crit"))
+      .withColumn("reject", $"d_stat" > $"d_crit")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28)
+    d25, d26, d27, d28, d29, d30)
 }

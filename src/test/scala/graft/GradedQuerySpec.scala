@@ -48,7 +48,8 @@ class GradedQuerySpec extends SparkSpec {
   // one row is vacuous — exempt explicitly rather than weakening the
   // structural check for everything else
   private val singleRowOk =
-    Set("g38_zipf_fit", "c14_join_null_anti", "g49_dedup_eval")
+    Set("g38_zipf_fit", "c14_join_null_anti", "g49_dedup_eval",
+      "d30_ks_test")
 
   test("every graded query is globally ordered (plan ends in a Sort)") {
     for ((d, df) <- results if d.oracle.nonEmpty && !singleRowOk(d.key)) {

@@ -34,7 +34,9 @@ class PlanQualitySpec extends SparkSpec {
     "g68_dsir_weights", // crosses the 1-row t_total/b_total/vocab totals
     "h23_inactivity_churn", // crosses the 1-row global-max "now"
     "r11_mix_report", // crosses the 1-row token grand total
-    "g70_vocab_coverage") // 3-row cutoff broadcast joined on rk <= cutoff
+    "g70_vocab_coverage", // 3-row cutoff broadcast joined on rk <= cutoff
+    "d29_benford", // 9-digit table crossing its own 1-row total
+    "d30_ks_test") // banded CDF crossing the 1-row N0/N1 totals
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -70,7 +70,7 @@ object EventTime {
     * throughout (no float, no ns residue).
     * @return (user_id, sid, n_events, s_us, e_us)
     */
-  private def sessionSpansUs(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def sessionSpansUs(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val gapUs = 3600L * 1000 * 1000

@@ -1051,7 +1051,177 @@ object Aggregates {
       .withColumn("reject", $"d_stat" > $"d_crit")
   }
 
+  // d31 — MANN–WHITNEY U rank-sum test (the nonparametric two-sample
+  // location test next to d23's Welch t and d30's KS: does one slice's
+  // price distribution sit HIGHER, judged on ranks, no normality
+  // assumption?): l_orderkey-parity split over exact price cents. All
+  // rank arithmetic is exact integers — for a distinct value with c tied
+  // rows and C rows strictly below, the doubled average rank is
+  // 2C + c + 1 (an integer even when the average rank is a .5), so the
+  // doubled rank sum 2R₁ = Σ n₁·(2C + c + 1) and the doubled statistic
+  // 2U₁ = 2R₁ − N₁(N₁+1) are order-free BIGINT sums. The normal
+  // approximation uses the tie-corrected variance — σ² =
+  // (N₀N₁/12)·((N+1) − Σ(t³−t)/(N(N−1))) with the tie term Σ(c³−c)
+  // another exact BIGINT — and z = (2U₁ − N₀N₁)/(2σ) is one fixed IEEE
+  // tree over identical ints; verdict on the ROUNDED z (d29/d30 rule).
+  // Shape at scale: the strictly-below count C runs as d22/d25/d30's
+  // two-pass banded prefix sum (band-local window + tiny carry-in
+  // broadcast), never a single-partition global window; after the
+  // per-value collapse everything is one partial+final aggregate.
+  private val d31 = graded(
+    "d31_mann_whitney",
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+      |    (l_orderkey % 2)::INT AS side
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT x,
+      |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+      |  FROM v GROUP BY x),
+      |c AS (
+      |  SELECT x, n0, n1, (n0 + n1)::BIGINT AS c,
+      |    (sum(n0 + n1) OVER (ORDER BY x
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - (n0 + n1))::BIGINT AS cex
+      |  FROM g),
+      |t AS (
+      |  SELECT sum(n0)::BIGINT AS t0, sum(n1)::BIGINT AS t1,
+      |    sum(c * c * c - c)::BIGINT AS ties,
+      |    sum(n1 * (2 * cex + c + 1))::BIGINT AS r1x2
+      |  FROM c),
+      |s AS (
+      |  SELECT t0, t1, r1x2,
+      |    (r1x2 - t1 * (t1 + 1))::BIGINT AS u1x2,
+      |    round(
+      |      (r1x2 - t1 * (t1 + 1) - t0 * t1)::DOUBLE
+      |      / (2.0::DOUBLE * sqrt((t0::DOUBLE * t1::DOUBLE / 12.0::DOUBLE)
+      |          * ((t0 + t1 + 1)::DOUBLE
+      |            - ties::DOUBLE
+      |              / ((t0 + t1)::DOUBLE * (t0 + t1 - 1)::DOUBLE)))),
+      |      6) AS z
+      |  FROM t)
+      |SELECT t0 AS n0, t1 AS n1, r1x2, u1x2, z,
+      |  (abs(z) > 1.96::DOUBLE) AS reject
+      |FROM s""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Tables.lineitem(spark, dir)
+      .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("x"),
+        ($"l_orderkey" % 2).cast("int").as("side"))
+      .groupBy($"x")
+      .agg(sum(when($"side" === 0, 1).otherwise(0)).cast("bigint").as("n0"),
+        sum(when($"side" === 1, 1).otherwise(0)).cast("bigint").as("n1"))
+      .withColumn("c", ($"n0" + $"n1").cast("bigint"))
+      .withColumn("band", expr("x div 200000").cast("int"))
+    val wLocal = Window.partitionBy($"band").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy($"band").agg(sum($"c").as("b"))
+      .withColumn("off", coalesce(sum($"b").over(wOff), lit(0L)))
+      .select($"band", $"off")
+    val t = g
+      .withColumn("lc", sum($"c").over(wLocal))
+      .join(broadcast(offsets), "band")
+      .withColumn("cex", ($"off" + $"lc" - $"c").cast("bigint"))
+      .agg(sum($"n0").cast("bigint").as("t0"),
+        sum($"n1").cast("bigint").as("t1"),
+        sum($"c" * $"c" * $"c" - $"c").cast("bigint").as("ties"),
+        sum($"n1" * (lit(2) * $"cex" + $"c" + 1)).cast("bigint").as("r1x2"))
+    t.withColumn("u1x2", ($"r1x2" - $"t1" * ($"t1" + 1)).cast("bigint"))
+      .withColumn("z", round(
+        ($"r1x2" - $"t1" * ($"t1" + 1) - $"t0" * $"t1").cast("double")
+          / (lit(2.0) * sqrt(($"t0".cast("double") * $"t1".cast("double")
+              / lit(12.0))
+            * (($"t0" + $"t1" + 1).cast("double")
+              - $"ties".cast("double")
+                / (($"t0" + $"t1").cast("double")
+                  * ($"t0" + $"t1" - 1).cast("double"))))), 6))
+      .select($"t0".as("n0"), $"t1".as("n1"), $"r1x2", $"u1x2", $"z",
+        (abs($"z") > lit(1.96)).as("reject"))
+  }
+
+  // d32 — CRAMÉR'S V association strength over a customer-segment ×
+  // order-priority contingency (the EFFECT-SIZE companion to d27's
+  // chi-square: "is the association big?", not just "is it nonzero?" —
+  // at 100 TB row counts, every chi-square rejects, so V is the number
+  // an analyst actually reads). The contingency observed counts come off
+  // the c2-class fact join (customer dim broadcast at these SFs — at
+  // 100 TB it becomes a shuffle join on o_custkey, nothing else
+  // changes), then V = sqrt(χ²/(N·(min(r,c)−1))) is derived from the
+  // ROUNDED χ² (d27's round(4) absorbs partial-agg order; the sqrt of a
+  // rounded operand is deterministic — DialectNotes float-sum rule).
+  // Strength classification on the ROUNDED V so the label can't float.
+  private val d32 = graded(
+    "d32_cramers_v",
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cell AS (
+      |  SELECT seg, pri, count(*)::BIGINT AS obs FROM j GROUP BY 1, 2),
+      |m AS (
+      |  SELECT seg, pri, obs,
+      |    sum(obs) OVER (PARTITION BY seg)::BIGINT AS rt,
+      |    sum(obs) OVER (PARTITION BY pri)::BIGINT AS ct,
+      |    sum(obs) OVER ()::BIGINT AS n
+      |  FROM cell),
+      |k AS (
+      |  SELECT n,
+      |    (obs::DOUBLE - (rt::DOUBLE * ct::DOUBLE) / n::DOUBLE)
+      |      * (obs::DOUBLE - (rt::DOUBLE * ct::DOUBLE) / n::DOUBLE)
+      |      / ((rt::DOUBLE * ct::DOUBLE) / n::DOUBLE) AS contrib,
+      |    seg, pri
+      |  FROM m),
+      |t AS (
+      |  SELECT max(n)::BIGINT AS n,
+      |    count(DISTINCT seg)::BIGINT AS rdim,
+      |    count(DISTINCT pri)::BIGINT AS cdim,
+      |    round(sum(contrib), 4) AS chi2
+      |  FROM k),
+      |v AS (
+      |  SELECT n, rdim, cdim, chi2,
+      |    round(sqrt(chi2 / (n::DOUBLE
+      |      * ((CASE WHEN rdim < cdim THEN rdim ELSE cdim END) - 1)::DOUBLE)),
+      |      6) AS cramers_v
+      |  FROM t)
+      |SELECT n, rdim, cdim, chi2, cramers_v,
+      |  CASE WHEN cramers_v < 0.1::DOUBLE THEN 'negligible'
+      |    WHEN cramers_v < 0.3::DOUBLE THEN 'weak'
+      |    WHEN cramers_v < 0.5::DOUBLE THEN 'moderate'
+      |    ELSE 'strong' END AS strength
+      |FROM v""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val j = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("pri"))
+    val cell = j.groupBy($"seg", $"pri")
+      .agg(count(lit(1)).cast("bigint").as("obs"))
+    val m = cell
+      .withColumn("rt", sum($"obs").over(Window.partitionBy($"seg")).cast("bigint"))
+      .withColumn("ct", sum($"obs").over(Window.partitionBy($"pri")).cast("bigint"))
+      .withColumn("n", sum($"obs").over(Window.partitionBy()).cast("bigint"))
+    val k = m.withColumn("exp",
+        ($"rt".cast("double") * $"ct".cast("double")) / $"n".cast("double"))
+      .withColumn("contrib",
+        ($"obs".cast("double") - $"exp") * ($"obs".cast("double") - $"exp")
+          / $"exp")
+    val t = k.agg(max($"n").cast("bigint").as("n"),
+      countDistinct($"seg").cast("bigint").as("rdim"),
+      countDistinct($"pri").cast("bigint").as("cdim"),
+      round(sum($"contrib"), 4).as("chi2"))
+    t.withColumn("cramers_v",
+        round(sqrt($"chi2" / ($"n".cast("double")
+          * (when($"rdim" < $"cdim", $"rdim").otherwise($"cdim") - 1)
+            .cast("double"))), 6))
+      .select($"n", $"rdim", $"cdim", $"chi2", $"cramers_v",
+        when($"cramers_v" < 0.1, "negligible")
+          .when($"cramers_v" < 0.3, "weak")
+          .when($"cramers_v" < 0.5, "moderate")
+          .otherwise("strong").as("strength"))
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30)
+    d25, d26, d27, d28, d29, d30, d31, d32)
 }

@@ -595,6 +595,31 @@ class PropertySpec extends SparkSpec {
       assert(2 * r.getLong(2) * r.getLong(3) > 3 * r.getLong(4))
   }
 
+  test("d31 Mann–Whitney laws: U bounds, rank-sum floor, verdict consistency") {
+    val r = SparkEntry.queries("d31_mann_whitney")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (n0, n1, r1x2, u1x2, z, reject) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4), r(0).getBoolean(5))
+    // rank sums are bounded by the best/worst rank assignments
+    assert(r1x2 >= n1 * (n1 + 1), "rank sum below its minimum")
+    assert(r1x2 <= n1 * (2 * (n0 + n1) - n1 + 1), "rank sum above its maximum")
+    // 0 <= U1 <= n0*n1 (doubled form)
+    assert(u1x2 >= 0 && u1x2 <= 2 * n0 * n1, s"U out of range: $u1x2")
+    assert(reject == (math.abs(z) > 1.96), "verdict not derived from z")
+  }
+
+  test("d32 Cramér's V laws: bounded in [0,1], strength matches thresholds") {
+    val r = SparkEntry.queries("d32_cramers_v")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (rdim, cdim, v, s) =
+      (r(0).getLong(1), r(0).getLong(2), r(0).getDouble(4), r(0).getString(5))
+    assert(rdim >= 2 && cdim >= 2, "degenerate contingency")
+    assert(v >= 0.0 && v <= 1.0, s"V out of [0,1]: $v")
+    val expected = if (v < 0.1) "negligible" else if (v < 0.3) "weak"
+      else if (v < 0.5) "moderate" else "strong"
+    assert(s == expected, s"strength label $s != $expected for V=$v")
+  }
+
   test("r11 mix-report laws: ppm quotients exact, shares sum to ~1e6") {
     val rows = SparkEntry.queries("r11_mix_report")(spark, sfDir).collect()
     assert(rows.nonEmpty)

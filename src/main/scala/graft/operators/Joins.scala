@@ -712,6 +712,61 @@ object Joins {
       .orderBy("user_a", "user_b")
   }
 
+  // C20 — BLOOM-RUNTIME-FILTER join (the semi-join reduction every
+  // at-scale engine applies when a selective dim filter faces a huge
+  // fact: build a ~1 MB bloom over the surviving build keys, broadcast
+  // it, and drop non-matching fact rows BEFORE the join shuffle — at
+  // 100 TB the shuffle shrinks by the filter's selectivity, here ~86%).
+  // Spark injects this automatically only under narrow conditions
+  // (spark.sql.optimizer.runtime.bloomFilter); this key states it
+  // EXPLICITLY with the bloom_agg/bloom_might_contain pair that
+  // GraftExtensions exposes from Spark's own BloomFilterAggregate
+  // machinery (the g50 primitives, here doing their real job). EXACT
+  // semantics despite the approximate filter: blooms have zero false
+  // negatives (PropertySpec-pinned law), so no qualifying row is
+  // dropped, and the actual equi-join afterwards removes the false
+  // positives — which is why the oracle is the PLAIN join, no bloom
+  // anywhere. Sizing: 16k items / 160k bits ≈ 1% FPR at the surviving
+  // key count; at 100 TB both literals scale with the filtered-dim
+  // cardinality estimate, nothing else changes.
+  private val c20 = graded(
+    "c20_join_bloom",
+    """SELECT l_returnflag,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS rev,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    for (f <- Seq(graft.GraftExtensions.bloomAgg,
+        graft.GraftExtensions.bloomMightContain)) {
+      val (name, info, builder) = f
+      spark.sessionState.functionRegistry.registerFunction(name, info, builder)
+    }
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_c20_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_c20_lineitem")
+    spark.sql(
+      """WITH dim AS (
+        |  SELECT o_orderkey FROM graft_c20_orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000),
+        |pruned AS (
+        |  SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount
+        |  FROM graft_c20_lineitem
+        |  WHERE bloom_might_contain(
+        |    (SELECT bloom_agg(xxhash64(o_orderkey), 16000L, 160000L)
+        |     FROM dim),
+        |    xxhash64(l_orderkey)))
+        |SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,10))), 2) AS DOUBLE) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM pruned JOIN dim ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15, c16, c17, c18, c19)
+    c11, c12, c13, c14, c15, c16, c17, c18, c19, c20)
 }

@@ -236,6 +236,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("c20: the explicit bloom probe pre-filters the fact side before the join") {
+    val df = SparkEntry.queries("c20_join_bloom")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the might_contain probe must appear as a Filter condition (fact-scan
+    // side), not only inside the bloom build's aggregate
+    val probeOnFact = plan.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("l_orderkey"))
+    assert(probeOnFact, s"bloom probe not on the fact side:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     // AQE materializes the final plan (with codegen stages) only after
     // execution — run the query, then inspect

@@ -1087,6 +1087,57 @@ object EventTime {
       .orderBy("user_id", "minute_ts")
   }
 
+  // h26 — INTER-EVENT GAP QUANTILES (the arrival-process profile behind
+  // h3's session threshold and h5's grid step: what gap is NORMAL per
+  // event type? p50/p90/p99 of consecutive same-user gaps): gaps are
+  // exact µs BIGINTs off one lag window ordered by (ts, event_id) — the
+  // unique-key suffix makes the window deterministic under equal
+  // timestamps (DialectNotes window rule), and ordering by time (not
+  // event_id) is load-bearing: the gap is between temporally adjacent
+  // events. Exact interpolating percentiles are graded (d7's
+  // percentile ≡ quantile_cont parity); at 100 TB the same query ships
+  // with approx_percentile per the d11 rule — 5 groups × full sort is
+  // the exact form's only scale cost. Shape: one (user_id)-partitioned
+  // window — gaps run per user ACROSS types (partitioning by type too
+  // would splice distant events together) and each gap is attributed to
+  // its LATER event's type — then a 5-group sort aggregate.
+  // Output is SECONDS, not µs: the interpolated p99 sits near 1.8e11 µs,
+  // where a last-ulp difference in the two engines' interpolation is
+  // ~1e-4 absolute — bigger than round(6) absorbs. Dividing to seconds
+  // first rescales the ulp noise to ~1e-10, far inside the rounding
+  // guard (the same magnitude-budget reasoning as the float-sum rule).
+  private val h26 = graded(
+    "h26_gap_quantiles",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  count(gap_us)::BIGINT AS n_gaps,
+      |  round(quantile_cont(gap_us, 0.5) / 1000000.0::DOUBLE, 6) AS p50_s,
+      |  round(quantile_cont(gap_us, 0.9) / 1000000.0::DOUBLE, 6) AS p90_s,
+      |  round(quantile_cont(gap_us, 0.99) / 1000000.0::DOUBLE, 6) AS p99_s
+      |FROM g
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"))
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .where($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count($"gap_us").cast("bigint").as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / lit(1000000.0), 6).as("p50_s"),
+        round(expr("percentile(gap_us, 0.9)") / lit(1000000.0), 6).as("p90_s"),
+        round(expr("percentile(gap_us, 0.99)") / lit(1000000.0), 6).as("p99_s"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
-    h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25)
+    h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
+    h26)
 }

@@ -635,5 +635,72 @@ object Reports {
       .orderBy("lang")
   }
 
-  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11)
+  // R12 — JOIN-KEY SKEW ADVISORY (the pre-flight report a 100 TB engine
+  // runs before choosing shuffle strategies: which candidate join/shuffle
+  // keys are skewed enough to need AQE skew splitting or a c13-style
+  // salt?). Per candidate key column: row count, distinct keys, heaviest
+  // key's row count, its corpus share in ppm, and the max/mean ratio
+  // ×1000 — all exact integer quotients (floor div both engines), so the
+  // skew verdict (max > 10× mean) cannot float. Shape at scale: each
+  // column is one partial+final count aggregate on the key, then a 1-row
+  // reduce — the report's cost is one pass per audited column, and the
+  // per-key counts it surfaces are exactly the histogram AQE's skew
+  // handling consumes.
+  private val r12 = graded(
+    "r12_skew_report",
+    """WITH k AS (
+      |  SELECT 'lineitem.l_orderkey' AS key_name, l_orderkey AS k
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey', o_custkey FROM orders
+      |  UNION ALL
+      |  SELECT 'events.user_id', user_id FROM events),
+      |c AS (
+      |  SELECT key_name, k, count(*)::BIGINT AS n
+      |  FROM k GROUP BY key_name, k),
+      |s AS (
+      |  SELECT key_name,
+      |    sum(n)::BIGINT AS n_rows,
+      |    count(*)::BIGINT AS n_keys,
+      |    max(n)::BIGINT AS max_key_n
+      |  FROM c GROUP BY key_name)
+      |SELECT key_name, n_rows, n_keys, max_key_n,
+      |  ((max_key_n * 1000000) // n_rows)::BIGINT AS top1_ppm,
+      |  ((max_key_n * n_keys * 1000) // n_rows)::BIGINT AS skew_x1000,
+      |  ((max_key_n * n_keys * 1000) // n_rows > 10000) AS skewed
+      |FROM s
+      |ORDER BY key_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cols: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "lineitem.l_orderkey" -> Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("k")),
+      "lineitem.l_partkey" -> Tables.lineitem(spark, dir)
+        .select($"l_partkey".as("k")),
+      "lineitem.l_suppkey" -> Tables.lineitem(spark, dir)
+        .select($"l_suppkey".as("k")),
+      "orders.o_custkey" -> Tables.orders(spark, dir)
+        .select($"o_custkey".as("k")),
+      "events.user_id" -> Tables(spark, dir, "events")
+        .select($"user_id".as("k")))
+    cols.map { case (name, df) =>
+      df.groupBy($"k").agg(count(lit(1)).cast("bigint").as("n"))
+        .agg(sum($"n").cast("bigint").as("n_rows"),
+          count(lit(1)).cast("bigint").as("n_keys"),
+          max($"n").cast("bigint").as("max_key_n"))
+        .select(lit(name).as("key_name"), $"n_rows", $"n_keys", $"max_key_n")
+    }.reduce(_ unionAll _)
+      .select($"key_name", $"n_rows", $"n_keys", $"max_key_n",
+        expr("(max_key_n * 1000000) div n_rows").cast("bigint").as("top1_ppm"),
+        expr("(max_key_n * n_keys * 1000) div n_rows").cast("bigint")
+          .as("skew_x1000"))
+      .withColumn("skewed", $"skew_x1000" > 10000L)
+      .orderBy("key_name")
+  }
+
+  val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
+    r12)
 }

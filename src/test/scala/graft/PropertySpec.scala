@@ -620,6 +620,34 @@ class PropertySpec extends SparkSpec {
     assert(s == expected, s"strength label $s != $expected for V=$v")
   }
 
+  test("r12 skew laws: max>=mean, ppm bounded, verdict derived from ratio") {
+    val rows = SparkEntry.queries("r12_skew_report")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (nRows, nKeys, maxN, top1, skew, flag) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(nKeys >= 1 && nKeys <= nRows)
+      assert(maxN * nKeys >= nRows, "max below the mean is impossible")
+      assert(top1 >= 0 && top1 <= 1000000L)
+      assert(skew >= 1000L, "max/mean ratio below 1 is impossible")
+      assert(flag == (skew > 10000L))
+    }
+  }
+
+  test("h26 gap laws: quantiles ordered, positive, gap count bounds") {
+    val rows = SparkEntry.queries("h26_gap_quantiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalGaps = rows.map(_.getLong(1)).sum
+    val nEvents = sources.Tables(spark, sfDir, "events").count()
+    // one gap per event except each user's first (gaps counted per type)
+    assert(totalGaps < nEvents)
+    for (r <- rows) {
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 >= 0.0 && p50 <= p90 && p90 <= p99,
+        s"quantiles not ordered for ${r.getString(0)}: $p50/$p90/$p99")
+    }
+  }
+
   test("r11 mix-report laws: ppm quotients exact, shares sum to ~1e6") {
     val rows = SparkEntry.queries("r11_mix_report")(spark, sfDir).collect()
     assert(rows.nonEmpty)

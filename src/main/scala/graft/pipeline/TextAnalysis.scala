@@ -1150,7 +1150,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // g73 — CORPUS-WIDE DUPLICATED-NGRAM COVERAGE (the WIMBD-style audit:
+  // which 5-grams repeat most ACROSS the corpus, and what fraction of
+  // all 5-gram mass do the top offenders account for? — the corpus-level
+  // complement to g55's within-doc fraction and g71's crawl-order
+  // novelty; in web corpora the answer is boilerplate, and this report
+  // is where a curation run decides its g69-style removal thresholds):
+  // top-20 grams by occurrence count with doc counts and exact-ppm mass
+  // share. Determinism: ties on the count break on the gram TEXT
+  // (byte-wise ASCII order, identical both engines). Shape at scale: the gram
+  // explosion collapses by partial aggregation on the digest before the
+  // shuffle (Zipf: distinct grams ≪ occurrences); the top-20 is a
+  // TakeOrdered over the collapsed table, and the grand total is a
+  // 1-row broadcast — nothing wide ever sorts globally.
+  private val g73 = graded(
+    "g73_dup_ngram_coverage",
+    """WITH g AS (
+      |  SELECT doc_id, gr
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 4),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i + 1] || ' ' ||
+      |             string_split(text, ' ')[i + 2] || ' ' ||
+      |             string_split(text, ' ')[i + 3] || ' ' ||
+      |             string_split(text, ' ')[i + 4]) ) AS gr
+      |    FROM documents)),
+      |c AS (
+      |  SELECT gr, count(*)::BIGINT AS n_occ,
+      |    count(DISTINCT doc_id)::BIGINT AS n_docs
+      |  FROM g GROUP BY gr),
+      |t AS (SELECT sum(n_occ)::BIGINT AS total FROM c)
+      |SELECT c.gr AS gram, c.n_occ, c.n_docs,
+      |  ((c.n_occ * 1000000) // t.total)::BIGINT AS occ_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY n_occ DESC, gram
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // words materialized first — the g71 lesson: inlining split() into
+    // the transform lambda re-tokenizes the doc once per element_at
+    val g = Tables.documentsDist(spark, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(w) >= 5 THEN
+          |  transform(sequence(1, size(w) - 4),
+          |    i -> concat(element_at(w, i), ' ',
+          |                element_at(w, i + 1), ' ',
+          |                element_at(w, i + 2), ' ',
+          |                element_at(w, i + 3), ' ',
+          |                element_at(w, i + 4)))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("gr"))
+    val c = g.groupBy($"gr")
+      .agg(count(lit(1)).cast("bigint").as("n_occ"),
+        countDistinct($"doc_id").cast("bigint").as("n_docs"))
+    val t = c.agg(sum($"n_occ").cast("bigint").as("total"))
+    c.crossJoin(broadcast(t))
+      .select($"gr".as("gram"), $"n_occ", $"n_docs",
+        expr("(n_occ * 1000000) div total").cast("bigint").as("occ_ppm"))
+      .orderBy($"n_occ".desc, $"gram")
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72)
+    g70, g71, g72, g73)
 }

@@ -648,6 +648,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("m10 phash near-dup laws: symmetric-free pairs, bounded hamming, " +
+      "contains every identical-signature pair") {
+    val pairs = SparkEntry.queries("m10_phash_neardup")(spark, sfDir).collect()
+    for (r <- pairs) {
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 6, "hamming out of band")
+    }
+    // zero-distance completeness: identical signatures MUST be found
+    // (the pigeonhole guarantee at its strongest point)
+    val sigs = SparkEntry.queries("m9_media_phash")(spark, sfDir).collect()
+      .groupBy(r => (r.getLong(1), r.getLong(2)))
+    val expectedZero = sigs.values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val foundZero = pairs.count(_.getLong(2) == 0L)
+    assert(foundZero == expectedZero,
+      s"zero-distance pairs: found $foundZero, expected $expectedZero")
+  }
+
+  test("g73 coverage laws: n_docs<=n_occ, ppm bounded, counts descending") {
+    val rows = SparkEntry.queries("g73_dup_ngram_coverage")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val occs = rows.map(_.getLong(1))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b },
+      "top-20 not ordered by occurrence count")
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1), "doc count above occurrence count")
+      assert(r.getLong(2) >= 1)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getString(0).split(" ").length == 5, "not a 5-gram")
+    }
+  }
+
   test("r11 mix-report laws: ppm quotients exact, shares sum to ~1e6") {
     val rows = SparkEntry.queries("r11_mix_report")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -698,6 +698,57 @@ object ScansFilters {
       .orderBy("l_returnflag")
   }
 
+  // A17 — MERGE-ON-READ DELETE VECTORS (the lakehouse delete path:
+  // deletes land as a tiny positional sidecar — (file, ordinal) pairs —
+  // and the READER subtracts them, no base-file rewrite until the next
+  // a6-style compaction; contrast a5/a15 which are KEY-addressed). The
+  // simulation keeps every structural property that matters: files are
+  // 1000-row key ranges, ordinals are PER-FILE row numbers (the window
+  // partitions by file — never a global ordinal, which would be a
+  // single-partition sort at scale), the delete vector is its own
+  // relation derived positionally (ordinal arithmetic, NOT a key
+  // predicate — that's what makes it a delete VECTOR), and the read is
+  // a LEFT ANTI join on (file, pos). At 100 TB the sidecar is ≪1% of
+  // the base and co-partitioned by file, so the anti join is file-local
+  // — zero extra shuffle when base and vector share the file bucketing.
+  private val a17 = QueryDef.graded(
+    "a17_delete_vectors",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    (o_orderkey // 1000)::BIGINT AS file_id,
+      |    (row_number() OVER (PARTITION BY o_orderkey // 1000
+      |       ORDER BY o_orderkey) - 1)::BIGINT AS pos
+      |  FROM orders),
+      |dv AS (
+      |  SELECT file_id, pos FROM base
+      |  WHERE (file_id * 31 + pos) % 97 < 9),
+      |live AS (
+      |  SELECT b.* FROM base b
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM dv WHERE dv.file_id = b.file_id AND dv.pos = b.pos))
+      |SELECT o_orderpriority,
+      |  count(*)::BIGINT AS n_live,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE
+      |    AS live_rev
+      |FROM live
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"file_id").orderBy($"o_orderkey")
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        expr("o_orderkey div 1000").cast("bigint").as("file_id"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("bigint"))
+    val dv = base.select($"file_id", $"pos")
+      .where(($"file_id" * 31 + $"pos") % 97 < 9)
+    base.join(dv, Seq("file_id", "pos"), "left_anti")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n_live"),
+        round(sum($"o_totalprice".cast("decimal(30,10)")), 2).cast("double")
+          .as("live_rev"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
-    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16)
+    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17)
 }

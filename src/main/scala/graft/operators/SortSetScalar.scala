@@ -489,6 +489,37 @@ object SortSetScalar {
       .orderBy("o_orderkey")
   }
 
+  // F19 — the DIGEST scalar family (md5 / sha-256 / a composite row
+  // digest): the primitives every fingerprint, split-hash and checksum
+  // key here builds on (g8, g25, b8), graded on their own so a digest
+  // regression is pinpointed to the function, not discovered through a
+  // downstream dedup mismatch. md5 and sha256 produce identical hex in
+  // both engines (DialectNotes md5 rule; sha2(x,256) ≡ sha256); the row
+  // digest md5(concat_ws) pins the field-delimiter convention shared
+  // with b8's table checksum. sha1 has NO DuckDB 1.0 twin — excluded by
+  // the same rule that keeps approx sketches bench-only. Pure map-side
+  // projection: zero shuffle beyond the final presentation sort.
+  private val f19 = graded(
+    "f19_digest_funcs",
+    """SELECT p_partkey,
+      |  md5(p_name) AS h_md5,
+      |  sha256(p_name) AS h_sha256,
+      |  md5(p_name || '|' || p_brand || '|' || CAST(p_size AS VARCHAR))
+      |    AS row_digest,
+      |  substring(md5(p_name), 1, 8) AS h_short
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        md5($"p_name").as("h_md5"),
+        sha2($"p_name", 256).as("h_sha256"),
+        md5(concat_ws("|", $"p_name", $"p_brand",
+          $"p_size".cast("string"))).as("row_digest"),
+        substring(md5($"p_name"), 1, 8).as("h_short"))
+      .orderBy("p_partkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16, f17, f18)
+    f11, f12, f13, f14, f15, f16, f17, f18, f19)
 }

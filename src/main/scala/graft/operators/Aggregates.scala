@@ -1221,7 +1221,75 @@ object Aggregates {
           .otherwise("strong").as("strength"))
   }
 
+  // d33 — INFORMATION GAIN split audit (the decision-tree/feature-
+  // selection companion to d27/d32: how many BITS does knowing the
+  // linestatus buy about the returnflag? — the number a feature-ranking
+  // pass computes per candidate column): H(rf), the weighted conditional
+  // H(rf|ls), IG = difference, and the gain ratio IG/H(ls). Every
+  // probability is a ratio of exact BIGINT cell/marginal counts, each
+  // entropy a sum of p·ln(p)/ln(2) IEEE trees over identical ints —
+  // deterministic cross-engine before the final round (ln on identical
+  // doubles is bit-equal, the DialectNotes g23/g35 rule); the per-cell
+  // SUM is order-sensitive float, absorbed by round(6) at entropy
+  // magnitude (≤ log₂ 6 ≈ 2.6). Marginals are their OWN tiny aggregates
+  // off the 6-cell table — a filtered-sum trick over cells would silently
+  // drop a marginal whenever a category never co-occurs with the filter
+  // value. Shape at scale: d27's — one 6-cell partial+final aggregate,
+  // then broadcast-sized reduces, 1-row out.
+  private val d33 = graded(
+    "d33_infogain",
+    """WITH cell AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    count(*)::BIGINT AS obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT sum(obs)::BIGINT AS n FROM cell),
+      |rmarg AS (SELECT rf, sum(obs)::BIGINT AS rt FROM cell GROUP BY rf),
+      |cmarg AS (SELECT ls, sum(obs)::BIGINT AS ct FROM cell GROUP BY ls),
+      |hr AS (
+      |  SELECT sum(-(rt::DOUBLE / n::DOUBLE)
+      |    * ln(rt::DOUBLE / n::DOUBLE) / ln(2.0)) AS h_rf
+      |  FROM rmarg CROSS JOIN tot),
+      |hc AS (
+      |  SELECT sum(-(ct::DOUBLE / n::DOUBLE)
+      |    * ln(ct::DOUBLE / n::DOUBLE) / ln(2.0)) AS h_ls
+      |  FROM cmarg CROSS JOIN tot),
+      |hcond AS (
+      |  SELECT sum((ct::DOUBLE / n::DOUBLE)
+      |    * (-(obs::DOUBLE / ct::DOUBLE) * ln(obs::DOUBLE / ct::DOUBLE)
+      |       / ln(2.0))) AS h_rf_given_ls
+      |  FROM cell JOIN cmarg USING (ls) CROSS JOIN tot)
+      |SELECT round(h_rf, 6) AS h_rf, round(h_ls, 6) AS h_ls,
+      |  round(h_rf_given_ls, 6) AS h_rf_given_ls,
+      |  round(h_rf - h_rf_given_ls, 6) AS info_gain,
+      |  round((h_rf - h_rf_given_ls) / h_ls, 6) AS gain_ratio
+      |FROM hr CROSS JOIN hc CROSS JOIN hcond""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ln2 = log(lit(2.0))
+    val cell = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag".as("rf"), $"l_linestatus".as("ls"))
+      .agg(count(lit(1)).cast("bigint").as("obs"))
+    val tot = cell.agg(sum($"obs").cast("bigint").as("n"))
+    val rmarg = cell.groupBy($"rf").agg(sum($"obs").cast("bigint").as("rt"))
+    val cmarg = cell.groupBy($"ls").agg(sum($"obs").cast("bigint").as("ct"))
+    val hr = rmarg.crossJoin(broadcast(tot))
+      .agg(sum(-($"rt".cast("double") / $"n".cast("double"))
+        * log($"rt".cast("double") / $"n".cast("double")) / ln2).as("h_rf"))
+    val hc = cmarg.crossJoin(broadcast(tot))
+      .agg(sum(-($"ct".cast("double") / $"n".cast("double"))
+        * log($"ct".cast("double") / $"n".cast("double")) / ln2).as("h_ls"))
+    val hcond = cell.join(broadcast(cmarg), "ls").crossJoin(broadcast(tot))
+      .agg(sum(($"ct".cast("double") / $"n".cast("double"))
+        * (-($"obs".cast("double") / $"ct".cast("double"))
+          * log($"obs".cast("double") / $"ct".cast("double")) / ln2))
+        .as("h_rf_given_ls"))
+    hr.crossJoin(hc).crossJoin(hcond)
+      .select(round($"h_rf", 6).as("h_rf"), round($"h_ls", 6).as("h_ls"),
+        round($"h_rf_given_ls", 6).as("h_rf_given_ls"),
+        round($"h_rf" - $"h_rf_given_ls", 6).as("info_gain"),
+        round(($"h_rf" - $"h_rf_given_ls") / $"h_ls", 6).as("gain_ratio"))
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30, d31, d32)
+    d25, d26, d27, d28, d29, d30, d31, d32, d33)
 }

@@ -1137,7 +1137,58 @@ object EventTime {
       .orderBy("event_type")
   }
 
+  // h27 — TOP SESSION PATHS (the navigation-flow report next to h7's
+  // fixed funnel and h20's one-step Markov matrix: which OPENING
+  // sequences actually happen? — h7 asks about one ordered pattern,
+  // this ranks all observed 3-step openers): per user-day, the first
+  // three event types in time order joined into a path string; top 10
+  // paths by frequency with exact ppm share. Determinism: the path is
+  // built from a rank-keyed struct sort — collect_list is never graded
+  // bare (DialectNotes) — with (ts, event_id) ordering the rank; count
+  // ties break on the path string. Shape at scale: one (user, day)
+  // window pass keeps only rn ≤ 3 (WindowGroupLimit prunes the rest),
+  // the path aggregate shuffles 3-row groups, the top-10 is a
+  // TakeOrdered over distinct paths (≤ |types|³ = 125 rows).
+  private val h27 = graded(
+    "h27_top_paths",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+      |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM e WHERE rn <= 3 GROUP BY user_id, day),
+      |c AS (SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY path),
+      |t AS (SELECT sum(n_sessions)::BIGINT AS total FROM c)
+      |SELECT c.path, c.n_sessions,
+      |  ((c.n_sessions * 1000000) // t.total)::BIGINT AS share_ppm
+      |FROM c CROSS JOIN t
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val day = expr("(ts div 1000) div 86400000000")
+    val w = Window.partitionBy($"user_id", $"day")
+      .orderBy($"us", $"event_id")
+    val e = Tables.apply(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("us"), day.as("day"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+    val p = e.groupBy($"user_id", $"day")
+      .agg(expr(
+        """array_join(transform(array_sort(collect_list(struct(rn, event_type))),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+    val c = p.groupBy($"path").agg(count(lit(1)).cast("bigint").as("n_sessions"))
+    val t = c.agg(sum($"n_sessions").cast("bigint").as("total"))
+    c.crossJoin(broadcast(t))
+      .select($"path", $"n_sessions",
+        expr("(n_sessions * 1000000) div total").cast("bigint").as("share_ppm"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(10)
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26)
+    h26, h27)
 }

@@ -294,6 +294,47 @@ object Windows {
       .orderBy("event_id")
   }
 
+  // E13 — IGNORE NULLS window navigation (the sparse-column nav family
+  // h6's LOCF is one instance of, graded as first-class semantics:
+  // lag/last_value/first_value that SKIP nulls rather than return them —
+  // SQL:2011 null treatment, the capability gap that separates "has
+  // window functions" from "can navigate sparse telemetry"). The sparse
+  // column is synthesized DETERMINISTICALLY (o_orderkey arithmetic, ~71%
+  // null) so both engines see identical null placement. Window order
+  // carries the unique o_orderkey — determinism under the DialectNotes
+  // window rule. Shape at scale: one (o_custkey)-partitioned window pass;
+  // IGNORE NULLS costs nothing extra — the frame walk just skips.
+  private val e13 = graded(
+    "e13_win_ignore_nulls",
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CASE WHEN o_orderkey % 7 < 2 THEN o_totalprice END AS v
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, round(v, 2) AS v,
+      |  round(lag(v IGNORE NULLS) OVER w, 2) AS prev_obs,
+      |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf,
+      |  round(first_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_obs
+      |FROM s
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        when($"o_orderkey" % 7 < 2, $"o_totalprice").as("v"))
+      .select($"o_custkey", $"o_orderkey", round($"v", 2).as("v"),
+        round(lag($"v", 1, null, ignoreNulls = true).over(w), 2)
+          .as("prev_obs"),
+        round(last($"v", ignoreNulls = true).over(wf), 2).as("locf"),
+        round(first($"v", ignoreNulls = true).over(wf), 2).as("first_obs"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

@@ -1212,7 +1212,77 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // g74 — KNESER–NEY SMOOTHED BIGRAM LM (the production n-gram
+  // smoothing, one rung above g41's raw MLE: mass is absolutely
+  // discounted from seen bigrams and backed off to the CONTINUATION
+  // unigram — "how many contexts does w2 follow?" — the insight that
+  // made KN the default for count-based LMs): interpolated form,
+  // P(w2|w1) = (max(c12−D,0) + D·R(w1)·Pcont(w2)) / c1(w1) with D=0.75,
+  // R(w1) = distinct right neighbors, Pcont(w2) = N1+(·w2)/|bigram
+  // types|. Every count is an exact BIGINT (bigram counts, left totals,
+  // both continuation tallies); the probability is one fixed IEEE tree
+  // per row over identical ints — deterministic before round(6). Top-30
+  // bigrams by count, text tiebreaks. Shape at scale: g42's rule —
+  // counting runs on OCCURRENCES but the model table is VOCAB²-bounded
+  // (Zipf: far smaller); the continuation tallies are partial-agg'd
+  // distinct counts on the collapsed bigram table, and the top-30 is a
+  // TakeOrdered — no global sort of the full model.
+  private val g74 = graded(
+    "g74_kn_smoothing",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS b
+      |  FROM t WHERE len(tk) >= 2),
+      |c2 AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+      |    count(*)::BIGINT AS c12
+      |  FROM p GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1,
+      |    count(*)::BIGINT AS r1 FROM c2 GROUP BY w1),
+      |cont AS (SELECT w2, count(*)::BIGINT AS nc FROM c2 GROUP BY w2),
+      |bt AS (SELECT count(*)::BIGINT AS btypes FROM c2)
+      |SELECT c2.w1, c2.w2, c2.c12, c1.c1, c1.r1 AS distinct_right,
+      |  cont.nc AS cont_count,
+      |  round(
+      |    (CASE WHEN c2.c12::DOUBLE - 0.75::DOUBLE > 0.0::DOUBLE
+      |       THEN c2.c12::DOUBLE - 0.75::DOUBLE ELSE 0.0::DOUBLE END
+      |     + 0.75::DOUBLE * c1.r1::DOUBLE
+      |       * (cont.nc::DOUBLE / bt.btypes::DOUBLE))
+      |    / c1.c1::DOUBLE, 6) AS pkn
+      |FROM c2 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN bt
+      |ORDER BY c12 DESC, w1, w2
+      |LIMIT 30""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables.documentsDist(spark, dir)
+      .select(split($"text", " ").as("tk"))
+      .where(size($"tk") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1,
+          |              element_at(tk, i + 1) AS w2))""".stripMargin)).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val c2 = p.groupBy($"w1", $"w2").agg(count(lit(1)).cast("bigint").as("c12"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c12").cast("bigint").as("c1"),
+      count(lit(1)).cast("bigint").as("r1"))
+    val cont = c2.groupBy($"w2").agg(count(lit(1)).cast("bigint").as("nc"))
+    val bt = c2.agg(count(lit(1)).cast("bigint").as("btypes"))
+    c2.join(broadcast(c1), "w1").join(broadcast(cont), "w2")
+      .crossJoin(broadcast(bt))
+      .select($"w1", $"w2", $"c12", $"c1", $"r1".as("distinct_right"),
+        $"nc".as("cont_count"),
+        round(
+          (when($"c12".cast("double") - lit(0.75) > 0.0,
+            $"c12".cast("double") - lit(0.75)).otherwise(0.0)
+            + lit(0.75) * $"r1".cast("double")
+              * ($"nc".cast("double") / $"btypes".cast("double")))
+          / $"c1".cast("double"), 6).as("pkn"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(30)
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73)
+    g70, g71, g72, g73, g74)
 }

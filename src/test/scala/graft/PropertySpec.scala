@@ -679,6 +679,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("e13 ignore-nulls laws: locf is null only before the first observation") {
+    val rows = SparkEntry.queries("e13_win_ignore_nulls")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byCust) {
+      val ordered = rs.sortBy(_.getLong(1))
+      var seen = false
+      for (r <- ordered) {
+        val v = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        val locf = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        if (v.isDefined) { seen = true; assert(locf == v, "locf must equal a present value") }
+        else assert(locf.isDefined == seen, "locf null iff nothing observed yet")
+      }
+    }
+  }
+
+  test("d33 info-gain laws: 0 <= IG <= min(H), gain ratio in [0,1]") {
+    val r = SparkEntry.queries("d33_infogain")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (hrf, hls, hcond, ig, gr) = (r(0).getDouble(0), r(0).getDouble(1),
+      r(0).getDouble(2), r(0).getDouble(3), r(0).getDouble(4))
+    assert(hrf >= 0 && hls >= 0 && hcond >= 0)
+    assert(hcond <= hrf + 1e-9, "conditioning cannot raise entropy")
+    assert(ig >= -1e-9 && ig <= math.min(hrf, hls) + 1e-9)
+    assert(gr >= -1e-9 && gr <= 1.0 + 1e-9)
+  }
+
+  test("h27 path laws: shares bounded, paths are <=3 known event types") {
+    val types = Set("click", "purchase", "error", "signup", "view")
+    val rows = SparkEntry.queries("h27_top_paths")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    for (r <- rows) {
+      val steps = r.getString(0).split(">")
+      assert(steps.length >= 1 && steps.length <= 3)
+      assert(steps.forall(types.contains), s"unknown type in ${r.getString(0)}")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+    }
+  }
+
+  test("g74 KN laws: probs in (0,1], per-context mass sums below 1") {
+    val rows = SparkEntry.queries("g74_kn_smoothing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= r.getLong(2),
+        "context total below bigram count")
+      assert(r.getLong(4) >= 1 && r.getLong(5) >= 1)
+      val p = r.getDouble(6)
+      assert(p > 0.0 && p <= 1.0, s"pkn out of (0,1]: $p")
+    }
+  }
+
   test("r11 mix-report laws: ppm quotients exact, shares sum to ~1e6") {
     val rows = SparkEntry.queries("r11_mix_report")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -36,7 +36,11 @@ class PlanQualitySpec extends SparkSpec {
     "r11_mix_report", // crosses the 1-row token grand total
     "g70_vocab_coverage", // 3-row cutoff broadcast joined on rk <= cutoff
     "d29_benford", // 9-digit table crossing its own 1-row total
-    "d30_ks_test") // banded CDF crossing the 1-row N0/N1 totals
+    "d30_ks_test", // banded CDF crossing the 1-row N0/N1 totals
+    "d33_infogain", // three 1-row entropy reduces crossed together
+    "h27_top_paths", // path table crossing its own 1-row session total
+    "g73_dup_ngram_coverage", // gram table crossing the 1-row mass total
+    "g74_kn_smoothing") // bigram model crossing the 1-row type total
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

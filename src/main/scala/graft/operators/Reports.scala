@@ -701,6 +701,67 @@ object Reports {
       .orderBy("key_name")
   }
 
+  // R13 — DATA FRESHNESS audit (the ops dashboard next to r12's skew
+  // advisory: when did each time-bearing table last move, and how much
+  // of it is recent? — the first thing checked when a pipeline looks
+  // stale): per table, row count, the max event time (µs-normalized —
+  // the a2 recipe keeps both events vintages identical to the oracle),
+  // rows inside the trailing 7 days of that table's OWN max (each table
+  // has its own clock; comparing against a global now would alias
+  // staleness across tables), and the tail share in exact ppm. Shape at
+  // scale: per table one partial+final (max, count) pass plus one
+  // filtered recount against the broadcast 1-row max — no sort, no wide
+  // shuffle; the unions carry 3 rows.
+  private val r13 = QueryDef.graded(
+    "r13_freshness_report",
+    """WITH o AS (
+      |  SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+      |    max(o_orderdate) AS max_ts,
+      |    sum(CASE WHEN o_orderdate > (SELECT max(o_orderdate) FROM orders)
+      |      - INTERVAL 7 DAY THEN 1 ELSE 0 END)::BIGINT AS n_recent
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'lineitem', count(*)::BIGINT,
+      |    max(l_shipdate),
+      |    sum(CASE WHEN l_shipdate > (SELECT max(l_shipdate) FROM lineitem)
+      |      - INTERVAL 7 DAY THEN 1 ELSE 0 END)::BIGINT
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT 'events', count(*)::BIGINT,
+      |    max(ts),
+      |    sum(CASE WHEN ts > (SELECT max(ts) FROM events)
+      |      - INTERVAL 7 DAY THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events),
+      |u AS (
+      |  SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+      |SELECT table_name, n_rows, max_ts, n_recent,
+      |  ((n_recent * 1000000) // n_rows)::BIGINT AS recent_ppm
+      |FROM u
+      |ORDER BY table_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        tsCol: org.apache.spark.sql.Column) = {
+      val withTs = df.select(tsCol.as("t"))
+      val mx = withTs.agg(max($"t").as("mx"))
+      withTs.crossJoin(broadcast(mx))
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          max($"t").as("max_ts"),
+          sum(when($"t" > $"mx" - expr("INTERVAL 7 DAYS"), 1).otherwise(0))
+            .cast("bigint").as("n_recent"))
+        .select(lit(name).as("table_name"), $"n_rows", $"max_ts", $"n_recent")
+    }
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.eventsUs(spark, dir)
+    audit("orders", orders, $"o_orderdate")
+      .unionAll(audit("lineitem", lineitem, $"l_shipdate"))
+      .unionAll(audit("events", events, $"ts_us"))
+      .select($"table_name", $"n_rows", $"max_ts", $"n_recent",
+        expr("(n_recent * 1000000) div n_rows").cast("bigint")
+          .as("recent_ppm"))
+      .orderBy("table_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12)
+    r12, r13)
 }

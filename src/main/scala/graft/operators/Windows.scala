@@ -335,6 +335,38 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // E14 — TIME-INTERVAL RANGE frame (the calendar twin of e7's numeric
+  // value range: the frame is "everything in the last 7 days", resolved
+  // against the ORDER BY timestamp VALUE, not a row count — the shape
+  // every rolling-revenue dashboard means when it says "trailing week").
+  // The Spark side goes through SQL because the DataFrame API's
+  // rangeBetween only takes long offsets — interval frame bounds are a
+  // SQL-surface capability, which is exactly what this key grades.
+  // Determinism: RANGE frames are value-resolved, so orderdate ties
+  // share one frame — no tiebreak needed inside the window; the unique
+  // o_orderkey orders the OUTPUT. Shape at scale: one
+  // (o_custkey)-partitioned sort; the interval frame walk is the same
+  // two-pointer sweep as any range frame — no self-join, no explosion.
+  private val e14 = graded(
+    "e14_win_range_interval",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+      |  count(*) OVER w AS n_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_e14_orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+        |  count(*) OVER w AS n_7d
+        |FROM graft_e14_orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14)
 }

@@ -175,6 +175,46 @@ object StreamingJobs {
       }
   }
 
+  /** Per-user gap-monitor output record for [[maxGapMonitor]]. */
+  final case class GapStats(user_id: Long, n_gaps: Long, max_gap_us: Long)
+
+  /** Streaming twin of the h26 gap profile's per-user core: the running
+    * (gap count, max inter-event gap) monitor as a stateful stream — the
+    * alert a pipeline pages on ("this source went quiet") long before a
+    * batch h26 would notice. State per user is three longs (last event's
+    * (µs, id) order key and the running max); rows are replayed in
+    * event-time order inside the call exactly like [[rollingZscore]],
+    * and the state carries the LAST event across micro-batches so gaps
+    * spanning batch boundaries are still counted — `StreamingSpec`
+    * asserts stream ≡ batch lag-window twin on the full stream.
+    */
+  def maxGapMonitor(events: DataFrame): Dataset[GapStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long],
+        expr("ts div 1000").as[Long], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val ordered = rows.toArray.sortBy(r => (r._2, r._3))
+          var (lastUs, lastId, nGaps, maxGap) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          for ((_, us, id) <- ordered) {
+            if (lastUs != Long.MinValue) {
+              val gap = us - lastUs
+              nGaps += 1
+              if (gap > maxGap) maxGap = gap
+            }
+            lastUs = us; lastId = id
+          }
+          state.update((lastUs, lastId, nGaps, maxGap))
+          Iterator(GapStats(user, nGaps, maxGap))
+      }
+  }
+
   /** Stream–stream INTERVAL join (view→purchase attribution): each
     * purchase joins the same user's views from the preceding hour. Both
     * sides carry watermarks and the join condition bounds event time in

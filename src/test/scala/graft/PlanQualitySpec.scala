@@ -40,7 +40,8 @@ class PlanQualitySpec extends SparkSpec {
     "d33_infogain", // three 1-row entropy reduces crossed together
     "h27_top_paths", // path table crossing its own 1-row session total
     "g73_dup_ngram_coverage", // gram table crossing the 1-row mass total
-    "g74_kn_smoothing") // bigram model crossing the 1-row type total
+    "g74_kn_smoothing", // bigram model crossing the 1-row type total
+    "r13_freshness_report") // per-table recount against the 1-row max
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful max-gap monitor equals the batch lag window on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.maxGapMonitor(stream).toDF(), "h4_gaps", "update")
+    val streamed = spark.table("h4_gaps")
+      .groupBy("user_id")
+      .agg(max("n_gaps").as("n"), max("max_gap_us").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch twin: one lag window per user (h26's per-user core)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val batch = sources.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count("gap").as("n"), coalesce(max("gap"), lit(0L)).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming seasonal-profile cells equal batch h24 counts") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.seasonalProfile(stream), "h24_stream", "complete")

@@ -749,6 +749,70 @@ object ScansFilters {
       .orderBy("o_orderpriority")
   }
 
+  // A18 — BUCKETED CO-LOCATED JOIN (the zero-shuffle fact⋈fact answer
+  // this file's scale notes keep invoking, demonstrated end-to-end:
+  // write orders and lineitem bucketed+sorted by the join key into the
+  // catalog, then join — Spark matches the bucket specs and plans a
+  // SortMergeJoin with NO Exchange on either side, and the downstream
+  // groupBy on the same key rides the bucketing too; PlanQualitySpec
+  // pins the shuffle-free shape). At 100 TB this one-time layout cost
+  // amortizes over every subsequent orderkey join/aggregate — the
+  // bucket count scales with the data (8 here; thousands there),
+  // nothing else changes. Graded on content: the bucketed roundtrip
+  // must lose/duplicate nothing vs the plain join the oracle states.
+  private val a18 = QueryDef.graded(
+    "a18_bucketed_join",
+    """SELECT o_orderkey,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS rev,
+      |  count(*)::BIGINT AS n_items,
+      |  max(l_quantity) AS max_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    bucketedTables(spark, dir) // idempotent per (JVM, sf)
+    val (ot, lt) = bucketedNames(dir)
+    spark.table(ot)
+      .join(spark.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("rev"),
+        count(lit(1)).cast("bigint").as("n_items"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Catalog names of the per-(JVM, sf) bucketed twin tables. */
+  def bucketedNames(dir: String): (String, String) = {
+    val tag = (dir + "_" + jvmTag).replaceAll("[^A-Za-z0-9_]", "_")
+    (s"graft_a18_orders_$tag", s"graft_a18_lineitem_$tag")
+  }
+
+  /** Write orders/lineitem bucketed+sorted by the join key (8 buckets)
+    * as external tables under /tmp — created once per (JVM, sf); the
+    * spec and the graded key share this layout.
+    */
+  def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    val (ot, lt) = bucketedNames(dir)
+    if (!spark.catalog.tableExists(ot)) {
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"/tmp/graft_bucketed/$jvmTag/$sfTag"
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ot)
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount",
+          $"l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lt)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
-    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17)
+    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18)
 }

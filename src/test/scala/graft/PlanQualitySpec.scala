@@ -241,6 +241,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("a18: bucketed join and aggregate run with zero join/agg shuffles") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      import org.apache.spark.sql.functions._
+      operators.ScansFilters.bucketedTables(spark, sfDir)
+      val (ot, lt) = operators.ScansFilters.bucketedNames(sfDir)
+      val q = spark.table(ot)
+        .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      // bucket specs match on both sides → the join AND the same-key
+      // aggregate need no Exchange anywhere in the plan
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n$plan")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("c20: the explicit bloom probe pre-filters the fact side before the join") {
     val df = SparkEntry.queries("c20_join_bloom")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

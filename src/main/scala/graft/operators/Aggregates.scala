@@ -1289,7 +1289,191 @@ object Aggregates {
         round(($"h_rf" - $"h_rf_given_ls") / $"h_ls", 6).as("gain_ratio"))
   }
 
+  // d34 — LEVENE'S TEST for variance homogeneity across event_type groups
+  // (the PRECONDITION check for d26's ANOVA, whose F statistic assumes
+  // equal variances — an analyst runs this first). Determinism is the
+  // d31 integer trick end-to-end: values become exact cents, each group's
+  // center is the PURE-INTEGER rounded mean (2S+n) div (2n) — no float
+  // mean crosses an engine boundary — so the absolute deviations z and
+  // all their group sums (Σz, Σz²) are exact BIGINTs; only the final
+  // k-row W reduction runs in doubles, rounded to 6 (d29/d30 rule).
+  // The raw SSB/SSW sums are deliberately NOT emitted: at ~1e11 their
+  // double representation differs in the last ulp between the two
+  // engines' 5-term addition orders, and no decimal rounding is immune
+  // to that; the scale-free ratio W is (relative error ~1e-15 ≪ 5e-7).
+  // Shape at scale: two hash aggregates on event_type plus a broadcast
+  // of the k-row center table back onto the fact — one shuffle total;
+  // the closing k-row cross of its own 1-row total is the d26 shape.
+  private val d34 = graded(
+    "d34_levene",
+    """WITH v AS (
+      |  SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS x
+      |  FROM events),
+      |m AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+      |      FROM v GROUP BY g),
+      |c AS (SELECT g, (2 * s + n) // (2 * n) AS ctr FROM m),
+      |z AS (SELECT v.g, abs(v.x - c.ctr)::BIGINT AS z
+      |      FROM v JOIN c USING (g)),
+      |gz AS (SELECT g, count(*)::BIGINT AS n, sum(z)::BIGINT AS sz,
+      |         sum(z * z)::BIGINT AS ssz FROM z GROUP BY g),
+      |t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+      |        sum(sz)::BIGINT AS tz FROM gz),
+      |p AS (SELECT
+      |    sum(n::DOUBLE * pow(sz::DOUBLE / n::DOUBLE
+      |      - tz::DOUBLE / nn::DOUBLE, 2.0)) AS ssb,
+      |    sum(ssz::DOUBLE - sz::DOUBLE * sz::DOUBLE / n::DOUBLE) AS ssw
+      |  FROM gz CROSS JOIN t)
+      |SELECT t.k, t.nn AS n, t.tz,
+      |  round(((t.nn - t.k)::DOUBLE / (t.k - 1)::DOUBLE) * p.ssb / p.ssw,
+      |    6) AS w
+      |FROM p CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.eventsUs(spark, dir)
+      .select($"event_type".as("g"),
+        round($"value" * 100, 0).cast("bigint").as("x"))
+    val m = v.groupBy($"g")
+      .agg(count(lit(1)).cast("bigint").as("n"), sum($"x").cast("bigint").as("s"))
+    val c = m.select($"g", expr("(2 * s + n) div (2 * n)").as("ctr"))
+    val gz = v.join(broadcast(c), "g")
+      .select($"g", abs($"x" - $"ctr").cast("bigint").as("z"))
+      .groupBy($"g")
+      .agg(count(lit(1)).cast("bigint").as("n"), sum($"z").cast("bigint").as("sz"),
+        sum($"z" * $"z").cast("bigint").as("ssz"))
+    val t = gz.agg(count(lit(1)).cast("bigint").as("k"),
+      sum($"n").cast("bigint").as("nn"), sum($"sz").cast("bigint").as("tz"))
+    val p = gz.crossJoin(broadcast(t))
+      .agg(
+        sum($"n".cast("double") * pow($"sz".cast("double") / $"n".cast("double")
+          - $"tz".cast("double") / $"nn".cast("double"), 2.0)).as("ssb"),
+        sum($"ssz".cast("double")
+          - $"sz".cast("double") * $"sz".cast("double") / $"n".cast("double"))
+          .as("ssw"))
+    p.crossJoin(broadcast(t))
+      .select($"k", $"nn".as("n"), $"tz",
+        round((($"nn" - $"k").cast("double") / ($"k" - 1).cast("double"))
+          * $"ssb" / $"ssw", 6).as("w"))
+  }
+
+  // d35 — CALENDAR-LAG AUTOCORRELATION of the daily revenue series
+  // (the seasonality probe an analyst runs before h24's profile or
+  // h16's EWMA smoothing: "does yesterday predict today?"). Pairs are
+  // (day, day−k) for k ∈ {1,2,3}, joined by CALENDAR date — gap days
+  // simply produce no pair (n_pairs reported so the reader sees the
+  // coverage). Exactness: daily revenue is an exact cents BIGINT; the
+  // deviation n·r−S stays integral (scaled by n so no float mean
+  // appears), and products/sums run in DECIMAL(38,0)/HUGEINT — both
+  // engines exact int128-class arithmetic — so ρ's numerator and
+  // denominator are bit-identical before the one final double divide.
+  // Shape at scale: the series is one day-grain aggregate (tiny), the
+  // lag join is an equi-join on the precomputed shifted date — never a
+  // theta join or a single-partition global window.
+  private val d35 = graded(
+    "d35_autocorr",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS r
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS n, sum(r)::BIGINT AS s FROM daily),
+      |dev AS (SELECT d, (t.n * r - t.s)::HUGEINT AS e
+      |        FROM daily CROSS JOIN t),
+      |den AS (SELECT sum(e * e)::HUGEINT AS den FROM dev),
+      |lagged AS (SELECT b.d + l.k AS dk, l.k, b.e AS eb
+      |           FROM dev b CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) l),
+      |pr AS (SELECT lg.k, count(*)::BIGINT AS n_pairs,
+      |         sum(a.e * lg.eb)::HUGEINT AS num
+      |       FROM dev a JOIN lagged lg ON a.d = lg.dk
+      |       GROUP BY lg.k)
+      |SELECT pr.k, pr.n_pairs,
+      |  round(pr.num::DOUBLE / den.den::DOUBLE, 6) AS rho
+      |FROM pr CROSS JOIN den ORDER BY pr.k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+        .cast("bigint").as("r"))
+    val t = daily.agg(count(lit(1)).cast("bigint").as("n"),
+      sum($"r").cast("bigint").as("s"))
+    val dev = daily.crossJoin(broadcast(t))
+      .select($"d", ($"n" * $"r" - $"s").cast("decimal(19,0)").as("e"))
+    val den = dev.agg(sum($"e" * $"e").as("den"))
+    val lagged = dev.crossJoin(broadcast(Seq(1, 2, 3).toDF("k")))
+      .select(date_add($"d", $"k").as("dk"), $"k", $"e".as("eb"))
+    val pr = dev.join(lagged, dev("d") === lagged("dk"))
+      .groupBy($"k")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(dev("e") * $"eb").as("num"))
+    pr.crossJoin(broadcast(den))
+      .select($"k", $"n_pairs",
+        round($"num".cast("double") / $"den".cast("double"), 6).as("rho"))
+      .orderBy($"k")
+  }
+
+  // d36 — WINSORIZED + TRIMMED MEAN per return flag (the robust-location
+  // companion to d18's MAD outlier flags: the same heavy tails that make
+  // a plain mean lie are clamped at p05/p95 instead of dropped, and both
+  // robust means are reported side by side). Determinism: values are
+  // exact cents; the p05/p95 bounds are the d7-proven interpolated
+  // percentile ROUNDED to 6dp in both engines before any comparison, so
+  // the in/below/above partition of rows is engine-identical; the
+  // winsorized mean is then reassembled from EXACT pieces —
+  // (Σ_in x + n_lo·lo + n_hi·hi)/n — never a 20k-row double sum whose
+  // accumulation order could drift past the 6dp verdict.
+  // Shape at scale: one percentile aggregate per flag (3 rows) broadcast
+  // back onto the fact scan — single shuffle, no sort, no window.
+  private val d36 = graded(
+    "d36_winsorized",
+    """WITH v AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x
+      |  FROM lineitem),
+      |b AS (SELECT f, count(*)::BIGINT AS n,
+      |        round(quantile_cont(x, 0.05), 6) AS lo,
+      |        round(quantile_cont(x, 0.95), 6) AS hi
+      |      FROM v GROUP BY f),
+      |s AS (SELECT v.f,
+      |        sum(CASE WHEN v.x::DOUBLE >= b.lo AND v.x::DOUBLE <= b.hi
+      |              THEN v.x ELSE 0 END)::BIGINT AS s_in,
+      |        sum(CASE WHEN v.x::DOUBLE >= b.lo AND v.x::DOUBLE <= b.hi
+      |              THEN 1 ELSE 0 END)::BIGINT AS n_in,
+      |        sum(CASE WHEN v.x::DOUBLE < b.lo THEN 1 ELSE 0 END)::BIGINT
+      |          AS n_lo,
+      |        sum(CASE WHEN v.x::DOUBLE > b.hi THEN 1 ELSE 0 END)::BIGINT
+      |          AS n_hi
+      |      FROM v JOIN b USING (f) GROUP BY v.f)
+      |SELECT s.f AS l_returnflag, b.n, b.lo, b.hi, s.n_lo, s.n_hi,
+      |  round((s.s_in::DOUBLE + s.n_lo::DOUBLE * b.lo + s.n_hi::DOUBLE * b.hi)
+      |    / b.n::DOUBLE, 6) AS win_mean,
+      |  round(s.s_in::DOUBLE / s.n_in::DOUBLE, 6) AS trim_mean
+      |FROM s JOIN b USING (f) ORDER BY l_returnflag""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("f"),
+        round($"l_extendedprice" * 100, 0).cast("bigint").as("x"))
+    val b = v.groupBy($"f")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(expr("percentile(x, 0.05)"), 6).as("lo"),
+        round(expr("percentile(x, 0.95)"), 6).as("hi"))
+    val in = $"x".cast("double") >= $"lo" && $"x".cast("double") <= $"hi"
+    val s = v.join(broadcast(b.select($"f", $"lo", $"hi")), "f")
+      .groupBy($"f")
+      .agg(sum(when(in, $"x").otherwise(0L)).cast("bigint").as("s_in"),
+        sum(when(in, 1).otherwise(0)).cast("bigint").as("n_in"),
+        sum(when($"x".cast("double") < $"lo", 1).otherwise(0))
+          .cast("bigint").as("n_lo"),
+        sum(when($"x".cast("double") > $"hi", 1).otherwise(0))
+          .cast("bigint").as("n_hi"))
+    s.join(broadcast(b), "f")
+      .select($"f".as("l_returnflag"), $"n", $"lo", $"hi", $"n_lo", $"n_hi",
+        round(($"s_in".cast("double") + $"n_lo".cast("double") * $"lo"
+          + $"n_hi".cast("double") * $"hi") / $"n".cast("double"), 6)
+          .as("win_mean"),
+        round($"s_in".cast("double") / $"n_in".cast("double"), 6)
+          .as("trim_mean"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30, d31, d32, d33)
+    d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36)
 }

@@ -1188,7 +1188,46 @@ object EventTime {
       .limit(10)
   }
 
+  // h28 — USER LIFETIME summary (the per-user longitudinal companion to
+  // h8's cohort matrix: first/last touch, span, active-day count, and
+  // an exact events-per-active-day intensity in ppm). Everything is
+  // integer or timestamp arithmetic on the normalized µs clock — span
+  // comes from the epoch-ns bigint `ts` div'd to µs, active days from a
+  // distinct count of day-truncated stamps — so the verdict needs no
+  // float tolerance at all. Shape at scale: one hash aggregate keyed on
+  // user_id (the natural high-cardinality partitioning key at 100 TB);
+  // countDistinct rewrites to a two-level expand+agg, still one shuffle
+  // family, no window, no sort until the final output ordering.
+  private val h28 = graded(
+    "h28_user_lifetime",
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT date_trunc('day', ts))::BIGINT AS active_days,
+      |  min(ts) AS first_ts, max(ts) AS last_ts,
+      |  (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us,
+      |  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000)::BIGINT
+      |    AS span_days,
+      |  (count(*) * 1000000 // count(DISTINCT date_trunc('day', ts)))::BIGINT
+      |    AS events_per_day_ppm
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    Tables.eventsUs(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        countDistinct(date_trunc("day", $"ts_us")).cast("bigint")
+          .as("active_days"),
+        min($"ts_us").as("first_ts"), max($"ts_us").as("last_ts"),
+        (max($"ts") - min($"ts")).cast("bigint").as("span_ns"))
+      .withColumn("span_us", expr("span_ns div 1000").cast("bigint"))
+      .select($"user_id", $"n_events", $"active_days", $"first_ts",
+        $"last_ts", $"span_us",
+        expr("span_us div 86400000000").cast("bigint").as("span_days"),
+        expr("(n_events * 1000000) div active_days").cast("bigint")
+          .as("events_per_day_ppm"))
+      .orderBy($"user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27)
+    h26, h27, h28)
 }

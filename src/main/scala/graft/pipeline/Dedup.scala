@@ -993,6 +993,44 @@ object Dedup {
       .orderBy("sz", "span")
   }
 
+  // g75 — TEMPLATE-DOC clusters: group documents sharing the same opening
+  // 3-word prefix (web boilerplate shows up as thousands of pages stamped
+  // from one header template; the head prefix is the cheapest template
+  // fingerprint that needs no parsing). Emits only clusters of >1 doc
+  // with their source/lang spread — a cross-source cluster is scraped
+  // boilerplate, a cross-lang one is a template mill. Exact string/count
+  // arithmetic throughout. Shape at scale: one hash aggregate keyed on
+  // the prefix (bounded-size key cut from the text inside the scan
+  // projection — full text never rides the shuffle).
+  private val g75 = graded(
+    "g75_template_docs",
+    """WITH k AS (
+      |  SELECT doc_id, lang, source,
+      |    array_to_string(string_split(text, ' ')[1:3], ' ') AS tpl
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 6),
+      |g AS (SELECT tpl, count(*)::BIGINT AS n_docs,
+      |        count(DISTINCT source)::BIGINT AS n_sources,
+      |        count(DISTINCT lang)::BIGINT AS n_langs,
+      |        min(doc_id)::BIGINT AS exemplar
+      |      FROM k GROUP BY tpl)
+      |SELECT tpl, n_docs, n_sources, n_langs, exemplar FROM g
+      |WHERE n_docs > 1
+      |ORDER BY n_docs DESC, tpl""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("w"))
+      .where(size($"w") >= 6)
+      .select($"doc_id", $"lang", $"source",
+        concat_ws(" ", slice($"w", 1, 3)).as("tpl"))
+      .groupBy($"tpl")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct($"source").cast("bigint").as("n_sources"),
+        countDistinct($"lang").cast("bigint").as("n_langs"),
+        min($"doc_id").cast("bigint").as("exemplar"))
+      .where($"n_docs" > 1)
+      .orderBy($"n_docs".desc, $"tpl")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75)
 }

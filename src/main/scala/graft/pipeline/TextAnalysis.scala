@@ -1282,7 +1282,67 @@ object TextAnalysis {
       .limit(30)
   }
 
+  // g76 — PAIRWISE JENSEN–SHANNON DIVERGENCE between per-source unigram
+  // distributions (the mixture-design question g59's plan allocates
+  // against: which sources are near-duplicates of each other's token
+  // distribution, and which add diversity?). JS is computed from the
+  // SHARED-word inner join plus closed-form mass corrections — a word in
+  // p but not q contributes p·ln2 exactly, so the two (1−shared_mass)
+  // terms recover the full divergence without a full-outer join over the
+  // union support. Counts are exact BIGINTs; the ≤|vocab| log terms sum
+  // in doubles rounded to 6 (d33's entropy discipline). Bits via /ln2;
+  // identical distributions ⇒ 0, disjoint ⇒ 1. Shape at scale: token
+  // counts shuffle on (source, word) with map-side partial agg; the pair
+  // join shuffles on the word key (Heaps-bounded) — never on documents.
+  private val g76 = graded(
+    "g76_js_divergence",
+    """WITH wc AS (
+      |  SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, sum(c)::BIGINT AS n FROM wc GROUP BY source),
+      |pq AS (SELECT a.source AS sa, b.source AS sb,
+      |         a.c::DOUBLE / ta.n::DOUBLE AS p,
+      |         b.c::DOUBLE / tb.n::DOUBLE AS q
+      |       FROM wc a JOIN wc b ON a.w = b.w AND a.source < b.source
+      |       JOIN tot ta ON ta.source = a.source
+      |       JOIN tot tb ON tb.source = b.source),
+      |sh AS (SELECT sa, sb, count(*)::BIGINT AS n_shared,
+      |         sum(p) AS shp, sum(q) AS shq,
+      |         sum(p * ln(2.0 * p / (p + q))
+      |           + q * ln(2.0 * q / (p + q))) AS core
+      |       FROM pq GROUP BY sa, sb)
+      |SELECT sa AS source_a, sb AS source_b, n_shared,
+      |  round(0.5 * (core + (1.0 - shp) * ln(2.0) + (1.0 - shq) * ln(2.0))
+      |    / ln(2.0), 6) AS js_bits
+      |FROM sh ORDER BY js_bits DESC, source_a, source_b""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val ln2 = log(lit(2.0))
+    val wc = Tables.documentsDist(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .groupBy($"source", $"w")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val tot = wc.groupBy($"source").agg(sum($"c").cast("bigint").as("n"))
+    val a = wc.join(broadcast(tot), "source")
+      .select($"source".as("sa"), $"w", ($"c".cast("double") / $"n".cast("double")).as("p"))
+    val b = wc.join(broadcast(tot), "source")
+      .select($"source".as("sb"), $"w".as("wb"),
+        ($"c".cast("double") / $"n".cast("double")).as("q"))
+    a.join(b, $"w" === $"wb" && $"sa" < $"sb")
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).cast("bigint").as("n_shared"),
+        sum($"p").as("shp"), sum($"q").as("shq"),
+        sum($"p" * log(lit(2.0) * $"p" / ($"p" + $"q"))
+          + $"q" * log(lit(2.0) * $"q" / ($"p" + $"q"))).as("core"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"), $"n_shared",
+        round(lit(0.5) * ($"core" + (lit(1.0) - $"shp") * ln2
+          + (lit(1.0) - $"shq") * ln2) / ln2, 6).as("js_bits"))
+      .orderBy($"js_bits".desc, $"source_a", $"source_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74)
+    g70, g71, g72, g73, g74, g76)
 }

@@ -740,4 +740,80 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(4) <= r.getLong(1) &&
         r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
   }
+
+  test("d34 Levene laws: W non-negative and finite, totals consistent") {
+    val r = SparkEntry.queries("d34_levene")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) >= 2, "needs at least two groups")
+    assert(r(0).getLong(1) > r(0).getLong(0), "n must exceed k")
+    assert(r(0).getLong(2) >= 0, "total |deviation| mass is non-negative")
+    val w = r(0).getDouble(3)
+    assert(w >= 0.0 && !w.isNaN && !w.isInfinite, s"W out of range: $w")
+  }
+
+  test("d35 autocorr laws: rho bounded, pair counts below series length") {
+    val rows = SparkEntry.queries("d35_autocorr")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    for (r <- rows) {
+      // Cauchy–Schwarz on the shared denominator keeps |rho| <= 1
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("d36 winsorize laws: bounds ordered, means inside them, trim<=n") {
+    val rows = SparkEntry.queries("d36_winsorized")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (nLo, nHi) = (r.getLong(4), r.getLong(5))
+      val (win, trim) = (r.getDouble(6), r.getDouble(7))
+      assert(lo <= hi)
+      // ~5% clipped each side (interpolated bound can shift a few rows)
+      assert(nLo <= n / 10 && nHi <= n / 10)
+      assert(win >= lo - 1e-6 && win <= hi + 1e-6,
+        "winsorized mean must sit inside the clamp bounds")
+      assert(trim >= lo - 1e-6 && trim <= hi + 1e-6)
+    }
+  }
+
+  test("h28 lifetime laws: span/day arithmetic exact, activity bounded") {
+    val rows = SparkEntry.queries("h28_user_lifetime")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, days) = (r.getLong(1), r.getLong(2))
+      val spanUs = r.getLong(5)
+      assert(days >= 1 && days <= n, "active days within [1, n_events]")
+      assert(spanUs >= 0)
+      assert(r.getLong(6) == spanUs / 86400000000L, "span_days quotient")
+      assert(r.getLong(7) == n * 1000000L / days, "intensity ppm quotient")
+      // active calendar days cannot exceed the covered span (+1 for the
+      // partial first/last days)
+      assert(days <= spanUs / 86400000000L + 2)
+    }
+  }
+
+  test("g75 template laws: clusters >1 doc, spreads bounded by size") {
+    val rows = SparkEntry.queries("g75_template_docs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nd, ns, nl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nd > 1, "only clusters are emitted")
+      assert(ns >= 1 && ns <= nd && nl >= 1 && nl <= nd)
+      assert(r.getString(0).split(" ").length == 3, "3-word template key")
+    }
+  }
+
+  test("g76 JS laws: symmetric-free pairs, bounded in [0,1] bits") {
+    val rows = SparkEntry.queries("g76_js_divergence")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (a, b) => a < b }, "canonical a<b ordering")
+    assert(pairs.distinct.length == pairs.length, "no duplicate pairs")
+    for (r <- rows) {
+      val js = r.getDouble(3)
+      assert(js >= -1e-9 && js <= 1.0 + 1e-9, s"JS bits out of [0,1]: $js")
+      assert(r.getLong(2) >= 0)
+    }
+  }
 }

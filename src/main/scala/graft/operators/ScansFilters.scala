@@ -813,6 +813,41 @@ object ScansFilters {
     }
   }
 
+  // a19 — INCREMENTAL VIEW MAINTENANCE by state merge: a per-customer
+  // order aggregate is maintained as (count, exact-cents sum) states;
+  // the nightly delta batch (orders on/after the split date) is
+  // aggregated ALONE and merged into the base states — count and sum
+  // are both self-mergeable, so the merge is a re-aggregate over the
+  // union of two state tables keyed on custkey. Graded against the full
+  // recompute: the merge must lose/duplicate nothing. At 100 TB this is
+  // THE pattern that stops a dashboard from rescanning years of
+  // history: the merge shuffles at AGGREGATE cardinality (one row per
+  // customer), not fact cardinality, and the base state table is
+  // exactly what a5's upsert sink would persist between batches.
+  private val a19 = QueryDef.graded(
+    "a19_incremental_agg",
+    """SELECT o_custkey, count(*)::BIGINT AS n_orders,
+      |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+      |    AS rev_cents
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val split = "1998-01-01"
+    def states(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+          .cast("bigint").as("rev_cents"))
+    val orders = Tables.orders(spark, dir)
+    val base = states(orders.where($"o_orderdate" < lit(split)))
+    val delta = states(orders.where($"o_orderdate" >= lit(split)))
+    base.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"n_orders").cast("bigint").as("n_orders"),
+        sum($"rev_cents").cast("bigint").as("rev_cents"))
+      .orderBy($"o_custkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
-    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18)
+    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19)
 }

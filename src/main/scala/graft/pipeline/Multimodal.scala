@@ -706,5 +706,59 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
-  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
+  // m11 — HAMMING-DISTANCE HISTOGRAM over m10's candidate population
+  // (the threshold-tuning diagnostic: m10's ≤6 cut is a policy choice;
+  // this shows what each alternative threshold would admit, measured on
+  // the SAME block-join candidates — the population an LSH deployment
+  // can actually see). Capped at hamming ≤ 16: beyond that the block
+  // join's pigeonhole recall decays and the counts stop meaning
+  // anything. Exact integer counts over DISTINCT pairs. Same shuffle
+  // shape as m10 minus the verify filter.
+  private val m11 = graded(
+    "m11_phash_hamming_hist",
+    s"""$dhashSigCte,
+      |blocks AS (
+      |  SELECT doc_id, hi, lo, gs.i AS blk,
+      |    CASE WHEN gs.i < 4 THEN (hi >> (gs.i * 8)) & 255
+      |      ELSE (lo >> ((gs.i - 4) * 8)) & 255 END AS bv
+      |  FROM sig, generate_series(0, 7) gs(i)),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      |  FROM blocks a JOIN blocks b
+      |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 16)
+      |SELECT hamming, count(*)::BIGINT AS n_pairs,
+      |  (hamming <= 6) AS admitted_by_m10
+      |FROM prs GROUP BY hamming
+      |ORDER BY hamming""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sig = dhashSigDf(spark, dir)
+    val blocks = sig
+      .select($"doc_id", $"dhash_hi", $"dhash_lo",
+        explode(sequence(lit(0), lit(7))).as("blk"))
+      .withColumn("bv",
+        when($"blk" < 4, expr("shiftright(dhash_hi, cast(blk * 8 as int))"))
+          .otherwise(expr("shiftright(dhash_lo, cast((blk - 4) * 8 as int))"))
+          .bitwiseAND(255))
+    val a = blocks.select($"blk", $"bv", $"doc_id".as("doc_a"),
+      $"dhash_hi".as("hi_a"), $"dhash_lo".as("lo_a"))
+    val b = blocks.select($"blk", $"bv", $"doc_id".as("doc_b"),
+      $"dhash_hi".as("hi_b"), $"dhash_lo".as("lo_b"))
+    a.join(b, Seq("blk", "bv"))
+      .where($"doc_a" < $"doc_b")
+      .withColumn("hamming",
+        (bit_count($"hi_a".bitwiseXOR($"hi_b"))
+          + bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("bigint"))
+      .where($"hamming" <= 16)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
+      .groupBy($"hamming")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .select($"hamming", $"n_pairs", ($"hamming" <= 6).as("admitted_by_m10"))
+      .orderBy($"hamming")
+  }
+
+  val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
+    m11)
 }

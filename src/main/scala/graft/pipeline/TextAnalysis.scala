@@ -1342,7 +1342,45 @@ object TextAnalysis {
       .orderBy($"js_bits".desc, $"source_a", $"source_b")
   }
 
+  // g77 — STOPWORD DISCOVERY by document frequency (the corpus-driven
+  // way to build the stopword list g7's ratios and g37's keyword
+  // filtering consume — a word in >80% of documents carries no signal
+  // for retrieval or keyword extraction, whatever language it is).
+  // df counts DISTINCT docs per word (not occurrences — that's g70's
+  // axis); the ppm quotient is exact integer arithmetic against the
+  // 1-row corpus size. Shape at scale: the distinct (doc, word)
+  // collapse partial-aggs inside the scan stage before the word-key
+  // shuffle; the 1-row doc count broadcasts (allowlisted BNLJ).
+  private val g77 = graded(
+    "g77_stopword_discovery",
+    """WITH d AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |df AS (
+      |  SELECT w, count(*)::BIGINT AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents)
+      |  GROUP BY w)
+      |SELECT df.w AS word, df.df,
+      |  (df.df * 1000000 // d.n)::BIGINT AS df_ppm,
+      |  (df.df * 1000000 // d.n > 800000) AS is_stopword
+      |FROM df CROSS JOIN d
+      |ORDER BY df.df DESC, word LIMIT 50""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val d = docs.agg(count(lit(1)).cast("bigint").as("n"))
+    val df = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .distinct()
+      .groupBy($"w")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    df.crossJoin(broadcast(d))
+      .select($"w".as("word"), $"df",
+        expr("(df * 1000000) div n").cast("bigint").as("df_ppm"),
+        (expr("(df * 1000000) div n") > 800000).as("is_stopword"))
+      .orderBy($"df".desc, $"word")
+      .limit(50)
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76)
+    g70, g71, g72, g73, g74, g76, g77)
 }

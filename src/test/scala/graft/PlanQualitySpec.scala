@@ -43,7 +43,8 @@ class PlanQualitySpec extends SparkSpec {
     "g74_kn_smoothing", // bigram model crossing the 1-row type total
     "r13_freshness_report", // per-table recount against the 1-row max
     "d34_levene", // k-row moment table crossing its own 1-row total (d26's shape)
-    "d35_autocorr") // day-grain series crossing its 1-row n/S + 3-row lag dims
+    "d35_autocorr", // day-grain series crossing its 1-row n/S + 3-row lag dims
+    "g77_stopword_discovery") // df table crossing the 1-row corpus size
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -741,6 +741,49 @@ class PropertySpec extends SparkSpec {
         r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
   }
 
+  test("a19 IVM law: state merge equals full recompute, key-complete") {
+    val merged = SparkEntry.queries("a19_incremental_agg")(spark, sfDir)
+    val full = sources.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+          .cast("bigint").as("rev_cents"))
+      .orderBy(col("o_custkey"))
+    assert(merged.collect().toSeq === full.collect().toSeq,
+      "incremental merge diverged from the full recompute")
+  }
+
+  test("g77 stopword laws: df bounded by corpus size, flag consistent") {
+    val n = sources.Tables.documents(spark, sfDir).count()
+    val rows = SparkEntry.queries("g77_stopword_discovery")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    for (r <- rows) {
+      val (df, ppm) = (r.getLong(1), r.getLong(2))
+      assert(df >= 1 && df <= n)
+      assert(ppm == df * 1000000L / n, "ppm quotient exact")
+      assert(r.getBoolean(3) == (ppm > 800000L), "flag derived from ppm")
+    }
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "df descending")
+  }
+
+  test("m11 hamming-hist laws: bounded support, m10 cut consistent") {
+    val rows = SparkEntry.queries("m11_phash_hamming_hist")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val h = r.getLong(0)
+      assert(h >= 0 && h <= 16)
+      assert(r.getLong(1) >= 1)
+      assert(r.getBoolean(2) == (h <= 6))
+    }
+    // the histogram's admitted mass must equal m10's pair count
+    val admitted = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val m10 = SparkEntry.queries("m10_phash_neardup")(spark, sfDir).count()
+    assert(admitted === m10, "hist mass under the cut != m10 output")
+  }
+
   test("d34 Levene laws: W non-negative and finite, totals consistent") {
     val r = SparkEntry.queries("d34_levene")(spark, sfDir).collect()
     assert(r.length == 1)

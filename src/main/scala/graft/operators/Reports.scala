@@ -762,6 +762,58 @@ object Reports {
       .orderBy("table_name")
   }
 
+  // r14 — COLUMN PROFILE report (the first query anyone runs against an
+  // unfamiliar table: null counts, distinct cardinality, and the modal
+  // value per column). Five columns of `orders` profiled — the double
+  // column is deliberately excluded because double→string rendering is
+  // not engine-portable (DialectNotes), and a profile row is a string.
+  // Mode ties break (count DESC, value ASC) so uniform columns (every
+  // orderkey count=1) still produce one deterministic row. Dates render
+  // through the h8-proven explicit format. Shape at scale: one
+  // aggregate + one mode top-1 per column — each column's pass is an
+  // independent shuffle on bounded-cardinality keys; the per-column
+  // 1-row combines are broadcast crosses (allowlisted).
+  private val r14 = graded(
+    "r14_column_profile", {
+      def prof(c: String, v: String) =
+        s"""SELECT '$c' AS col,
+           |  (count(*) - count($c))::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  m.v AS top_value, m.c AS top_count
+           |FROM orders CROSS JOIN (
+           |  SELECT $v AS v, count(*)::BIGINT AS c FROM orders
+           |  GROUP BY 1 ORDER BY c DESC, v LIMIT 1) m
+           |GROUP BY m.v, m.c""".stripMargin
+      Seq(
+        prof("o_orderkey", "o_orderkey::VARCHAR"),
+        prof("o_custkey", "o_custkey::VARCHAR"),
+        prof("o_orderstatus", "o_orderstatus"),
+        prof("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+        prof("o_orderpriority", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    def prof(c: String, v: org.apache.spark.sql.Column) = {
+      val stats = orders.agg(
+        (count(lit(1)) - count(col(c))).cast("bigint").as("n_nulls"),
+        countDistinct(col(c)).cast("bigint").as("n_distinct"))
+      val mode = orders.select(v.as("v"))
+        .groupBy($"v").agg(count(lit(1)).cast("bigint").as("c"))
+        .orderBy($"c".desc, $"v").limit(1)
+      stats.crossJoin(broadcast(mode))
+        .select(lit(c).as("col"), $"n_nulls", $"n_distinct",
+          $"v".as("top_value"), $"c".as("top_count"))
+    }
+    prof("o_orderkey", $"o_orderkey".cast("string"))
+      .unionByName(prof("o_custkey", $"o_custkey".cast("string")))
+      .unionByName(prof("o_orderstatus", $"o_orderstatus"))
+      .unionByName(prof("o_orderdate",
+        date_format($"o_orderdate", "yyyy-MM-dd")))
+      .unionByName(prof("o_orderpriority", $"o_orderpriority"))
+      .orderBy($"col")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12, r13)
+    r12, r13, r14)
 }

@@ -716,7 +716,40 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  // g78 — DETERMINISTIC WEIGHTED SAMPLE (Efraimidis–Spirakis A-ES with a
+  // hash in place of the RNG — the g25 rule: a sampling step that cannot
+  // be rerun bit-identically is a provenance hole). Each doc draws
+  // u ∈ (0,1] from the first 8 md5 hex chars of its doc_id and scores
+  // key = ln(u)/w with w = n_chars; the top-k by key are EXACTLY a
+  // weighted-without-replacement sample (longer docs proportionally
+  // likelier), reproducible from the doc_id alone on any engine. The
+  // ln() runs once per doc on hash-separated inputs — engine libm ulp
+  // differences are ~1e-17 against key gaps of ~1e-8, so ordering and
+  // the 6dp verdict are stable. Shape at scale: pure map + TakeOrdered
+  // top-k — no shuffle except the k-row result; this is how you draw a
+  // 10M-doc training subset from 100 TB without an RNG seed fight.
+  private val g78 = graded(
+    "g78_weighted_sample", {
+      val h = Dedup.duckHex8("md5(doc_id::VARCHAR)")
+      s"""SELECT doc_id, source, n_chars,
+      |  round(1000000.0 * ln(($h + 1.0) / 4294967296.0) / n_chars, 6)
+      |    AS key_ppm
+      |FROM documents
+      |ORDER BY key_ppm DESC, doc_id
+      |LIMIT 20""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        round(lit(1000000.0)
+          * log((conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+              .cast("double") + 1.0) / 4294967296.0)
+          / $"n_chars", 6).as("key_ppm"))
+      .orderBy($"key_ppm".desc, $"doc_id")
+      .limit(20)
+  }
+
   val defs: Seq[QueryDef] =
     Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59,
-      g61)
+      g61, g78)
 }

@@ -44,7 +44,9 @@ class PlanQualitySpec extends SparkSpec {
     "r13_freshness_report", // per-table recount against the 1-row max
     "d34_levene", // k-row moment table crossing its own 1-row total (d26's shape)
     "d35_autocorr", // day-grain series crossing its 1-row n/S + 3-row lag dims
-    "g77_stopword_discovery") // df table crossing the 1-row corpus size
+    "g77_stopword_discovery", // df table crossing the 1-row corpus size
+    "r14_column_profile", // five 1-row stats × 1-row mode broadcast crosses
+    "d37_median_of_means") // two 1-row reduces of the 32-shard table crossed
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -784,6 +784,44 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("r14 profile laws: one row per column, nulls+distinct bounded") {
+    val n = sources.Tables.orders(spark, sfDir).count()
+    val rows = SparkEntry.queries("r14_column_profile")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus"))
+    for (r <- rows) {
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= n)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= n)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= n,
+        "top count within table size")
+    }
+    val okey = rows.find(_.getString(0) == "o_orderkey").get
+    assert(okey.getLong(2) === n, "orderkey is unique")
+    assert(okey.getLong(4) === 1L, "unique column's mode count is 1")
+  }
+
+  test("g78 A-ES laws: keys negative+descending, deterministic rerun") {
+    val rows = SparkEntry.queries("g78_weighted_sample")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val keys = rows.map(_.getDouble(3))
+    assert(keys.forall(_ <= 0.0), "ln(u)/w is non-positive")
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, "descending")
+    val rerun = SparkEntry.queries("g78_weighted_sample")(spark, sfDir).collect()
+    assert(rows.toSeq === rerun.toSeq, "hash-RNG sample must be rerunnable")
+  }
+
+  test("d37 MoM laws: 32 shards, both means inside the data range") {
+    val r = SparkEntry.queries("d37_median_of_means")(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) === 32L)
+    val (mom, plain, delta) =
+      (r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    // o_totalprice spans ~[1.3e3, 5e5] dollars = [1.3e5, 5e7] cents
+    assert(mom > 1e5 && mom < 5e7 && plain > 1e5 && plain < 5e7)
+    assert(math.abs(delta - (mom - plain)) < 1e-5, "delta consistency")
+  }
+
   test("d34 Levene laws: W non-negative and finite, totals consistent") {
     val r = SparkEntry.queries("d34_levene")(spark, sfDir).collect()
     assert(r.length == 1)

@@ -1227,7 +1227,62 @@ object EventTime {
       .orderBy($"user_id")
   }
 
+  // h29 — CLASSICAL SEASONAL DECOMPOSITION of the daily event-count
+  // series: additive trend (centered 7-day moving average, emitted only
+  // where the full week exists) + day-of-week seasonal (mean of the
+  // detrended values per dow) + residual. h24 profiles the dow×hour
+  // RATIOS; this separates the three components an anomaly reviewer
+  // wants side by side ("is Tuesday's dip seasonal or a real drop?").
+  // Determinism: daily counts are exact BIGINTs, the trend is an exact
+  // 7-int window sum over ONE double divide, the dow means average ~n/7
+  // detrended doubles (~1e-13 accumulation error against the 6dp
+  // verdict). The window is a RANGE frame over the day NUMBER, so
+  // calendar gaps shrink the frame and the count==7 guard masks it —
+  // row-frame decomposition would silently misalign across gaps.
+  // Shape at scale: one shuffle to the bounded day grain; the O(days)
+  // window and 7-row seasonal broadcast are day-dimension costs
+  // (h21's class), independent of event volume.
+  private val h29 = graded(
+    "h29_seasonal_decompose",
+    """WITH dc AS (
+      |  SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day, n, ((day + 3) % 7)::INT AS dow,
+      |    CASE WHEN count(*) OVER w = 7
+      |      THEN (sum(n) OVER w)::DOUBLE / 7.0 END AS trend
+      |  FROM dc
+      |  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING
+      |    AND 3 FOLLOWING)),
+      |se AS (SELECT dow, avg(n::DOUBLE - trend) AS seas FROM tr
+      |       WHERE trend IS NOT NULL GROUP BY dow)
+      |SELECT tr.day, tr.n, tr.dow, round(tr.trend, 6) AS trend,
+      |  round(se.seas, 6) AS seasonal,
+      |  round(tr.n::DOUBLE - tr.trend - se.seas, 6) AS residual
+      |FROM tr JOIN se USING (dow)
+      |WHERE tr.trend IS NOT NULL
+      |ORDER BY tr.day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val dc = Tables.eventsUs(spark, dir)
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).cast("bigint").as("n"))
+    val w = Window.orderBy($"day").rangeBetween(-3, 3)
+    val tr = dc
+      .withColumn("dow", (($"day" + 3) % 7).cast("int"))
+      .withColumn("trend", when(count(lit(1)).over(w) === 7,
+        sum($"n").over(w).cast("double") / 7.0))
+      .where($"trend".isNotNull)
+    val se = tr.groupBy($"dow")
+      .agg(avg($"n".cast("double") - $"trend").as("seas"))
+    tr.join(broadcast(se), "dow")
+      .select($"day", $"n", $"dow", round($"trend", 6).as("trend"),
+        round($"seas", 6).as("seasonal"),
+        round($"n".cast("double") - $"trend" - $"seas", 6).as("residual"))
+      .orderBy($"day")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28)
+    h26, h27, h28, h29)
 }

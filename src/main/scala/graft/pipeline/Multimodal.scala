@@ -759,6 +759,73 @@ object Multimodal {
       .orderBy($"hamming")
   }
 
+  // m12 — AUDIO SILENCE TRIM through the REAL codec (the preprocessing
+  // step an audio-training pipeline runs before feature extraction:
+  // drop leading/trailing low-energy samples, keep the voiced core).
+  // The blob is encoded and RIFF-validated by Wav.decode, then the PCM
+  // payload is walked once for the first/last sample with |v| ≥ 2048
+  // (the energy gate; under the synthesis rule lowercase letters land
+  // below it and spaces/uppercase above — every doc has both, so trims
+  // are non-degenerate). The oracle recomputes lead/trail from the
+  // synthesis rule alone — encoder, header walk, and the trim scan are
+  // all on the graded path. kept = n − lead − trail is an identity that
+  // also covers the all-silent edge (lead = n, trail = 0). Blobs live
+  // and die inside one mapPartitions; only 5 integers leave the scan.
+  private val m12 = graded(
+    "m12_audio_silence",
+    """WITH s AS (
+      |  SELECT doc_id, (32 + doc_id % 32)::BIGINT AS n,
+      |    list_filter(generate_series(0, (32 + doc_id % 32)::INT - 1),
+      |      i -> abs((CASE WHEN length(text) = 0 THEN 32
+      |            ELSE ascii(substring(text, (i % length(text))::INT + 1, 1))
+      |            END - 128) * 64) >= 2048) AS loud
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, n,
+      |    (CASE WHEN len(loud) = 0 THEN n ELSE loud[1] END)::BIGINT
+      |      AS lead_silence,
+      |    (CASE WHEN len(loud) = 0 THEN 0 ELSE n - 1 - loud[-1] END)::BIGINT
+      |      AS trail_silence
+      |  FROM s)
+      |SELECT doc_id, n AS n_samples, lead_silence, trail_silence,
+      |  (n - lead_silence - trail_silence)::BIGINT AS n_kept,
+      |  ((n - lead_silence - trail_silence) * 1000000 // n)::BIGINT
+      |    AS kept_ppm
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, Wav.encode(id, text)) })
+      .mapPartitions(_.map { case (id, blob) =>
+        val d = Wav.decode(blob) // full RIFF validation before the walk
+        val bb = java.nio.ByteBuffer.wrap(blob)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(44)
+        val n = d.nSamples.toInt
+        var first = -1
+        var last = -1
+        var i = 0
+        while (i < n) {
+          if (math.abs(bb.getShort().toInt) >= 2048) {
+            if (first < 0) first = i
+            last = i
+          }
+          i += 1
+        }
+        val lead = if (first < 0) n else first
+        val trail = if (first < 0) 0 else n - 1 - last
+        (id, n.toLong, lead.toLong, trail.toLong)
+      })
+      .toDF("doc_id", "n_samples", "lead_silence", "trail_silence")
+      .select($"doc_id", $"n_samples", $"lead_silence", $"trail_silence",
+        ($"n_samples" - $"lead_silence" - $"trail_silence").cast("bigint")
+          .as("n_kept"),
+        expr("((n_samples - lead_silence - trail_silence) * 1000000) div n_samples")
+          .cast("bigint").as("kept_ppm"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11)
+    m11, m12)
 }

@@ -784,6 +784,35 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("h29 decompose laws: n = trend+seasonal+residual, full-week trend") {
+    val rows = SparkEntry.queries("h29_seasonal_decompose")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, trend, seas, resid) =
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(n.toDouble - (trend + seas + resid)) < 2e-6,
+        "additive identity must reconstruct the observation")
+      assert(trend > 0, "daily event counts are positive so trend is too")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 6)
+    }
+    val days = rows.map(_.getLong(0))
+    assert(days.distinct.length == days.length, "one row per day")
+  }
+
+  test("m12 trim laws: lead+trail+kept = n, all-silent edge consistent") {
+    val rows = SparkEntry.queries("m12_audio_silence")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, lead, trail, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lead >= 0 && trail >= 0 && kept >= 0)
+      assert(lead + trail + kept == n, "trim partition covers the signal")
+      if (kept == 0) assert(lead == n && trail == 0, "all-silent canon")
+      assert(r.getLong(5) == kept * 1000000L / n)
+    }
+  }
+
   test("r14 profile laws: one row per column, nulls+distinct bounded") {
     val n = sources.Tables.orders(spark, sfDir).count()
     val rows = SparkEntry.queries("r14_column_profile")(spark, sfDir).collect()

@@ -520,6 +520,51 @@ object SortSetScalar {
       .orderBy("p_partkey")
   }
 
+  // f20 — HIGHER-ORDER LAMBDA functions over the embedding arrays:
+  // filter / exists / forall / zip_with / indexed transform — the
+  // Catalyst lambda surface beyond f6's plain aggregate. These run as
+  // codegen'd expressions INSIDE the row, so a 100 TB scan pays zero
+  // shuffle and zero UDF serialization for per-vector math. Both folds
+  // (palindromic dot, index-weighted sum) accumulate in ELEMENT ORDER in
+  // both engines — a left fold, not a set sum — so the doubles are
+  // bit-identical before the 6dp rounding. DuckDB lacks zip_with and
+  // lambda indices; the oracle states both via generate_series indexing,
+  // which fixes the same evaluation order.
+  private val f20 = graded(
+    "f20_lambda_funcs",
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x::DOUBLE > 0))::INT AS n_pos,
+      |  (len(list_filter(embedding, x -> x::DOUBLE > 0.2)) > 0) AS any_big,
+      |  (len(list_filter(embedding, x -> NOT (x::DOUBLE > -1.0))) = 0)
+      |    AS all_gt_neg1,
+      |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+      |    j -> embedding[j]::DOUBLE
+      |      * embedding[len(embedding) + 1 - j]::DOUBLE)), 6) AS pal_dot,
+      |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+      |    j -> embedding[j]::DOUBLE * (j - 1))), 6) AS idx_weighted
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("size(filter(embedding, x -> cast(x as double) > 0d))")
+          .cast("int").as("n_pos"),
+        expr("exists(embedding, x -> cast(x as double) > 0.2d)")
+          .as("any_big"),
+        expr("forall(embedding, x -> cast(x as double) > -1.0d)")
+          .as("all_gt_neg1"),
+        round(expr(
+          """aggregate(
+            |  zip_with(embedding, reverse(embedding),
+            |    (x, y) -> cast(x as double) * cast(y as double)),
+            |  0d, (a, v) -> a + v)""".stripMargin), 6).as("pal_dot"),
+        round(expr(
+          """aggregate(
+            |  transform(embedding, (x, i) -> cast(x as double) * i),
+            |  0d, (a, v) -> a + v)""".stripMargin), 6).as("idx_weighted"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16, f17, f18, f19)
+    f11, f12, f13, f14, f15, f16, f17, f18, f19, f20)
 }

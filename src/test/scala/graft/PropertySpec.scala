@@ -784,6 +784,36 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("g79 incremental-minhash laws: split respected, agreement bounded") {
+    val rows = SparkEntry.queries("g79_incremental_minhash")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "top-1 per new doc")
+    for (r <- rows) {
+      assert(r.getLong(0) % 5 == 4, "matched docs come from the batch split")
+      assert(r.getLong(1) % 5 != 4, "matches come from the catalog split")
+      val agree = r.getLong(2)
+      assert(agree >= 4 && agree <= 8, "verify threshold enforced")
+      assert(r.getLong(3) == agree * 1000000L / 8)
+    }
+  }
+
+  test("f20 lambda laws: counts bounded by dims, pal_dot symmetric-sane") {
+    val rows = SparkEntry.queries("f20_lambda_funcs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nPos = r.getInt(1)
+      assert(nPos >= 0 && nPos <= 64)
+      if (r.getBoolean(2)) assert(nPos > 0, "exists(>0.2) implies some >0")
+      // palindromic dot of a vector with its reverse is an inner product
+      // of two equal-norm vectors: |pal_dot| <= ||v||² (Cauchy–Schwarz);
+      // dims are in (-1,1) so the bound 64 is loose but always valid
+      assert(math.abs(r.getDouble(4)) <= 64.0)
+      assert(r.getBoolean(3), "corpus dims all exceed -1")
+    }
+  }
+
   test("h29 decompose laws: n = trend+seasonal+residual, full-week trend") {
     val rows = SparkEntry.queries("h29_seasonal_decompose")(spark, sfDir)
       .collect()

@@ -1515,7 +1515,56 @@ object Aggregates {
         round($"mom" - $"plain_mean", 6).as("robust_delta"))
   }
 
+  // d38 — Q–Q DECILE TABLE between the two d31 halves (the
+  // distribution-shape companion to d30's KS verdict: WHERE do the two
+  // samples diverge, not just whether): deciles 10..90 of exact cents
+  // per side, long form with per-decile gaps. The percentile arrays are
+  // the d7-proven interpolated quantiles rounded to 6dp before the
+  // diff; posexplode gives the decile index in both engines (unnest
+  // WITH ORDINALITY on the DuckDB side). One aggregate per side over
+  // the sorted-free percentile sketch path — no global sort.
+  private val d38 = graded(
+    "d38_qq_deciles",
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS x,
+      |    (l_orderkey % 2)::INT AS side
+      |  FROM lineitem),
+      |ds AS (SELECT unnest(generate_series(1, 9)) AS d),
+      |q0 AS (
+      |  SELECT ds.d, t.qs[ds.d] AS qv
+      |  FROM (SELECT quantile_cont(x,
+      |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |    FROM v WHERE side = 0) t CROSS JOIN ds),
+      |q1 AS (
+      |  SELECT ds.d, t.qs[ds.d] AS qv
+      |  FROM (SELECT quantile_cont(x,
+      |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |    FROM v WHERE side = 1) t CROSS JOIN ds)
+      |SELECT (q0.d * 10)::INT AS decile,
+      |  round(q0.qv, 6) AS q_even, round(q1.qv, 6) AS q_odd,
+      |  round(round(q1.qv, 6) - round(q0.qv, 6), 6) AS gap
+      |FROM q0 JOIN q1 ON q0.d = q1.d
+      |ORDER BY decile""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.lineitem(spark, dir)
+      .select(round($"l_extendedprice" * 100, 0).cast("bigint").as("x"),
+        ($"l_orderkey" % 2).cast("int").as("side"))
+    def qs(side: Int) = v.where($"side" === side)
+      .agg(expr(
+        "percentile(x, array(0.1d,0.2d,0.3d,0.4d,0.5d,0.6d,0.7d,0.8d,0.9d))")
+        .as("qs"))
+      .select(posexplode($"qs").as(Seq("i", "qv")))
+    val q0 = qs(0).select((($"i" + 1) * 10).cast("int").as("decile"),
+      round($"qv", 6).as("q_even"))
+    val q1 = qs(1).select((($"i" + 1) * 10).cast("int").as("decile"),
+      round($"qv", 6).as("q_odd"))
+    q0.join(q1, "decile")
+      .select($"decile", $"q_even", $"q_odd",
+        round($"q_odd" - $"q_even", 6).as("gap"))
+      .orderBy($"decile")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37)
+    d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38)
 }

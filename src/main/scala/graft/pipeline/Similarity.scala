@@ -602,6 +602,56 @@ object Similarity {
       .orderBy("cluster", "dim")
   }
 
+  // g80 — CLUSTER BALANCE audit of g32's nearest-prototype assignment
+  // (the IVF health check before committing to a coarse quantizer: a
+  // 10:1 skewed cluster means one posting list does 10× the probe work
+  // — g17's latency depends on THIS table): per-cluster sizes with exact
+  // ppm shares plus the global max/min imbalance on every row. Same
+  // broadcast-K scoring and per-vec argmax as g32, then one K-row
+  // aggregate; the 1-row min/max stats cross back (allowlisted BNLJ).
+  private val g80 = graded(
+    "g80_cluster_balance",
+    s"""WITH e AS (
+      |  SELECT vec_id, $duckV AS v,
+      |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+      |s AS (
+      |  SELECT vec_id, cid, ${duckDot("v", "cv")} / (nrm * cnrm) AS cs
+      |  FROM e CROSS JOIN c),
+      |r AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |  FROM s),
+      |g AS (SELECT cid AS cluster, count(*)::BIGINT AS n FROM r
+      |      WHERE rn = 1 GROUP BY cid),
+      |t AS (SELECT sum(n)::BIGINT AS total, max(n)::BIGINT AS mx,
+      |        min(n)::BIGINT AS mn FROM g)
+      |SELECT g.cluster, g.n,
+      |  (g.n * 1000000 // t.total)::BIGINT AS share_ppm,
+      |  ((t.mx * 1000000) // t.mn)::BIGINT AS imbalance_ppm
+      |FROM g CROSS JOIN t
+      |ORDER BY g.cluster""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val cents = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    val g = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", cos("embedding", "ce").as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .groupBy($"cid".as("cluster"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val t = g.agg(sum($"n").cast("bigint").as("total"),
+      max($"n").cast("bigint").as("mx"), min($"n").cast("bigint").as("mn"))
+    g.crossJoin(broadcast(t))
+      .select($"cluster", $"n",
+        expr("(n * 1000000) div total").cast("bigint").as("share_ppm"),
+        expr("(mx * 1000000) div mn").cast("bigint").as("imbalance_ppm"))
+      .orderBy($"cluster")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66)
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80)
 }

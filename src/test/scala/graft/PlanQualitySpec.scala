@@ -46,7 +46,8 @@ class PlanQualitySpec extends SparkSpec {
     "d35_autocorr", // day-grain series crossing its 1-row n/S + 3-row lag dims
     "g77_stopword_discovery", // df table crossing the 1-row corpus size
     "r14_column_profile", // five 1-row stats × 1-row mode broadcast crosses
-    "d37_median_of_means") // two 1-row reduces of the 32-shard table crossed
+    "d37_median_of_means", // two 1-row reduces of the 32-shard table crossed
+    "g80_cluster_balance") // K-row sizes crossing their own 1-row min/max
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

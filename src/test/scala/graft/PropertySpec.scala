@@ -784,6 +784,31 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("d38 QQ laws: deciles 10..90, each side monotone non-decreasing") {
+    val rows = SparkEntry.queries("d38_qq_deciles")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9).map(_ * 10))
+    val even = rows.map(_.getDouble(1))
+    val odd = rows.map(_.getDouble(2))
+    assert(even.zip(even.tail).forall { case (a, b) => a <= b })
+    assert(odd.zip(odd.tail).forall { case (a, b) => a <= b })
+    for (r <- rows)
+      assert(math.abs(r.getDouble(3) - (r.getDouble(2) - r.getDouble(1)))
+        < 2e-6, "gap consistency")
+  }
+
+  test("g80 balance laws: shares partition the corpus, imbalance >= 1") {
+    val rows = SparkEntry.queries("g80_cluster_balance")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === sources.Tables.embeddings(spark, sfDir).count(),
+      "every vector is assigned exactly once")
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+    val imb = rows.map(_.getLong(3)).distinct
+    assert(imb.length == 1 && imb.head >= 1000000L,
+      "one global imbalance, max/min >= 1")
+  }
+
   test("g79 incremental-minhash laws: split respected, agreement bounded") {
     val rows = SparkEntry.queries("g79_incremental_minhash")(spark, sfDir)
       .collect()

@@ -1282,7 +1282,40 @@ object EventTime {
       .orderBy($"day")
   }
 
+  // h30 — DEBOUNCE: flag repeat events of the same (user, type) arriving
+  // within 5 minutes of the previous one (double-click suppression /
+  // at-least-once-delivery cleanup — the ingest-side dedup h3's
+  // sessionizer assumes already happened). Every event is emitted with
+  // its verdict, so the downstream choice (drop vs weight) stays with
+  // the caller; gaps are exact µs integers off the normalized clock and
+  // the lag window is tie-broken by event_id for identical stamps.
+  // Shape at scale: one shuffle on the (user, type) key — the same
+  // high-cardinality partitioning every h-operator rides; state per key
+  // is one timestamp (the streaming twin of this is a trivial
+  // mapGroupsWithState).
+  private val h30 = graded(
+    "h30_debounce",
+    """WITH g AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_id, user_id, event_type, gap_us,
+      |  (gap_us IS NULL OR gap_us > 300000000) AS kept
+      |FROM g ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+    Tables.eventsUs(spark, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("gap_us", ($"us" - lag($"us", 1).over(w)).cast("bigint"))
+      .select($"event_id", $"user_id", $"event_type", $"gap_us",
+        ($"gap_us".isNull || $"gap_us" > 300000000L).as("kept"))
+      .orderBy($"event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29)
+    h26, h27, h28, h29, h30)
 }

@@ -814,6 +814,53 @@ object Reports {
       .orderBy($"col")
   }
 
+  // r15 — KPI SNAPSHOT: the one-row executive header every dashboard
+  // opens with, drawn from FOUR tables in one query (orders revenue +
+  // order/customer counts, corpus size + exact-duplicate ppm, event
+  // volume). Each table reduces independently to a 1-row aggregate —
+  // exact cents / exact counts — and the snapshots cross-join
+  // (allowlisted 1-row BNLJs). At 100 TB each reduce is one partial+
+  // final aggregate over its own table; nothing joins at row grain.
+  private val r15 = graded(
+    "r15_kpi_snapshot",
+    """WITH o AS (
+      |  SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+      |      AS revenue_cents,
+      |    count(*)::BIGINT AS n_orders,
+      |    count(DISTINCT o_custkey)::BIGINT AS n_buyers
+      |  FROM orders),
+      |d AS (
+      |  SELECT count(*)::BIGINT AS n_docs,
+      |    (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+      |  FROM documents),
+      |e AS (SELECT count(*)::BIGINT AS n_events,
+      |        count(DISTINCT user_id)::BIGINT AS n_users FROM events)
+      |SELECT o.revenue_cents, o.n_orders, o.n_buyers,
+      |  d.n_docs, d.n_dup_docs,
+      |  (d.n_dup_docs * 1000000 // d.n_docs)::BIGINT AS dup_ppm,
+      |  e.n_events, e.n_users
+      |FROM o CROSS JOIN d CROSS JOIN e""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+          .cast("bigint").as("revenue_cents"),
+        count(lit(1)).cast("bigint").as("n_orders"),
+        countDistinct($"o_custkey").cast("bigint").as("n_buyers"))
+    val d = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        (count(lit(1)) - countDistinct(md5($"text"))).cast("bigint")
+          .as("n_dup_docs"))
+    val e = Tables.eventsUs(spark, dir)
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        countDistinct($"user_id").cast("bigint").as("n_users"))
+    o.crossJoin(d).crossJoin(e)
+      .select($"revenue_cents", $"n_orders", $"n_buyers", $"n_docs",
+        $"n_dup_docs",
+        expr("(n_dup_docs * 1000000) div n_docs").cast("bigint")
+          .as("dup_ppm"),
+        $"n_events", $"n_users")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12, r13, r14)
+    r12, r13, r14, r15)
 }

@@ -367,6 +367,33 @@ object Windows {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  // e15 — RATIO_TO_REPORT: each row's share of its partition total (the
+  // Oracle/Redshift-named window idiom, here as the exact-ppm integer
+  // quotient this engine grades shares with — no float division rides
+  // the window). The whole-partition sum is an unbounded window frame
+  // over the mktsegment partition; Spark plans it as a single
+  // WindowExec pass after one segment-key shuffle, no self-join.
+  private val e15 = graded(
+    "e15_win_ratio_report",
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+      |  (CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000
+      |    // sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+      |      OVER (PARTITION BY c_mktsegment))::BIGINT AS share_ppm
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        round($"c_acctbal" * 100, 0).cast("bigint").as("bal_cents"))
+      .withColumn("seg_total", sum($"bal_cents").over(w))
+      .withColumn("share_ppm",
+        expr("(bal_cents * 1000000) div seg_total").cast("bigint"))
+      .drop("seg_total")
+      .orderBy($"c_custkey")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15)
 }

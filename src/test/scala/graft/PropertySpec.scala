@@ -784,6 +784,43 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("e15 ratio-to-report laws: segment shares sum to ~1e6") {
+    val rows = SparkEntry.queries("e15_win_ratio_report")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_.getString(1))
+    for ((seg, rs) <- bySeg) {
+      val sum = rs.map(_.getLong(3)).sum
+      // truncating quotients: sum within [1e6 - n, 1e6 + n] (negative
+      // balances truncate toward zero, so slight overshoot is possible)
+      assert(math.abs(sum - 1000000L) <= rs.length,
+        s"segment $seg shares sum to $sum")
+    }
+  }
+
+  test("h30 debounce laws: firsts kept, gap/verdict consistent") {
+    val rows = SparkEntry.queries("h30_debounce")(spark, sfDir).collect()
+    assert(rows.length == sources.Tables.eventsUs(spark, sfDir).count(),
+      "every event is emitted with a verdict")
+    var kept = 0
+    for (r <- rows) {
+      val gap = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(r.getBoolean(4) == gap.forall(_ > 300000000L))
+      if (r.getBoolean(4)) kept += 1
+    }
+    assert(kept > 0, "at least the first event per key survives")
+  }
+
+  test("r15 KPI laws: counts positive, dup ppm quotient exact") {
+    val r = SparkEntry.queries("r15_kpi_snapshot")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0 && row.getLong(6) > 0)
+    assert(row.getLong(2) <= row.getLong(1), "buyers <= orders")
+    assert(row.getLong(4) <= row.getLong(3), "dups <= docs")
+    assert(row.getLong(5) == row.getLong(4) * 1000000L / row.getLong(3))
+  }
+
   test("d38 QQ laws: deciles 10..90, each side monotone non-decreasing") {
     val rows = SparkEntry.queries("d38_qq_deciles")(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 9).map(_ * 10))

@@ -255,4 +255,40 @@ object StreamingJobs {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
   }
+
+  /** Per-event debounce verdict for [[debounceMonitor]]. */
+  final case class DebounceVerdict(event_id: Long, kept: Boolean)
+
+  /** Streaming twin of the graded batch h30_debounce: per (user, type)
+    * key the state is ONE timestamp (the previous event's µs order key),
+    * each arriving event is flagged kept iff it is the key's first or
+    * arrives > 5 min after the previous one. Rows replay in event-time
+    * order inside the call ([[maxGapMonitor]]'s rule) and the state
+    * carries the last event across micro-batches, so a repeat that
+    * straddles a batch boundary is still suppressed — `StreamingSpec`
+    * asserts stream ≡ batch verdict-for-verdict.
+    */
+  def debounceMonitor(events: DataFrame): Dataset[DebounceVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        expr("ts div 1000").as[Long], col("event_id").as[Long])
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val ordered = rows.toArray.sortBy(r => (r._3, r._4))
+          var (lastUs, lastId) =
+            state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = ordered.map { case (_, _, us, id) =>
+            val kept = lastUs == Long.MinValue || us - lastUs > 300000000L
+            lastUs = us; lastId = id
+            DebounceVerdict(id, kept)
+          }
+          state.update((lastUs, lastId))
+          out.iterator
+      }
+  }
 }

@@ -152,6 +152,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful debounce verdicts equal batch h30 on the full stream") {
+    val stream = StreamingJobs.readEvents(spark, sfDir)
+    runToMemory(StreamingJobs.debounceMonitor(stream).toDF(), "h4_debounce",
+      "append")
+    val streamed = spark.table("h4_debounce")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batch = SparkEntry.queries("h30_debounce")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch, "per-event verdicts must agree")
+  }
+
   test("streaming seasonal-profile cells equal batch h24 counts") {
     val stream = StreamingJobs.readEvents(spark, sfDir)
     runToMemory(StreamingJobs.seasonalProfile(stream), "h24_stream", "complete")

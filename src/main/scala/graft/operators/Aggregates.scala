@@ -1564,7 +1564,70 @@ object Aggregates {
       .orderBy($"decile")
   }
 
+  // d39 — WALD–WOLFOWITZ RUNS TEST on the signs of day-over-day revenue
+  // changes (the randomness audit that pairs with d35: autocorrelation
+  // asks "how much does yesterday predict today", the runs test asks
+  // "is the up/down sequence even random?"). The sign sequence comes
+  // from exact cents differences over the calendar-lag-1 equi-join
+  // (d35's machinery — no global window over the fact table); a RUN
+  // boundary is a sign change between calendar-consecutive pairs,
+  // counted exactly; zero-change days are excluded (the classical
+  // treatment). Only the final z is floating point (one fixed IEEE
+  // tree over exact integers, d31's rule).
+  private val d39 = graded(
+    "d39_runs_test",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS r
+      |  FROM orders GROUP BY 1),
+      |chg AS (
+      |  SELECT a.d, CASE WHEN a.r > b.r THEN 1 ELSE -1 END AS sgn
+      |  FROM daily a JOIN daily b ON a.d = b.d + 1
+      |  WHERE a.r <> b.r),
+      |pairs AS (
+      |  SELECT a.sgn AS s1, b.sgn AS s2
+      |  FROM chg a JOIN chg b ON a.d = b.d + 1),
+      |t AS (
+      |  SELECT (SELECT count(*) FROM chg WHERE sgn = 1)::BIGINT AS np,
+      |    (SELECT count(*) FROM chg WHERE sgn = -1)::BIGINT AS nm,
+      |    (SELECT count(*) FROM pairs WHERE s1 <> s2)::BIGINT AS breaks)
+      |SELECT np, nm, (breaks + 1)::BIGINT AS n_runs,
+      |  round(1.0 + 2.0 * np * nm / (np + nm), 6) AS expected_runs,
+      |  round(((breaks + 1)::DOUBLE
+      |      - (1.0 + 2.0 * np * nm / (np + nm)))
+      |    / sqrt(2.0 * np * nm * (2.0 * np * nm - np - nm)
+      |      / ((np + nm) * (np + nm) * (np + nm - 1))), 6) AS z
+      |FROM t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+        .cast("bigint").as("r"))
+    val prev = daily.select(date_add($"d", 1).as("d"), $"r".as("rp"))
+    val chg = daily.join(prev, "d")
+      .where($"r" =!= $"rp")
+      .select($"d", when($"r" > $"rp", 1).otherwise(-1).as("sgn"))
+    val chgPrev = chg.select(date_add($"d", 1).as("d"), $"sgn".as("sp"))
+    val breaks = chg.join(chgPrev, "d")
+      .agg(sum(when($"sgn" =!= $"sp", 1).otherwise(0)).cast("bigint")
+        .as("breaks"))
+    val counts = chg.agg(
+      sum(when($"sgn" === 1, 1).otherwise(0)).cast("bigint").as("np"),
+      sum(when($"sgn" === -1, 1).otherwise(0)).cast("bigint").as("nm"))
+    counts.crossJoin(broadcast(breaks))
+      .select($"np", $"nm", ($"breaks" + 1).cast("bigint").as("n_runs"),
+        round(lit(1.0) + lit(2.0) * $"np" * $"nm" / ($"np" + $"nm"), 6)
+          .as("expected_runs"),
+        round((($"breaks" + 1).cast("double")
+            - (lit(1.0) + lit(2.0) * $"np" * $"nm" / ($"np" + $"nm")))
+          / sqrt(lit(2.0) * $"np" * $"nm"
+              * (lit(2.0) * $"np" * $"nm" - $"np" - $"nm")
+            / (($"np" + $"nm") * ($"np" + $"nm") * ($"np" + $"nm" - 1))), 6)
+          .as("z"))
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38)
+    d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
+    d39)
 }

@@ -784,6 +784,16 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("d39 runs laws: run count within [1, n], expectation formula") {
+    val r = SparkEntry.queries("d39_runs_test")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (np, nm, runs) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(np > 0 && nm > 0)
+    assert(runs >= 1 && runs <= np + nm, "runs bounded by sequence length")
+    val expected = 1.0 + 2.0 * np * nm / (np + nm).toDouble
+    assert(math.abs(r(0).getDouble(3) - expected) < 1e-5)
+  }
+
   test("e15 ratio-to-report laws: segment shares sum to ~1e6") {
     val rows = SparkEntry.queries("e15_win_ratio_report")(spark, sfDir)
       .collect()

@@ -861,6 +861,74 @@ object Reports {
         $"n_events", $"n_users")
   }
 
+  // r16 — JOIN CARDINALITY ESTIMATE vs ACTUAL (the System-R textbook
+  // formula |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B) audited against the
+  // true join count for three fact-dimension joins — the number a
+  // cost-based optimizer bets on, and r12's skew report explains when
+  // it lies). All counts exact; the estimate uses integer division and
+  // the q-error is the standard max/min ratio in exact ppm. At 100 TB
+  // the stats side IS what ANALYZE computes (one pass per table); the
+  // actual side is the audit — run on samples in production, the
+  // formula's inputs don't change shape.
+  private val r16 = graded(
+    "r16_join_cardinality", {
+      def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+        s"""SELECT '$name' AS join_name,
+           |  ls.n AS n_left, rs.n AS n_right,
+           |  ls.d AS ndv_left, rs.d AS ndv_right,
+           |  (ls.n * rs.n // (CASE WHEN ls.d > rs.d THEN ls.d ELSE rs.d
+           |    END))::BIGINT AS est_rows,
+           |  (SELECT count(*) FROM $lt JOIN $rt ON $lk = $rk)::BIGINT
+           |    AS actual_rows
+           |FROM (SELECT count(*)::BIGINT AS n,
+           |    count(DISTINCT $lk)::BIGINT AS d FROM $lt) ls
+           |CROSS JOIN (SELECT count(*)::BIGINT AS n,
+           |    count(DISTINCT $rk)::BIGINT AS d FROM $rt) rs""".stripMargin
+      s"""WITH base AS (
+         |${Seq(
+          one("lineitem_orders", "lineitem", "l_orderkey", "orders",
+            "o_orderkey"),
+          one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+          one("lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+            "s_suppkey")).mkString("", "\nUNION ALL\n", ")")}
+         |SELECT join_name, n_left, n_right, ndv_left, ndv_right, est_rows,
+         |  actual_rows,
+         |  ((CASE WHEN est_rows > actual_rows THEN est_rows
+         |     ELSE actual_rows END) * 1000000
+         |   // (CASE WHEN est_rows < actual_rows THEN est_rows
+         |     ELSE actual_rows END))::BIGINT AS q_error_ppm
+         |FROM base ORDER BY join_name""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    def one(name: String, lt: org.apache.spark.sql.DataFrame, lk: String,
+        rt: org.apache.spark.sql.DataFrame, rk: String) = {
+      val ls = lt.agg(count(lit(1)).cast("bigint").as("n_left"),
+        countDistinct(col(lk)).cast("bigint").as("ndv_left"))
+      val rs = rt.agg(count(lit(1)).cast("bigint").as("n_right"),
+        countDistinct(col(rk)).cast("bigint").as("ndv_right"))
+      val act = lt.join(rt, col(lk) === col(rk))
+        .agg(count(lit(1)).cast("bigint").as("actual_rows"))
+      ls.crossJoin(broadcast(rs)).crossJoin(broadcast(act))
+        .select(lit(name).as("join_name"), $"n_left", $"n_right",
+          $"ndv_left", $"ndv_right",
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+            .cast("bigint").as("est_rows"),
+          $"actual_rows")
+    }
+    val li = Tables.lineitem(spark, dir)
+    val base = one("lineitem_orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(one("lineitem_part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(one("lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+    base.select($"join_name", $"n_left", $"n_right", $"ndv_left",
+        $"ndv_right", $"est_rows", $"actual_rows",
+        expr("(greatest(est_rows, actual_rows) * 1000000) div least(est_rows, actual_rows)")
+          .cast("bigint").as("q_error_ppm"))
+      .orderBy($"join_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12, r13, r14, r15)
+    r12, r13, r14, r15, r16)
 }

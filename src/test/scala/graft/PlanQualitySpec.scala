@@ -49,7 +49,8 @@ class PlanQualitySpec extends SparkSpec {
     "d37_median_of_means", // two 1-row reduces of the 32-shard table crossed
     "g80_cluster_balance", // K-row sizes crossing their own 1-row min/max
     "r15_kpi_snapshot", // four per-table 1-row snapshots crossed
-    "d39_runs_test") // 1-row sign counts crossing the 1-row break count
+    "d39_runs_test", // 1-row sign counts crossing the 1-row break count
+    "r16_join_cardinality") // per-join 1-row stats/actual reduces crossed
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -784,6 +784,22 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("r16 cardinality laws: q-error >= 1, FK estimate exact for orders") {
+    val rows = SparkEntry.queries("r16_join_cardinality")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      assert(r.getLong(5) >= 1 && r.getLong(6) >= 1)
+      assert(r.getLong(7) >= 1000000L, "q-error is a max/min ratio")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+    }
+    // lineitem→orders is a complete FK: every lineitem matches exactly
+    // one order, so the System-R estimate is EXACT (q-error == 1e6)
+    val fk = rows.find(_.getString(0) == "lineitem_orders").get
+    assert(fk.getLong(7) === 1000000L,
+      "complete-FK join estimate must be exact")
+  }
+
   test("d39 runs laws: run count within [1, n], expectation formula") {
     val r = SparkEntry.queries("d39_runs_test")(spark, sfDir).collect()
     assert(r.length == 1)

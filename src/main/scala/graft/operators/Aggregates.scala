@@ -1626,8 +1626,58 @@ object Aggregates {
           .as("z"))
   }
 
+  // d40 — THEIL INDEX + MEAN LOG DEVIATION of per-customer spend within
+  // each market segment (the DECOMPOSABLE inequality measures g65's Gini
+  // is not: Theil T splits exactly into within/between-group terms, so a
+  // 100 TB mix report can attribute inequality to segments). Spend is
+  // the exact-cents per-customer sum; the only floats are the ≤|segment|
+  // log terms (x/μ from exact ints), summed and rounded 6 (d33's
+  // discipline). Customers with zero spend are excluded (ln 0): stated
+  // in both engines identically. Two shuffles: custkey agg, then
+  // segment agg with the 1-row-per-segment mean broadcast back.
+  private val d40 = graded(
+    "d40_theil_inequality",
+    """WITH spend AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_custkey,
+      |    sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))::BIGINT AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT seg, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+      |      FROM spend WHERE x > 0 GROUP BY seg)
+      |SELECT m.seg, m.n,
+      |  round(sum((s.x::DOUBLE / m.sx::DOUBLE)
+      |    * ln(s.x::DOUBLE * m.n::DOUBLE / m.sx::DOUBLE)), 6) AS theil_t,
+      |  round(sum(ln(m.sx::DOUBLE / (s.x::DOUBLE * m.n::DOUBLE)))
+      |    / m.n::DOUBLE, 6) AS mld
+      |FROM spend s JOIN m ON s.seg = m.seg
+      |WHERE s.x > 0
+      |GROUP BY m.seg, m.n, m.sx
+      |ORDER BY m.seg""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+        .cast("bigint").as("x"))
+      .where($"x" > 0)
+    val m = spend.groupBy($"seg")
+      .agg(count(lit(1)).cast("bigint").as("n"), sum($"x").cast("bigint").as("sx"))
+    spend.join(broadcast(m), "seg")
+      .groupBy($"seg", $"n", $"sx")
+      .agg(
+        round(sum(($"x".cast("double") / $"sx".cast("double"))
+          * log($"x".cast("double") * $"n".cast("double")
+            / $"sx".cast("double"))), 6).as("theil_t"),
+        round(sum(log($"sx".cast("double")
+            / ($"x".cast("double") * $"n".cast("double"))))
+          / $"n".cast("double"), 6).as("mld"))
+      .select($"seg", $"n", $"theil_t", $"mld")
+      .orderBy($"seg")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39)
+    d39, d40)
 }

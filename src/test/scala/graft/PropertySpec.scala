@@ -784,6 +784,20 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("d40 inequality laws: Theil and MLD non-negative, MLD >= 0 <= T bound") {
+    val rows = SparkEntry.queries("d40_theil_inequality")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, t, mld) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 1)
+      // Jensen: both indices are >= 0, = 0 iff all spends equal
+      assert(t >= -1e-9, s"Theil negative: $t")
+      assert(mld >= -1e-9, s"MLD negative: $mld")
+      assert(t <= math.log(n.toDouble) + 1e-9, "Theil upper bound ln(n)")
+    }
+  }
+
   test("r16 cardinality laws: q-error >= 1, FK estimate exact for orders") {
     val rows = SparkEntry.queries("r16_join_cardinality")(spark, sfDir)
       .collect()

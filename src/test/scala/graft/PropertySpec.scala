@@ -784,6 +784,24 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("a20 overwrite laws: repaired day doubled, all other days intact") {
+    val rows = SparkEntry.queries("a20_dynamic_overwrite")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val raw = sources.Tables.eventsUs(spark, sfDir)
+      .groupBy(date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(rows.keySet === raw.keySet, "no partition lost or invented")
+    val d0 = raw.keys.min
+    for ((day, (n, sv)) <- rows) {
+      assert(n === raw(day)._1, s"$day row count preserved")
+      val expect = if (day == d0) raw(day)._2 * 2 else raw(day)._2
+      assert(math.abs(sv - expect) < 0.02, s"$day sum (repair only at $d0)")
+    }
+  }
+
   test("d40 inequality laws: Theil and MLD non-negative, MLD >= 0 <= T bound") {
     val rows = SparkEntry.queries("d40_theil_inequality")(spark, sfDir)
       .collect()

@@ -565,6 +565,36 @@ object SortSetScalar {
       .orderBy("vec_id")
   }
 
+  // f21 — VARIANT semi-structured path (Spark 4's VARIANT type: parse
+  // once into the binary variant encoding, then typed `variant_get`
+  // extraction — the modern replacement for per-access JSON string
+  // re-parsing, which is how a 100 TB props column should be stored;
+  // b3 grades the string-path twin). The variant column itself never
+  // leaves the query (not a gradable output type): it feeds a typed
+  // aggregate per event type. DuckDB has no variant — the oracle speaks
+  // its native JSON reader, which is exactly the cross-engine claim:
+  // same values, different encodings.
+  private val f21 = graded(
+    "f21_variant_funcs",
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+      |  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+      |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    Tables.apply(spark, dir, "events")
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min($"k").cast("bigint").as("min_k"),
+        max($"k").cast("bigint").as("max_k"),
+        sum($"k").cast("bigint").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16, f17, f18, f19, f20)
+    f11, f12, f13, f14, f15, f16, f17, f18, f19, f20, f21)
 }

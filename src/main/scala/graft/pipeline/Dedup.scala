@@ -1139,6 +1139,72 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // g81 — NEAR-DUP GRAPH DEGREE DISTRIBUTION (the graph-shape question
+  // that decides the dedup strategy BEFORE g40's components run: a heavy
+  // degree tail means big cliques — cluster-and-keep-one; scattered
+  // degree-1 pairs mean pairwise survivorship is enough. g22 profiles
+  // the exact-dup clusters; this profiles the ≥0.9-Jaccard NEAR-dup
+  // graph, g2's edges). Degree counts both directions of each pair;
+  // degree-0 mass is recovered from the 1-row corpus total (allowlisted
+  // cross). All exact integers. Shape at scale: g2's banded pair join +
+  // two bounded-key aggregates — the histogram domain is the max
+  // degree, not the corpus.
+  private val g81 = graded(
+    "g81_dup_degree_dist",
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.tk, b.tk))::DOUBLE /
+      |      len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE AS jac
+      |    FROM toks a JOIN toks b
+      |      ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150) p
+      |  WHERE jac >= 0.9),
+      |deg AS (
+      |  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+      |    SELECT doc_a AS doc_id FROM pairs
+      |    UNION ALL SELECT doc_b FROM pairs) u
+      |  GROUP BY doc_id),
+      |h AS (SELECT degree, count(*)::BIGINT AS n_docs FROM deg
+      |      GROUP BY degree),
+      |t AS (SELECT count(*)::BIGINT AS total FROM documents)
+      |SELECT degree, n_docs FROM h
+      |UNION ALL
+      |SELECT 0::BIGINT,
+      |  (t.total - coalesce((SELECT sum(n_docs) FROM h), 0))::BIGINT
+      |FROM t
+      |ORDER BY degree""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", sort_array(array_distinct(
+        expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
+      .persist()
+    val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
+    val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    val pairs = Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
+        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
+      .where($"inter" / (size($"tk_a") + size($"tk_b") - $"inter") >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val deg = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).cast("bigint").as("degree"))
+    val h = deg.groupBy($"degree")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val t = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("bigint").as("total"))
+    val covered = h.agg(coalesce(sum($"n_docs"), lit(0L)).as("cov"))
+    val zeroRow = t.crossJoin(broadcast(covered))
+      .select(lit(0L).as("degree"), ($"total" - $"cov").cast("bigint")
+        .as("n_docs"))
+    h.unionByName(zeroRow).orderBy($"degree")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81)
 }

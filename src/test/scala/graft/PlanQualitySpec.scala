@@ -50,7 +50,8 @@ class PlanQualitySpec extends SparkSpec {
     "g80_cluster_balance", // K-row sizes crossing their own 1-row min/max
     "r15_kpi_snapshot", // four per-table 1-row snapshots crossed
     "d39_runs_test", // 1-row sign counts crossing the 1-row break count
-    "r16_join_cardinality") // per-join 1-row stats/actual reduces crossed
+    "r16_join_cardinality", // per-join 1-row stats/actual reduces crossed
+    "g81_dup_degree_dist") // 1-row total × 1-row covered for the 0-degree row
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

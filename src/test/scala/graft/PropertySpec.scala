@@ -784,6 +784,30 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("g81 degree laws: histogram mass equals corpus, handshake identity") {
+    val rows = SparkEntry.queries("g81_dup_degree_dist")(spark, sfDir)
+      .collect()
+    val total = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === total,
+      "degree histogram partitions the corpus")
+    // handshake lemma: sum of degrees = 2 × edge count (g2's pairs)
+    val degreeMass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val edges = SparkEntry.queries("g2_neardup_jaccard")(spark, sfDir).count()
+    assert(degreeMass === 2 * edges, "sum(degree) = 2·|E|")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("f21 variant laws: typed extraction agrees with the string path") {
+    val v = SparkEntry.queries("f21_variant_funcs")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val s = SparkEntry.queries("b3_json_extract")(spark, sfDir)
+      .join(sources.Tables(spark, sfDir, "events").select("event_id",
+        "event_type"), "event_id")
+      .groupBy("event_type").agg(sum("k").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === s, "variant_get sums equal get_json_object sums")
+  }
+
   test("a20 overwrite laws: repaired day doubled, all other days intact") {
     val rows = SparkEntry.queries("a20_dynamic_overwrite")(spark, sfDir)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))

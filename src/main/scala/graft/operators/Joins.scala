@@ -767,6 +767,67 @@ object Joins {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  // c21 — SPATIAL RADIUS SELF-JOIN by grid bucketing: the standard
+  // distributed spatial-join shape (geohash/S2-style) on a plane of
+  // points derived deterministically from the supplier table — "all
+  // supplier pairs within radius R" (R = 100k on the 1M plane). One side explodes into its cell
+  // plus the 8 neighbors (every within-R pair must share one of those
+  // cells when the cell edge ≥ R — the 2-D pigeonhole), the candidate
+  // join is a hash join on the cell key, and the EXACT integer squared
+  // distance verifies. No haversine floats anywhere: coordinates and
+  // distances are exact integers, so no engine-ulp boundary flip can
+  // change the row set (the same reason g2 hashes tokens injectively).
+  // At 100 TB this is a shuffle on cell keys with density-bounded
+  // buckets — the spatial twin of every LSH family here.
+  private val c21 = graded(
+    "c21_join_spatial_grid", {
+      val hx = graft.pipeline.Dedup.duckHex8At("md5(s_suppkey::VARCHAR)", 1)
+      val hy = graft.pipeline.Dedup.duckHex8At("md5(s_suppkey::VARCHAR)", 9)
+      s"""WITH pts AS (
+      |  SELECT s_suppkey AS id, ($hx % 1000000)::BIGINT AS x,
+      |    ($hy % 1000000)::BIGINT AS y
+      |  FROM supplier),
+      |cells AS (
+      |  SELECT id, x, y, (x // 100000 + dx) AS cx, (y // 100000 + dy) AS cy
+      |  FROM pts,
+      |    (SELECT unnest([-1, 0, 1]) AS dx) a,
+      |    (SELECT unnest([-1, 0, 1]) AS dy) b),
+      |base AS (SELECT id, x, y, x // 100000 AS cx, y // 100000 AS cy FROM pts)
+      |SELECT DISTINCT c.id AS id_a, p.id AS id_b,
+      |  ((c.x - p.x) * (c.x - p.x) + (c.y - p.y) * (c.y - p.y))::BIGINT
+      |    AS dist2
+      |FROM cells c JOIN base p ON c.cx = p.cx AND c.cy = p.cy
+      |  AND c.id < p.id
+      |WHERE (c.x - p.x) * (c.x - p.x) + (c.y - p.y) * (c.y - p.y)
+      |  <= 10000000000
+      |ORDER BY id_a, id_b""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val pts = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("id"),
+        (conv(substring(md5($"s_suppkey".cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 1000000L).as("x"),
+        (conv(substring(md5($"s_suppkey".cast("string")), 9, 8), 16, 10)
+          .cast("bigint") % 1000000L).as("y"))
+    val cells = pts
+      .crossJoin(broadcast(Seq(-1L, 0L, 1L).toDF("dx")))
+      .crossJoin(broadcast(Seq(-1L, 0L, 1L).toDF("dy")))
+      .select($"id", $"x", $"y",
+        (expr("x div 100000") + $"dx").as("cx"),
+        (expr("y div 100000") + $"dy").as("cy"))
+    val base = pts.select($"id".as("id_b"), $"x".as("xb"), $"y".as("yb"),
+      expr("x div 100000").as("cx"), expr("y div 100000").as("cy"))
+    cells.join(base, Seq("cx", "cy"))
+      .where($"id" < $"id_b")
+      .withColumn("dist2",
+        (($"x" - $"xb") * ($"x" - $"xb")
+          + ($"y" - $"yb") * ($"y" - $"yb")).cast("bigint"))
+      .where($"dist2" <= 10000000000L)
+      .select($"id".as("id_a"), $"id_b", $"dist2")
+      .distinct()
+      .orderBy($"id_a", $"id_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15, c16, c17, c18, c19, c20)
+    c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21)
 }

@@ -784,6 +784,26 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("c21 spatial-grid law: equals the brute-force radius join exactly") {
+    val grid = SparkEntry.queries("c21_join_spatial_grid")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same deterministic points (n is tiny at the
+    // spec sf, so the cross join is a test-only oracle, never a plan)
+    val pts = sources.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("id"),
+        (conv(substring(md5(col("s_suppkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L).as("x"),
+        (conv(substring(md5(col("s_suppkey").cast("string")), 9, 8), 16, 10)
+          .cast("long") % 1000000L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 10000000000L
+    } yield (ia, ib, d2)).toSet
+    assert(grid === brute, "grid candidates must lose no within-R pair")
+  }
+
   test("g81 degree laws: histogram mass equals corpus, handshake identity") {
     val rows = SparkEntry.queries("g81_dup_degree_dist")(spark, sfDir)
       .collect()

@@ -595,6 +595,56 @@ object SortSetScalar {
       .orderBy($"event_type")
   }
 
+  // f22 — SKYLINE / PARETO-DOMINANCE: parts no other part beats on BOTH
+  // (price low, size high) — the multi-criteria shortlist operator
+  // (dominance, not ranking: f1's top-k needs a single score; the
+  // skyline needs none). The oracle states dominance DECLARATIVELY
+  // (NOT EXISTS a dominator) — an independent formulation that cannot
+  // inherit the implementation's bugs; the engine computes it as the
+  // O(n log n) sweep: sorted by price, a part is dominated iff some
+  // strictly-cheaper part has size ≥ its own, or a same-price part has
+  // size strictly greater. The sweep's running max runs BANDED (price-
+  // band-local RANGE windows + tiny per-band carry-in prefix max —
+  // d22/d25's two-pass pattern), never as one global single-partition
+  // sort. Exact cents/int sizes — no float boundary.
+  private val f22 = graded(
+    "f22_skyline_pareto",
+    """WITH v AS (
+      |  SELECT p_partkey AS pk,
+      |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc,
+      |    p_size::INT AS sz
+      |  FROM part)
+      |SELECT pk, pc, sz FROM v a
+      |WHERE NOT EXISTS (SELECT 1 FROM v b
+      |  WHERE b.pc <= a.pc AND b.sz >= a.sz
+      |    AND (b.pc < a.pc OR b.sz > a.sz))
+      |ORDER BY pk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.part(spark, dir)
+      .select($"p_partkey".as("pk"),
+        round($"p_retailprice" * 100, 0).cast("bigint").as("pc"),
+        $"p_size".cast("int").as("sz"))
+      .withColumn("band", expr("pc div 50").cast("bigint"))
+    val wCheaper = Window.partitionBy($"band").orderBy($"pc")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy($"band").orderBy($"pc")
+      .rangeBetween(0, 0)
+    val wBands = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = v.groupBy($"band").agg(max($"sz").as("bmax"))
+      .withColumn("carry", max($"bmax").over(wBands))
+      .select($"band", $"carry")
+    v.withColumn("localCheaper", max($"sz").over(wCheaper))
+      .withColumn("sameMax", max($"sz").over(wSame))
+      .join(broadcast(carry), "band")
+      .withColumn("cheaperMax",
+        greatest(coalesce($"localCheaper", lit(Int.MinValue)),
+          coalesce($"carry", lit(Int.MinValue))))
+      .where(!($"cheaperMax" >= $"sz" || $"sameMax" > $"sz"))
+      .select($"pk", $"pc", $"sz")
+      .orderBy($"pk")
+  }
+
   val defs: Seq[QueryDef] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10,
-    f11, f12, f13, f14, f15, f16, f17, f18, f19, f20, f21)
+    f11, f12, f13, f14, f15, f16, f17, f18, f19, f20, f21, f22)
 }

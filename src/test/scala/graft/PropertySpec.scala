@@ -784,6 +784,23 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("f22 skyline laws: mutual non-dominance, nothing outside dominates") {
+    val sky = SparkEntry.queries("f22_skyline_pareto")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, Int), b: (Long, Int)) =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    for (a <- sky; b <- sky if a != b)
+      assert(!dominates(a, b), s"$a dominates skyline member $b")
+    val all = sources.Tables.part(spark, sfDir)
+      .select(round(col("p_retailprice") * 100, 0).cast("long"),
+        col("p_size").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    for (p <- all)
+      assert(sky.exists(s => s == p || dominates(s, p)),
+        s"point $p neither on skyline nor dominated by it")
+  }
+
   test("c21 spatial-grid law: equals the brute-force radius join exactly") {
     val grid = SparkEntry.queries("c21_join_spatial_grid")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -749,7 +749,101 @@ object Curation {
       .limit(20)
   }
 
+  // g82 — QUALITY × NEAR-DUP CROSSTAB: the curation question the two
+  // pipelines exist to answer together — "are the near-duplicates the
+  // low-quality mass, or are we about to dedup away good data?" Joins
+  // g10's quality score (bucketed low/mid/high at 0.4/0.6) against
+  // membership in g2's ≥0.9-Jaccard near-dup pair set; counts + exact
+  // corpus-share ppm per cell. The oracle restates BOTH pipelines in
+  // SQL, so the composition itself is graded, not just the parts.
+  // Shape at scale: g2's banded pair join + one map-side quality pass +
+  // a 6-cell aggregate; the 1-row corpus total crosses (allowlisted).
+  private val g82 = graded(
+    "g82_quality_dup_matrix", {
+      val inList = TextAnalysis.stopSqlIn
+      s"""WITH q AS (
+      |  SELECT doc_id,
+      |    0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+      |    + 0.3 * least(10.0 * len(list_filter(string_split(text, ' '),
+      |        t -> t IN $inList)) / len(string_split(text, ' ')), 1.0)
+      |    + 0.3 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |        / len(string_split(text, ' '))) AS qv
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.tk, b.tk))::DOUBLE /
+      |      len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE AS jac
+      |    FROM toks a JOIN toks b
+      |      ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150) p
+      |  WHERE jac >= 0.9),
+      |dup AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT doc_a AS doc_id FROM pairs
+      |  UNION ALL SELECT doc_b FROM pairs) u),
+      |cells AS (
+      |  SELECT CASE WHEN q.qv < 0.4 THEN 'low'
+      |           WHEN q.qv < 0.6 THEN 'mid' ELSE 'high' END AS bucket,
+      |    (dup.doc_id IS NOT NULL) AS is_neardup,
+      |    count(*)::BIGINT AS n_docs
+      |  FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id
+      |  GROUP BY 1, 2),
+      |t AS (SELECT count(*)::BIGINT AS total FROM documents)
+      |SELECT cells.bucket, cells.is_neardup, cells.n_docs,
+      |  (cells.n_docs * 1000000 // t.total)::BIGINT AS share_ppm
+      |FROM cells CROSS JOIN t
+      |ORDER BY bucket, is_neardup""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val inList = TextAnalysis.stopSqlIn
+    val q = Tables.documentsDist(spark, dir)
+      .withColumn("n_words", size(split($"text", " ")).cast("double"))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN $inList))")
+          .cast("double"))
+      .withColumn("n_uniq",
+        size(array_distinct(split($"text", " "))).cast("double"))
+      .select($"doc_id",
+        (lit(0.4) * least($"n_words" / 50.0, lit(1.0))
+          + lit(0.3) * least(lit(10.0) * $"n_stop" / $"n_words", lit(1.0))
+          + lit(0.3) * ($"n_uniq" / $"n_words")).as("qv"))
+    graft.functions.SortedIntersectSize.register(spark)
+    val toks = Tables.documentsDist(spark, dir)
+      .select($"doc_id", org.apache.spark.sql.functions.sort_array(
+        array_distinct(expr("transform(split(text, ' '), w -> xxhash64(w))")))
+        .as("tk"))
+      .persist()
+    val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
+    val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    val pairs = graft.operators.Banding
+      .bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
+        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
+      .where($"inter" / (size($"tk_a") + size($"tk_b") - $"inter") >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val dup = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+      .withColumn("isdup", lit(true))
+    val cells = q.join(dup, Seq("doc_id"), "left")
+      .select(
+        when($"qv" < 0.4, "low").when($"qv" < 0.6, "mid").otherwise("high")
+          .as("bucket"),
+        coalesce($"isdup", lit(false)).as("is_neardup"))
+      .groupBy($"bucket", $"is_neardup")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val t = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("bigint").as("total"))
+    cells.crossJoin(broadcast(t))
+      .select($"bucket", $"is_neardup", $"n_docs",
+        expr("(n_docs * 1000000) div total").cast("bigint").as("share_ppm"))
+      .orderBy($"bucket", $"is_neardup")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59,
-      g61, g78)
+      g61, g78, g82)
 }

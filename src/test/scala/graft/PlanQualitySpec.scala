@@ -52,7 +52,8 @@ class PlanQualitySpec extends SparkSpec {
     "d39_runs_test", // 1-row sign counts crossing the 1-row break count
     "r16_join_cardinality", // per-join 1-row stats/actual reduces crossed
     "g81_dup_degree_dist", // 1-row total × 1-row covered for the 0-degree row
-    "c21_join_spatial_grid") // two 3-row neighbor-offset dims crossed
+    "c21_join_spatial_grid", // two 3-row neighbor-offset dims crossed
+    "g82_quality_dup_matrix") // 6-cell crosstab crossing the 1-row total
 
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the

@@ -784,6 +784,20 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("g82 crosstab laws: cells partition the corpus, dup mass matches g81") {
+    val rows = SparkEntry.queries("g82_quality_dup_matrix")(spark, sfDir)
+      .collect()
+    val total = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === total, "cells partition the corpus")
+    val dupMass = rows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+    val g81NonZero = SparkEntry.queries("g81_dup_degree_dist")(spark, sfDir)
+      .collect().filter(_.getLong(0) > 0).map(_.getLong(1)).sum
+    assert(dupMass === g81NonZero,
+      "near-dup mass agrees with the degree distribution")
+    assert(rows.map(r => (r.getString(0), r.getBoolean(1))).distinct.length
+      == rows.length)
+  }
+
   test("f22 skyline laws: mutual non-dominance, nothing outside dominates") {
     val sky = SparkEntry.queries("f22_skyline_pareto")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getInt(2)))

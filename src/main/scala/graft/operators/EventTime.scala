@@ -1315,7 +1315,49 @@ object EventTime {
       .orderBy($"event_id")
   }
 
+  // h31 — TIME-WEIGHTED AVERAGE (TWAP): per user, each event's value
+  // holds until the next event, so the average weights each value by
+  // its holding time — the finance/IoT aggregate a plain mean silently
+  // fakes when sampling is irregular (h16's EWMA weights by recency;
+  // this weights by DURATION). The last event has no successor and
+  // drops out (standard TWAP treatment, stated identically in both
+  // engines). Exactness: value in cents × gap in µs is an exact BIGINT
+  // product (≤ 7.8e16, no overflow), summed exactly; ONE double divide
+  // at the end. One (user)-keyed shuffle + one lead window.
+  private val h31 = graded(
+    "h31_twap",
+    """WITH seq AS (
+      |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+      |    epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |w AS (SELECT user_id, vc, (nxt - us)::BIGINT AS dur
+      |      FROM seq WHERE nxt IS NOT NULL)
+      |SELECT user_id, count(*)::BIGINT AS n_held,
+      |  sum(dur)::BIGINT AS held_us,
+      |  round(sum(vc * dur)::DOUBLE / sum(dur)::DOUBLE / 100.0, 6) AS twap,
+      |  round(avg(vc::DOUBLE) / 100.0, 6) AS plain_mean
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.eventsUs(spark, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .select($"user_id", round($"value" * 100, 0).cast("bigint").as("vc"),
+        $"us", lead($"us", 1).over(w).as("nxt"))
+      .where($"nxt".isNotNull)
+      .withColumn("dur", ($"nxt" - $"us").cast("bigint"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_held"),
+        sum($"dur").cast("bigint").as("held_us"),
+        round(sum($"vc" * $"dur").cast("double")
+          / sum($"dur").cast("double") / 100.0, 6).as("twap"),
+        round(avg($"vc".cast("double")) / 100.0, 6).as("plain_mean"))
+      .orderBy($"user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30)
+    h26, h27, h28, h29, h30, h31)
 }

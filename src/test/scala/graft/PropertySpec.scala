@@ -784,6 +784,19 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("h31 TWAP laws: value-range bounded, held time positive") {
+    val rows = SparkEntry.queries("h31_twap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, held) = (r.getLong(1), r.getLong(2))
+      val (twap, mean) = (r.getDouble(3), r.getDouble(4))
+      assert(n >= 1 && held > 0)
+      // a weighted average of observed values stays within their range
+      assert(twap >= 0.0 && twap <= 330.0, s"twap outside value range: $twap")
+      assert(mean >= 0.0 && mean <= 330.0)
+    }
+  }
+
   test("g82 crosstab laws: cells partition the corpus, dup mass matches g81") {
     val rows = SparkEntry.queries("g82_quality_dup_matrix")(spark, sfDir)
       .collect()

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench outputs and flag per-key movers.
+
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [ratio_threshold]
+
+Each input is the two-line Bench output (or just its first line): the
+line whose JSON has "detail":"per_query" carries the per-key seconds.
+Prints keys whose NEW/OLD ratio exceeds the threshold (default 1.5) and
+keys present on only one side, so a round-over-round regression or an
+accidentally dropped key is one command away instead of a by-eye diff
+of 260+ numbers.
+
+Exit code: 0 if nothing flagged, 1 otherwise (usable as a CI gate).
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if d.get("detail") == "per_query":
+                return d["queries"]
+    raise SystemExit(f"{path}: no per_query line found")
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    flagged = False
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        flagged = True
+        print(f"dropped keys ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"new keys ({len(only_new)}): {', '.join(only_new)}")
+    movers = []
+    for k in sorted(set(old) & set(new)):
+        o, n = old[k], new[k]
+        # sub-100ms numbers are scheduling noise at local[32]; skip
+        if o < 0.1 and n < 0.1:
+            continue
+        ratio = n / o if o > 0 else float("inf")
+        if ratio >= thresh:
+            movers.append((ratio, k, o, n))
+    for ratio, k, o, n in sorted(movers, reverse=True):
+        flagged = True
+        print(f"{k:32s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)")
+    tot_o = sum(old.values())
+    tot_n = sum(new.values())
+    print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s "
+          f"({tot_n / tot_o:.2f}x, {len(old)} -> {len(new)} keys)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1676,8 +1676,57 @@ object Aggregates {
       .orderBy($"seg")
   }
 
+  // d41 — HERFINDAHL–HIRSCHMAN CONCENTRATION per nation: is a nation's
+  // order revenue spread across many customers or captured by a few?
+  // (the market-structure companion to d40's inequality indices: HHI is
+  // the regulator's number — Σ share², 1/HHI ≈ effective competitor
+  // count.) Shares come from exact cents; the Σ share² sum is ≤
+  // customers-per-nation doubles of magnitude ≤1 (d33's rounding
+  // discipline), and the effective-n reciprocal is one extra divide.
+  // Two shuffles: custkey spend agg, nation rollup with the per-nation
+  // total broadcast back.
+  private val d41 = graded(
+    "d41_hhi_concentration",
+    """WITH spend AS (
+      |  SELECT c.c_nationkey AS nk, o.o_custkey,
+      |    sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))::BIGINT AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT nk, count(*)::BIGINT AS n_cust, sum(x)::BIGINT AS sx
+      |      FROM spend GROUP BY nk)
+      |SELECT n.n_name, t.n_cust,
+      |  round(sum(pow(s.x::DOUBLE / t.sx::DOUBLE, 2.0)), 6) AS hhi,
+      |  round(1.0 / sum(pow(s.x::DOUBLE / t.sx::DOUBLE, 2.0)), 6)
+      |    AS effective_n
+      |FROM spend s JOIN t ON s.nk = t.nk
+      |JOIN nation n ON n.n_nationkey = s.nk
+      |GROUP BY n.n_name, t.n_cust
+      |ORDER BY n.n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nk"), $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+        .cast("bigint").as("x"))
+    val t = spend.groupBy($"nk")
+      .agg(count(lit(1)).cast("bigint").as("n_cust"),
+        sum($"x").cast("bigint").as("sx"))
+    spend.join(broadcast(t), "nk")
+      .join(broadcast(Tables.nation(spark, dir)), $"n_nationkey" === $"nk")
+      .groupBy($"n_name", $"n_cust")
+      .agg(
+        round(sum(pow($"x".cast("double") / $"sx".cast("double"), 2.0)), 6)
+          .as("hhi"),
+        round(lit(1.0)
+          / sum(pow($"x".cast("double") / $"sx".cast("double"), 2.0)), 6)
+          .as("effective_n"))
+      .select($"n_name", $"n_cust", $"hhi", $"effective_n")
+      .orderBy($"n_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40)
+    d39, d40, d41)
 }

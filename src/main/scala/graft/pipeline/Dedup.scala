@@ -1205,6 +1205,70 @@ object Dedup {
     h.unionByName(zeroRow).orderBy($"degree")
   }
 
+  // g83 — CROSS-SOURCE DUPLICATION FLOW: g2's near-dup pairs rolled up
+  // to (source_a, source_b) — the mirror-site detector ("which sources
+  // republish which?"). Within-source cells measure internal template
+  // repetition; off-diagonal cells are syndication. The source pair is
+  // CANONICALIZED (least, greatest) so A→B and B→A collapse into one
+  // undirected cell; counts exact. Shape at scale: g2's banded pair
+  // join + one broadcast of the doc→source map (at 100 TB: an equi-join
+  // on doc_id, same key the pairs already carry) + a ≤|sources|² cell
+  // aggregate.
+  private val g83 = graded(
+    "g83_source_pair_flow",
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      len(list_intersect(a.tk, b.tk))::DOUBLE /
+      |      len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE AS jac
+      |    FROM toks a JOIN toks b
+      |      ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150) p
+      |  WHERE jac >= 0.9),
+      |f AS (
+      |  SELECT least(sa.source, sb.source) AS source_a,
+      |    greatest(sa.source, sb.source) AS source_b
+      |  FROM pairs
+      |  JOIN documents sa ON sa.doc_id = pairs.doc_a
+      |  JOIN documents sb ON sb.doc_id = pairs.doc_b)
+      |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+      |  (source_a = source_b) AS internal
+      |FROM f GROUP BY source_a, source_b
+      |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val docs = Tables.documentsDist(spark, dir)
+    val toks = docs
+      .select($"doc_id", sort_array(array_distinct(
+        expr("transform(split(text, ' '), w -> xxhash64(w))"))).as("tk"))
+      .persist()
+    val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
+    val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
+    val pairs = Banding.bandedPairs(a, b, "doc_a", "doc_b", 150)
+      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
+        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
+      .where($"inter" / (size($"tk_a") + size($"tk_b") - $"inter") >= 0.9)
+      .select($"doc_a", $"doc_b")
+    val srcMap = docs.select($"doc_id", $"source")
+    pairs
+      .join(broadcast(srcMap.select($"doc_id".as("doc_a"),
+        $"source".as("src_a"))), "doc_a")
+      .join(broadcast(srcMap.select($"doc_id".as("doc_b"),
+        $"source".as("src_b"))), "doc_b")
+      .select(least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .select($"source_a", $"source_b", $"n_pairs",
+        ($"source_a" === $"source_b").as("internal"))
+      .orderBy($"n_pairs".desc, $"source_a", $"source_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83)
 }

@@ -784,6 +784,34 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("g83 flow laws: canonical pairs, total pair mass matches g2") {
+    val rows = SparkEntry.queries("g83_source_pair_flow")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getString(0) <= r.getString(1), "canonical source order")
+      assert(r.getBoolean(3) == (r.getString(0) == r.getString(1)))
+      assert(r.getLong(2) >= 1)
+    }
+    val mass = rows.map(_.getLong(2)).sum
+    val edges = SparkEntry.queries("g2_neardup_jaccard")(spark, sfDir).count()
+    assert(mass === edges, "every near-dup pair lands in exactly one cell")
+  }
+
+  test("d41 HHI laws: bounded in [1/n, 1], effective n within [1, n]") {
+    val rows = SparkEntry.queries("d41_hhi_concentration")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, hhi, eff) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n >= 1)
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"HHI out of [1/n, 1]: $hhi (n=$n)")
+      assert(eff >= 1.0 - 1e-6 && eff <= n + 1e-6)
+      assert(math.abs(eff * hhi - 1.0) < 1e-4, "effective_n = 1/HHI")
+    }
+  }
+
   test("h31 TWAP laws: value-range bounded, held time positive") {
     val rows = SparkEntry.queries("h31_twap")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1357,7 +1357,79 @@ object EventTime {
       .orderBy($"user_id")
   }
 
+  // h32 — MARKOV TRANSITION ENTROPY: per from-state, the entropy of
+  // h20's next-event distribution plus its modal transition — the
+  // PREDICTABILITY summary h20's full matrix answers 25 numbers at a
+  // time ("after an error, what happens next?" becomes one bits figure
+  // per state). Probabilities come from the same exact BIGINT
+  // transition counts; the ≤|types| log terms sum under d33's rounding
+  // discipline; the modal transition tiebreaks (count DESC, type ASC).
+  // Shape at scale: h20's (user)-keyed lag window collapses to a
+  // |types|²-bounded transition table before anything else runs.
+  private val h32 = graded(
+    "h32_markov_entropy",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS prev_type
+      |  FROM events),
+      |p AS (
+      |  SELECT prev_type, event_type, count(*)::BIGINT AS n
+      |  FROM e WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type),
+      |f AS (SELECT prev_type, sum(n)::BIGINT AS n_from,
+      |        count(*)::BIGINT AS n_successors FROM p GROUP BY prev_type),
+      |m AS (
+      |  SELECT prev_type, event_type AS modal_next, n AS modal_n,
+      |    row_number() OVER (PARTITION BY prev_type
+      |      ORDER BY n DESC, event_type) AS rk
+      |  FROM p)
+      |SELECT p.prev_type, f.n_from, f.n_successors,
+      |  round(sum(-(p.n::DOUBLE / f.n_from::DOUBLE)
+      |    * ln(p.n::DOUBLE / f.n_from::DOUBLE) / ln(2.0)), 6)
+      |    AS entropy_bits,
+      |  m.modal_next,
+      |  (m.modal_n * 1000000 // f.n_from)::BIGINT AS modal_ppm
+      |FROM p
+      |JOIN f USING (prev_type)
+      |JOIN m ON m.prev_type = p.prev_type AND m.rk = 1
+      |GROUP BY p.prev_type, f.n_from, f.n_successors, m.modal_next,
+      |  m.modal_n
+      |ORDER BY p.prev_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ln2 = log(lit(2.0))
+    val w = Window.partitionBy($"user_id").orderBy(expr("ts div 1000"),
+      $"event_id")
+    val p = Tables.eventsUs(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", $"ts",
+        lag($"event_type", 1).over(w).as("prev_type"))
+      .where($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val f = p.groupBy($"prev_type")
+      .agg(sum($"n").cast("bigint").as("n_from"),
+        count(lit(1)).cast("bigint").as("n_successors"))
+    val wm = Window.partitionBy($"prev_type").orderBy($"n".desc, $"event_type")
+    val m = p.withColumn("rk", row_number().over(wm))
+      .where($"rk" === 1)
+      .select($"prev_type", $"event_type".as("modal_next"),
+        $"n".as("modal_n"))
+    p.join(broadcast(f), "prev_type")
+      .join(broadcast(m), "prev_type")
+      .groupBy($"prev_type", $"n_from", $"n_successors", $"modal_next",
+        $"modal_n")
+      .agg(round(sum(-($"n".cast("double") / $"n_from".cast("double"))
+        * log($"n".cast("double") / $"n_from".cast("double")) / ln2), 6)
+        .as("entropy_bits"))
+      .select($"prev_type", $"n_from", $"n_successors", $"entropy_bits",
+        $"modal_next",
+        expr("(modal_n * 1000000) div n_from").cast("bigint")
+          .as("modal_ppm"))
+      .orderBy($"prev_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31)
+    h26, h27, h28, h29, h30, h31, h32)
 }

@@ -784,6 +784,22 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("h32 entropy laws: bounded by log2(successors), modal consistency") {
+    val rows = SparkEntry.queries("h32_markov_entropy")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nFrom, nSucc) = (r.getLong(1), r.getLong(2))
+      val h = r.getDouble(3)
+      assert(nSucc >= 1 && nFrom >= nSucc)
+      assert(h >= -1e-9 && h <= math.log(nSucc.toDouble) / math.log(2.0)
+        + 1e-9, s"entropy outside [0, log2($nSucc)]: $h")
+      // the modal transition cannot carry less than the uniform share
+      assert(r.getLong(5) >= 1000000L / nSucc - 1,
+        "modal share below uniform floor")
+    }
+  }
+
   test("g83 flow laws: canonical pairs, total pair mass matches g2") {
     val rows = SparkEntry.queries("g83_source_pair_flow")(spark, sfDir)
       .collect()

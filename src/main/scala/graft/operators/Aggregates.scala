@@ -1725,8 +1725,57 @@ object Aggregates {
       .orderBy($"n_name")
   }
 
+  // d42 — QUANTITY-WEIGHTED CORRELATION between unit price and discount
+  // per return flag (d19's corr treats a 1-unit and a 50-unit line item
+  // as equal evidence; procurement questions weight by volume). The
+  // five weighted sums (Σw, Σwx, Σwy, Σwx², Σwy², Σwxy) accumulate in
+  // HUGEINT/DECIMAL(38,0) — wx² exceeds int64 at corpus scale, and
+  // Spark's non-ANSI bigint arithmetic would wrap silently — then the
+  // exact sums convert to doubles (same value both engines: each is a
+  // single exact integer) and r is one fixed IEEE tree, rounded 6.
+  private val d42 = graded(
+    "d42_weighted_corr",
+    """WITH v AS (
+      |  SELECT l_returnflag AS f, l_quantity::HUGEINT AS w,
+      |    CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS x,
+      |    CAST(round(l_discount * 100, 0) AS HUGEINT) AS y
+      |  FROM lineitem),
+      |s AS (SELECT f, sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+      |        sum(w * x * x) AS swx2, sum(w * y * y) AS swy2,
+      |        sum(w * x * y) AS swxy
+      |      FROM v GROUP BY f)
+      |SELECT f AS l_returnflag, sw::DOUBLE AS total_qty,
+      |  round((sw::DOUBLE * swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE)
+      |    / sqrt((sw::DOUBLE * swx2::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+      |      * (sw::DOUBLE * swy2::DOUBLE - swy::DOUBLE * swy::DOUBLE)),
+      |    6) AS wcorr
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val dec19 = "decimal(19,0)"
+    val v = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("f"),
+        $"l_quantity".cast(dec19).as("w"),
+        round($"l_extendedprice" * 100, 0).cast(dec19).as("x"),
+        round($"l_discount" * 100, 0).cast(dec19).as("y"))
+    v.groupBy($"f")
+      .agg(sum($"w").as("sw"), sum($"w" * $"x").as("swx"),
+        sum($"w" * $"y").as("swy"),
+        sum($"w" * $"x" * $"x").as("swx2"),
+        sum($"w" * $"y" * $"y").as("swy2"),
+        sum($"w" * $"x" * $"y").as("swxy"))
+      .select($"f".as("l_returnflag"), $"sw".cast("double").as("total_qty"),
+        round(($"sw".cast("double") * $"swxy".cast("double")
+            - $"swx".cast("double") * $"swy".cast("double"))
+          / sqrt(($"sw".cast("double") * $"swx2".cast("double")
+              - $"swx".cast("double") * $"swx".cast("double"))
+            * ($"sw".cast("double") * $"swy2".cast("double")
+              - $"swy".cast("double") * $"swy".cast("double"))), 6)
+          .as("wcorr"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41)
+    d39, d40, d41, d42)
 }

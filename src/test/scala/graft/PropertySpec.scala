@@ -784,6 +784,26 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("h33 burstiness laws: B in [-1, 1), degenerate single gap at -1") {
+    val rows = SparkEntry.queries("h33_burstiness")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, b) = (r.getLong(1), r.getDouble(3))
+      assert(n >= 1 && r.getLong(2) > 0)
+      assert(b >= -1.0 - 1e-9 && b < 1.0, s"B out of [-1,1): $b")
+      if (n == 1) assert(math.abs(b + 1.0) < 1e-6, "single gap => B = -1")
+    }
+  }
+
+  test("d42 weighted-corr laws: |r| <= 1, weights positive") {
+    val rows = SparkEntry.queries("d42_weighted_corr")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getDouble(1) > 0, "total weight positive")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, "Cauchy–Schwarz bound")
+    }
+  }
+
   test("h32 entropy laws: bounded by log2(successors), modal consistency") {
     val rows = SparkEntry.queries("h32_markov_entropy")(spark, sfDir)
       .collect()

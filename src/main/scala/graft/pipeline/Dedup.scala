@@ -1269,6 +1269,62 @@ object Dedup {
       .orderBy($"n_pairs".desc, $"source_a", $"source_b")
   }
 
+  // g84 — DEDUP LENGTH-BIAS AUDIT: compare the length distribution of
+  // g46's survivors against the removed docs — the fairness question
+  // every survivorship policy should answer before shipping ("did
+  // 'keep the longest' just delete every short doc, or only true
+  // twins?"). Built ON g46: the Spark side literally runs g46's plan
+  // and aggregates it (pipeline composition at the DataFrame level),
+  // and the oracle extends the same recursive-CTE closure — so policy,
+  // clusters, AND the audit are one consistent definition. Mean via
+  // exact integer quotient, median via the d7-proven quantile.
+  private val g84 = graded(
+    "g84_dedup_length_bias",
+    s"""${simhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      |und AS (
+      |  SELECT doc_a AS s, doc_b AS t FROM prs
+      |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM prs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM und
+      |  UNION
+      |  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |lab AS (
+      |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS comp
+      |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+      |  GROUP BY d.doc_id),
+      |surv AS (
+      |  SELECT comp, doc_id AS survivor_id FROM (
+      |    SELECT l.comp, l.doc_id,
+      |      row_number() OVER (PARTITION BY l.comp
+      |        ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      |    FROM lab l JOIN documents d ON d.doc_id = l.doc_id) t
+      |  WHERE rn = 1),
+      |flag AS (
+      |  SELECT l.doc_id, (l.doc_id = s.survivor_id) AS is_survivor
+      |  FROM lab l JOIN surv s ON s.comp = l.comp)
+      |SELECT f.is_survivor, count(*)::BIGINT AS n_docs,
+      |  (sum(d.n_chars) // count(*))::BIGINT AS mean_chars,
+      |  round(quantile_cont(d.n_chars, 0.5), 6) AS median_chars
+      |FROM flag f JOIN documents d ON d.doc_id = f.doc_id
+      |GROUP BY f.is_survivor
+      |ORDER BY f.is_survivor""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val verdicts = g46.fn(spark, dir) // composition: g46's plan, reused
+      .select($"doc_id", $"is_survivor")
+    verdicts
+      .join(Tables.documents(spark, dir).select($"doc_id", $"n_chars"),
+        "doc_id")
+      .groupBy($"is_survivor")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum($"n_chars").cast("bigint").as("sc"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"))
+      .select($"is_survivor", $"n_docs",
+        expr("sc div n_docs").cast("bigint").as("mean_chars"),
+        $"median_chars")
+      .orderBy($"is_survivor")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
-    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83)
+    g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
+    g84)
 }

@@ -784,6 +784,20 @@ class PropertySpec extends SparkSpec {
     assert(admitted === m10, "hist mass under the cut != m10 output")
   }
 
+  test("g84 bias laws: groups partition the corpus, survivors not shorter") {
+    val rows = SparkEntry.queries("g84_dedup_length_bias")(spark, sfDir)
+      .collect().map(r =>
+        r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val total = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum === total)
+    // note: survivor mean >= removed mean is NOT a theorem — short
+    // singletons all survive and can drag the survivor mean below a
+    // removed set of long near-dups; only the partition law is exact
+    for ((surv, (n, mean)) <- rows)
+      assert(n > 0 && mean > 0, s"degenerate group $surv")
+    assert(rows.contains(true), "survivors always exist (singletons)")
+  }
+
   test("h33 burstiness laws: B in [-1, 1), degenerate single gap at -1") {
     val rows = SparkEntry.queries("h33_burstiness")(spark, sfDir).collect()
     assert(rows.nonEmpty)

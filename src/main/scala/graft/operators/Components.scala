@@ -55,21 +55,40 @@ object Components {
     df.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** Loop shuffle sizing from the OBSERVED label-table row count.
+    *
+    * The label table is |nodes| rows of (long, long) — per-round
+    * task-scheduling latency dominates when it is small (measured: 10
+    * rounds × 0.45 s at 32 partitions vs ~0.15 s at 4 for a 5k-node
+    * graph), while a corpus-sized label table funneled through a small
+    * constant is the classic at-scale bottleneck. So: target ~50k label
+    * rows per task (≈ 800 KB of (long, long) — latency-bound below that,
+    * comfortably parallel above), floored at 4 (the measured small-graph
+    * sweet spot) and capped at the SESSION shuffle setting — on a real
+    * cluster that cap is the user's cluster-wide sizing knob and AQE
+    * coalesces below it; exceeding it here would second-guess both.
+    */
+  def loopPartitionsFor(labelRows: Long, sessionParts: Int): Int = {
+    val rowsPerTask = 50000L
+    val needed = (labelRows + rowsPerTask - 1) / rowsPerTask
+    math.max(4L, math.min(sessionParts.toLong, needed)).toInt
+  }
+
   /** @param nodes single-column DataFrame of node ids (long)
     * @param edges  two-column DataFrame of undirected edges; column names
     *               are taken positionally
     * @param loopShufflePartitions shuffle partitions for the per-round
-    *        joins. The label table is |nodes| rows — when that is small
-    *        relative to the cluster, per-round task-scheduling latency
-    *        dominates (measured: 10 rounds × 0.45 s at 32 partitions vs
-    *        ~0.15 s at 4 for a 5k-node graph), so the loop narrows the
-    *        shuffle and restores the session setting afterwards. Pass
-    *        None when the label table is genuinely large.
+    *        joins. Default None = ADAPTIVE: sized from the counted label
+    *        table via [[loopPartitionsFor]] (one count piggybacked on the
+    *        seed-sum job, zero extra actions) — small dedup graphs keep
+    *        the measured 4-partition fast path, corpus-sized node tables
+    *        get the full session parallelism instead of a constant-4
+    *        funnel. Pass Some(n) only to pin a count in tests.
     * @return (id, rep) — rep is the minimum node id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30,
-      loopShufflePartitions: Option[Int] = Some(4),
+      loopShufflePartitions: Option[Int] = None,
       jumpsPerRound: Int = 2): DataFrame = {
     require(jumpsPerRound >= 1)
     val spark = nodes.sparkSession
@@ -77,13 +96,12 @@ object Components {
     // localContract's partition count is captured BEFORE the loop narrows
     // shuffle.partitions: the contraction's per-partition union-find memory
     // is bounded by the partition's node set, so it must use the SESSION
-    // sizing (e.g. 32), not the label-loop's deliberately-small count (4) —
-    // at scale the narrowed count would concentrate ~1/4 of all edges'
-    // nodes into each in-memory map.
+    // sizing (e.g. 32), not the label-loop's deliberately-small count —
+    // at scale the narrowed count would concentrate the edges' nodes
+    // into a handful of in-memory maps.
     val contractParts = oldShuffle.toInt
-    loopShufflePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n))
-    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound, contractParts)
+    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound,
+      contractParts, loopShufflePartitions)
     finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
   }
 
@@ -139,7 +157,9 @@ object Components {
   }
 
   private def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int, jumpsPerRound: Int, contractParts: Int): DataFrame = {
+      maxRounds: Int, jumpsPerRound: Int, contractParts: Int,
+      loopShufflePartitions: Option[Int]): DataFrame = {
+    val spark = nodes.sparkSession
     val idCol = nodes.columns.head
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     if (debug) println("[cc] building und")
@@ -186,8 +206,19 @@ object Components {
         .join(seed, Seq("doc"), "left")
         .select(col("doc"), coalesce(col("lrep"), col("doc")).as("rep")))
     if (debug) println("[cc] labels done")
-    var lastSum = labels.agg(sum("rep")).head().getLong(0)
-    if (debug) println(s"[cc] init sum=$lastSum")
+    // one aggregate job yields BOTH the convergence seed sum and the label
+    // row count the adaptive loop sizing needs — counting `nodes` directly
+    // would re-execute its upstream plan (for g19 that is the whole exact-
+    // dedup stage), while `labels` is already checkpointed.
+    val init = labels.agg(sum("rep"), count(lit(1))).head()
+    var lastSum = init.getLong(0)
+    val labelRows = init.getLong(1)
+    // everything above (contraction, und, seed labels) ran at the SESSION
+    // shuffle sizing; only the per-round loop joins below are re-sized.
+    val loopParts = loopShufflePartitions
+      .getOrElse(loopPartitionsFor(labelRows, contractParts))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    if (debug) println(s"[cc] init sum=$lastSum rows=$labelRows loopParts=$loopParts")
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {

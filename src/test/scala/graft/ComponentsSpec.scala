@@ -66,6 +66,56 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.select("id").distinct().count() === n)
   }
 
+  test("loop shuffle sizing: adaptive, never a constant-4 funnel at scale") {
+    // the r6 verdict finding: every dedup call site ran the label loop at
+    // a hard-coded 4 shuffle partitions — right for 5k-node graphs, a
+    // 4-partition funnel for a corpus-sized label table. The sizing rule:
+    // ~50k label rows per task, floor 4 (small-graph latency sweet spot),
+    // cap = session shuffle partitions (the cluster-wide sizing knob).
+    assert(Components.loopPartitionsFor(0L, 32) === 4)
+    assert(Components.loopPartitionsFor(5000L, 32) === 4)       // sf0.01 dedup graph
+    assert(Components.loopPartitionsFor(200000L, 32) === 4)     // = 4 tasks of 50k
+    assert(Components.loopPartitionsFor(300000L, 32) === 6)     // grows with rows
+    assert(Components.loopPartitionsFor(100000000000L, 32) === 32)   // local cap
+    assert(Components.loopPartitionsFor(100000000000L, 4096) === 4096) // cluster cap
+    assert(Components.loopPartitionsFor(1000000L, 2) === 4)     // floor beats a tiny session
+  }
+
+  test("label loop runs at the adaptive width, not the small-graph floor") {
+    // scattered-id path (defeats local contraction → the loop must run
+    // ≥1 real round) over enough nodes that adaptive sizing must pick
+    // MORE than the 4-partition floor; the returned labels carry the
+    // loop's shuffle partitioning, so the partition count is observable.
+    import spark.implicits._
+    val n = 300000
+    val perm = (0 until n).map(i => (i.toLong * 299711L) % n) // odd ⊥ n=3e5? 299711 odd, gcd check below
+    // 299711 = prime > n/…; ensure bijection: gcd(299711, 300000) = 1
+    assert(BigInt(299711).gcd(BigInt(n)) == BigInt(1))
+    val edges = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+    // the shared test session runs at 4 shuffle partitions (which would
+    // CAP the adaptive size right at the floor and hide a regression) —
+    // widen to a cluster-like 32 for this call, restore after. AQE is
+    // disabled for the call because its small-partition coalescing
+    // rewrites the runtime partition count and would hide WHICH conf
+    // ceiling the loop ran under — the exact thing this test observes.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val expected = Components.loopPartitionsFor(n.toLong, 32)
+      assert(expected > 4, s"fixture too small to distinguish adaptive from floor ($expected)")
+      val labels = Components.connectedComponents(
+        (0L until n.toLong).toDF("id"), edges.toDF("s", "d"))
+      assert(labels.rdd.getNumPartitions === expected,
+        s"label loop not adaptively sized: got ${labels.rdd.getNumPartitions}, want $expected")
+      assert(labels.select("rep").distinct().count() === 1L) // still one component
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(5)
     val n = 300

@@ -160,13 +160,24 @@ object Similarity {
     val e = embeddings(spark, dir)
     val cents = e.where($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"embedding".as("ce"))
-    // build: assign each vector to its nearest centroid (cosine argmax)
-    val wVec = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cscore".desc, $"cid")
-    val assigned = e.join(broadcast(cents))
-      .withColumn("cscore", cos("embedding", "ce"))
-      .withColumn("rk", row_number().over(wVec))
-      .where($"rk" === 1)
+    // build: assign each vector to its nearest centroid — per-row argmax
+    // over the ONE-ROW broadcast codebook (all 16 centroids collected
+    // into a single cid-ordered array cell). The r6 shape — a 16× fan-out
+    // join followed by a row_number window partitioned by the UNIQUE
+    // vec_id — paid a full corpus shuffle+sort to pick a per-row maximum;
+    // this one is shuffle-free: score the 16 codebook entries inside the
+    // scan projection, argmax = first index of the max score, which also
+    // reproduces the old (cscore DESC, cid ASC) tiebreak because the
+    // codebook is sorted by cid and vec_ids 0..15 all exist (cid = index).
+    // At 100 TB the build stage is then scan → project → write, nothing
+    // crossing the wire but the output.
+    val codebook = broadcast(cents
+      .agg(expr("transform(sort_array(collect_list(struct(cid, ce))), p -> p.ce)")
+        .as("cbook")))
+    val assigned = e.crossJoin(codebook)
+      .withColumn("cscores", expr("transform(cbook, c -> vec_cosine(embedding, c))"))
+      .withColumn("cid",
+        (expr("array_position(cscores, array_max(cscores))") - 1).cast("bigint"))
       .select($"vec_id", $"cid", $"embedding")
     // search: query = vec_id 0; probe its 2 best centroids
     val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))

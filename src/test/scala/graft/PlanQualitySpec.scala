@@ -98,6 +98,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("g17 IVF build assigns by per-row argmax — no unique-key Window shuffle") {
+    // r6 verdict: the build stage joined every vector against all 16
+    // centroids (16× fan-out) and ranked with row_number() partitioned by
+    // the UNIQUE vec_id — a full corpus shuffle+sort to compute a per-row
+    // maximum. The rewritten build scores the one-row broadcast codebook
+    // inside the scan projection; no Window may appear anywhere in g17.
+    val plan = SparkEntry.queries("g17_ann_ivf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"g17 build regressed to a Window-shuffle argmax:\n$plan")
+  }
+
   test("nested-loop joins appear only where the build side is constant-size") {
     val offenders = plans.collect {
       case (key, plan) if plan.contains("BroadcastNestedLoopJoin") => key

@@ -1520,9 +1520,11 @@ object Aggregates {
   // samples diverge, not just whether): deciles 10..90 of exact cents
   // per side, long form with per-decile gaps. The percentile arrays are
   // the d7-proven interpolated quantiles rounded to 6dp before the
-  // diff; posexplode gives the decile index in both engines (unnest
-  // WITH ORDINALITY on the DuckDB side). One aggregate per side over
-  // the sorted-free percentile sketch path — no global sort.
+  // diff; posexplode gives the decile index on the Spark side, and the
+  // oracle indexes its quantile array with a generate_series(1, 9) spine
+  // (DuckDB 1.0.0 has no unnest WITH ORDINALITY — DialectNotes). One
+  // aggregate per side over the sort-free percentile sketch path — no
+  // global sort.
   private val d38 = graded(
     "d38_qq_deciles",
     """WITH v AS (
@@ -1570,9 +1572,15 @@ object Aggregates {
   // "is the up/down sequence even random?"). The sign sequence comes
   // from exact cents differences over the calendar-lag-1 equi-join
   // (d35's machinery — no global window over the fact table); a RUN
-  // boundary is a sign change between calendar-consecutive pairs,
-  // counted exactly; zero-change days are excluded (the classical
-  // treatment). Only the final z is floating point (one fixed IEEE
+  // boundary is a sign change between CALENDAR-consecutive change pairs
+  // (a.d = b.d + 1), counted exactly, and zero-change days are excluded.
+  // NOTE this is a calendar-adjacency VARIANT of the Wald–Wolfowitz
+  // test, not the classical formulation: classical runs count breaks
+  // between SEQUENCE-consecutive signs (so a gap day does not sever a
+  // run), whereas here a missing calendar day drops its pair from the
+  // break count. Same z formula over (np, nm, runs); the variant is
+  // deliberate — it keeps the break join an equi-join, never a global
+  // sequence window. Only the final z is floating point (one fixed IEEE
   // tree over exact integers, d31's rule).
   private val d39 = graded(
     "d39_runs_test",

@@ -55,6 +55,18 @@ object Components {
     df.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** NON-EMPTY label-loop rounds executed by the most recent
+    * [[connectedComponents]] call (rounds whose quotient still had edges,
+    * i.e. rounds that actually propagated labels — the empty-quotient
+    * verify round does not count). A diagnostic/test observability hook:
+    * ComponentsSpec uses it to verify a fixture actually exercised the
+    * label loop rather than the contraction-only early path, so a future
+    * contraction improvement fails that test with a clear message instead
+    * of a spurious partition-count mismatch. Not part of the operator
+    * contract.
+    */
+  @volatile var lastRunNonEmptyRounds: Int = -1
+
   /** Loop shuffle sizing from the OBSERVED label-table row count.
     *
     * The label table is |nodes| rows of (long, long) — per-round
@@ -63,10 +75,13 @@ object Components {
     * graph), while a corpus-sized label table funneled through a small
     * constant is the classic at-scale bottleneck. So: target ~50k label
     * rows per task (≈ 800 KB of (long, long) — latency-bound below that,
-    * comfortably parallel above), floored at 4 (the measured small-graph
-    * sweet spot) and capped at the SESSION shuffle setting — on a real
-    * cluster that cap is the user's cluster-wide sizing knob and AQE
-    * coalesces below it; exceeding it here would second-guess both.
+    * comfortably parallel above), capped at the SESSION shuffle setting —
+    * on a real cluster that cap is the user's cluster-wide sizing knob
+    * and AQE coalesces below it; exceeding it here would second-guess
+    * both — and floored at 4 (the measured small-graph sweet spot). The
+    * floor takes PRECEDENCE over the cap: a session setting below 4 is
+    * deliberately exceeded, because a 1-3-partition label loop serializes
+    * every round with no compensating benefit.
     */
   def loopPartitionsFor(labelRows: Long, sessionParts: Int): Int = {
     val rowsPerTask = 50000L
@@ -215,12 +230,22 @@ object Components {
     val labelRows = init.getLong(1)
     // everything above (contraction, und, seed labels) ran at the SESSION
     // shuffle sizing; only the per-round loop joins below are re-sized.
+    // CONCURRENCY CAVEAT: the loop width is applied via the session-global
+    // shuffle.partitions conf (restored in the caller's `finally`), because
+    // per-round joins/aggregates have no per-DataFrame width knob that the
+    // planner honors without inserting an extra exchange per round. Any
+    // OTHER query planned on this SparkSession while the loop runs will
+    // plan its shuffles at the narrowed width — fine for this engine's
+    // one-query-at-a-time harness, but a concurrent-session deployment
+    // should give CC its own session (`spark.newSession()` shares the
+    // catalog but scopes the conf).
     val loopParts = loopShufflePartitions
       .getOrElse(loopPartitionsFor(labelRows, contractParts))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     if (debug) println(s"[cc] init sum=$lastSum rows=$labelRows loopParts=$loopParts")
     var converged = false
     var rounds = 0
+    var nonEmptyRounds = 0
     while (!converged && rounds < maxRounds) {
       val tR = System.nanoTime()
       // QUOTIENT REWRITE (the alternating-algorithm step): map both edge
@@ -284,9 +309,11 @@ object Components {
       converged = s == lastSum
       lastSum = s
       rounds += 1
+      nonEmptyRounds += 1
       if (debug) println(f"[cc] round $rounds sum=$s ${(System.nanoTime() - tR) / 1e9}%.2f s")
       }
     }
+    lastRunNonEmptyRounds = nonEmptyRounds
     labels.select(col("doc").as(idCol), col("rep"))
   }
 }

@@ -166,18 +166,21 @@ object Similarity {
     // join followed by a row_number window partitioned by the UNIQUE
     // vec_id — paid a full corpus shuffle+sort to pick a per-row maximum;
     // this one is shuffle-free: score the 16 codebook entries inside the
-    // scan projection, argmax = first index of the max score, which also
-    // reproduces the old (cscore DESC, cid ASC) tiebreak because the
-    // codebook is sorted by cid and vec_ids 0..15 all exist (cid = index).
-    // At 100 TB the build stage is then scan → project → write, nothing
-    // crossing the wire but the output.
+    // scan projection. The codebook keeps (cid, ce) STRUCTS and the
+    // argmax position maps back through the struct to the stored cid —
+    // never position-as-id, so a sparse/non-dense centroid id set (any
+    // missing vec_id < 16) still yields the id the `probes` side joins
+    // on. The cid-sorted array makes array_position's first-max rule
+    // reproduce the (cscore DESC, cid ASC) tiebreak. At 100 TB the build
+    // stage is then scan → project → write, nothing crossing the wire
+    // but the output.
     val codebook = broadcast(cents
-      .agg(expr("transform(sort_array(collect_list(struct(cid, ce))), p -> p.ce)")
-        .as("cbook")))
+      .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
     val assigned = e.crossJoin(codebook)
-      .withColumn("cscores", expr("transform(cbook, c -> vec_cosine(embedding, c))"))
-      .withColumn("cid",
-        (expr("array_position(cscores, array_max(cscores))") - 1).cast("bigint"))
+      .withColumn("cscores",
+        expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
+      .withColumn("cid", expr(
+        "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
       .select($"vec_id", $"cid", $"embedding")
     // search: query = vec_id 0; probe its 2 best centroids
     val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))

@@ -107,6 +107,14 @@ class ComponentsSpec extends SparkSpec {
       assert(expected > 4, s"fixture too small to distinguish adaptive from floor ($expected)")
       val labels = Components.connectedComponents(
         (0L until n.toLong).toDF("id"), edges.toDF("s", "d"))
+      // FIXTURE GUARD: the partition observation below is only meaningful
+      // if the label LOOP produced the returned labels. If contraction
+      // ever collapses this scattered chain completely, the early-exit
+      // path returns seed labels at session width — that is an
+      // improvement, not a sizing regression, and this assert names it.
+      assert(Components.lastRunNonEmptyRounds >= 1,
+        "fixture no longer defeats local contraction (loop ran 0 non-empty " +
+          "rounds) — pick a harder fixture for the adaptive-width test")
       assert(labels.rdd.getNumPartitions === expected,
         s"label loop not adaptively sized: got ${labels.rdd.getNumPartitions}, want $expected")
       assert(labels.select("rep").distinct().count() === 1L) // still one component

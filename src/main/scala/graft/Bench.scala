@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
+    * error messages can carry newlines/tabs from exception text, which
+    * would otherwise break the driver's json parse (Verify's rule).
+    */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+  // can render "54,693" under a comma-decimal locale — invalid JSON,
+  // resurrecting the exact parse failure this protocol exists to fix
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  /** Render the two-line stdout protocol from per-key outcomes.
+    * Right(seconds) = timed success; Left(message) = the key FAILED —
+    * it appears in the `errors` map, is excluded from the total, and is
+    * counted in `n_errors`. Before this channel existed a broken key
+    * swallowed its exception and benched as a small positive time — the
+    * r5 incident where a regression hid inside a "fast" number.
+    */
+  private[graft] def renderLines(
+      results: Seq[(String, Either[String, Double])],
+      sfDir: String): (String, String) = {
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val bad = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => jq(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
+    val errs = bad.map { case (k, m) => jq(k) + ":" + jq(m) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    // protocol: the harness keeps only the TAIL of stdout, so the per-query
+    // detail (a multi-KB map) goes out FIRST and the LAST line is a compact
+    // machine-parseable total that always fits the tail window.
+    val line1 =
+      s"""{"detail":"per_query","queries":$qs,"errors":$errs,"sf":${jq(sfDir)}}"""
+    val line2 = s"""{"metric":"total","value":${num(total)},"unit":"sec"""" +
+      s""","n_queries":${ok.length},"n_errors":${bad.length},"sf":${jq(sfDir)}}"""
+    (line1, line2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's core count: a benchmark main that silently
@@ -20,29 +68,30 @@ object Bench {
       SparkEntry.queries("c1_join_broadcast")(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("e1_win_rank")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // drop per-query persist()ed blocks BEFORE taking the time, so the
-      // unpersist cost is counted against the query that cached — fair,
-      // since a lone run would pay it too — and the suite's memory
-      // footprint stays flat
-      spark.catalog.clearCache()
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> dt
-    }
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
-    // can render "54,693" under a comma-decimal locale — invalid JSON,
-    // resurrecting the exact parse failure this protocol exists to fix
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // protocol: the harness keeps only the TAIL of stdout, so the per-query
-    // detail (a multi-KB map) goes out FIRST and the LAST line is a compact
-    // machine-parseable total that always fits the tail window.
-    println(s"""{"detail":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.length},"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            // first line of the exception is the actionable part; the full
+            // stack goes to stderr so the stdout protocol stays two-line
+            e.printStackTrace()
+            Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(200))
+          }
+        // drop per-query persist()ed blocks BEFORE taking the time, so the
+        // unpersist cost is counted against the query that cached — fair,
+        // since a lone run would pay it too — and the suite's memory
+        // footprint stays flat
+        spark.catalog.clearCache()
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> outcome.toLeft(dt)
+      }
+    val (line1, line2) = renderLines(results, sfDir)
+    println(line1)
+    println(line2)
     spark.stop()
   }
 }

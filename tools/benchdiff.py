@@ -27,14 +27,23 @@ def load(path):
             except json.JSONDecodeError:
                 continue
             if d.get("detail") == "per_query":
-                return d["queries"]
+                return d["queries"], d.get("errors", {})
     raise SystemExit(f"{path}: no per_query line found")
 
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_errs), (new, new_errs) = load(sys.argv[1]), load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     flagged = False
+    # a key in `errors` FAILED during the bench run — that is always a
+    # flag, and louder than any timing mover
+    if new_errs:
+        flagged = True
+        for k in sorted(new_errs):
+            print(f"ERROR {k}: {new_errs[k]}")
+    fixed = sorted(set(old_errs) - set(new_errs))
+    if fixed:
+        print(f"errors fixed ({len(fixed)}): {', '.join(fixed)}")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
@@ -56,8 +65,9 @@ def main():
         print(f"{k:32s} {o:7.2f}s -> {n:7.2f}s  ({ratio:.1f}x)")
     tot_o = sum(old.values())
     tot_n = sum(new.values())
+    ratio = f"{tot_n / tot_o:.2f}x" if tot_o > 0 else "n/a"
     print(f"total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_o:.2f}x, {len(old)} -> {len(new)} keys)")
+          f"({ratio}, {len(old)} -> {len(new)} keys)")
     sys.exit(1 if flagged else 0)
 
 

@@ -21,20 +21,27 @@ import org.apache.spark.sql.functions._
 object EventTime {
 
   // H1 — tumbling daily window. window().start is emitted µs-normalized so
-  // it equals DuckDB's time_bucket on the truncated timestamp.
+  // it equals DuckDB's time_bucket on the truncated timestamp. The value
+  // sum is graded in EXACT CENTS (cast per-row to integer cents, sum
+  // bigint) — a raw double Σ cannot be graded at any rounding because
+  // summation order varies across partition layouts and engines
+  // (DialectNotes rule; the a19/d21 precedent). Exact cents also make the
+  // h34 streaming twin bit-stable across micro-batch partial aggregates.
   private val h1 = graded(
     "h1_win_tumbling",
     """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_cents
       |FROM events
       |GROUP BY day_start
       |ORDER BY day_start""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables.eventsUs(spark, dir)
       .groupBy(window($"ts_us", "1 day"))
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-      .select($"window.start".as("day_start"), $"n_events", $"sum_value")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100, 0).cast("bigint")).cast("bigint")
+          .as("sum_cents"))
+      .select($"window.start".as("day_start"), $"n_events", $"sum_cents")
       .orderBy("day_start")
   }
 
@@ -43,6 +50,8 @@ object EventTime {
   // spine + range join; the inner join drops empty windows on both sides.
   // The spine bounds derive from the data (not literals) so a regenerated
   // fixture with a wider ts range cannot silently truncate the oracle.
+  // Value sum graded in exact cents (h1's rule — a raw double Σ cannot be
+  // graded at any rounding).
   private val h2 = graded(
     "h2_win_sliding",
     """WITH b AS (
@@ -51,7 +60,8 @@ object EventTime {
       |  FROM events),
       |spine AS (
       |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS win_start FROM b)
-      |SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |SELECT win_start, count(*) AS n_events,
+      |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_cents
       |FROM spine
       |JOIN events ON ts >= win_start AND ts < win_start + INTERVAL 2 DAY
       |GROUP BY win_start
@@ -59,8 +69,10 @@ object EventTime {
     import spark.implicits._
     Tables.eventsUs(spark, dir)
       .groupBy(window($"ts_us", "2 days", "1 day"))
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-      .select($"window.start".as("win_start"), $"n_events", $"sum_value")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100, 0).cast("bigint")).cast("bigint")
+          .as("sum_cents"))
+      .select($"window.start".as("win_start"), $"n_events", $"sum_cents")
       .orderBy("win_start")
   }
 

@@ -858,7 +858,11 @@ object ScansFilters {
   // dynamically overwrite the earliest day with corrected (doubled)
   // values, read the TABLE back and aggregate — the oracle states the
   // expected post-repair per-day totals from the source. Deterministic:
-  // counts exact, day keys via the h8-proven format, money at round 2.
+  // counts exact, day keys via the h8-proven format, and money graded in
+  // EXACT CENTS (per-row integer cents summed as bigint) — a raw double Σ
+  // cannot be graded at any rounding because summation order varies with
+  // partition layout (DialectNotes rule). ×2 on a double is IEEE-exact,
+  // so repairing before the cents cast agrees bit-for-bit on both sides.
   private val a20 = QueryDef.graded(
     "a20_dynamic_overwrite",
     """WITH d AS (
@@ -866,30 +870,43 @@ object ScansFilters {
       |  FROM events),
       |m AS (SELECT min(day) AS d0 FROM d)
       |SELECT day, count(*)::BIGINT AS n_events,
-      |  round(sum(CASE WHEN day = (SELECT d0 FROM m) THEN value * 2
-      |    ELSE value END), 2) AS sum_value
+      |  sum(CAST(round((CASE WHEN day = (SELECT d0 FROM m) THEN value * 2
+      |    ELSE value END) * 100, 0) AS BIGINT))::BIGINT AS sum_cents
       |FROM d GROUP BY day ORDER BY day""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"/tmp/graft_a20/$jvmTag/$sfTag/events_by_day"
-    val src = Tables.eventsUs(spark, dir)
-      .withColumn("day", date_format($"ts_us", "yyyy-MM-dd"))
-      .select($"event_id", $"value", $"day")
-    // full build, then the repair: overwrite ONLY the earliest day's
-    // partition with corrected values (dynamic mode keeps the rest)
-    src.write.mode("overwrite").partitionBy("day").parquet(path)
-    val d0 = src.agg(min($"day")).head.getString(0)
-    src.where($"day" === d0)
-      .withColumn("value", $"value" * 2)
-      .write.mode("overwrite").partitionBy("day").parquet(path)
-    // read-back partition-column inference types `day` as DATE; the
-    // report is keyed on the formatted string (h8's convention)
-    spark.read.parquet(path)
-      .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).cast("bigint").as("n_events"),
-        round(sum($"value"), 2).as("sum_value"))
-      .orderBy($"day")
+    // dynamic overwrite mode is scoped to THIS query: save/restore the
+    // session conf in `finally` (Components' pattern) so a later key on
+    // the same session never silently inherits dynamic-mode semantics
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val oldMode = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try {
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_a20/$jvmTag/$sfTag/events_by_day"
+      val src = Tables.eventsUs(spark, dir)
+        .withColumn("day", date_format($"ts_us", "yyyy-MM-dd"))
+        .select($"event_id", $"value", $"day")
+      // full build, then the repair: overwrite ONLY the earliest day's
+      // partition with corrected values (dynamic mode keeps the rest)
+      src.write.mode("overwrite").partitionBy("day").parquet(path)
+      val d0 = src.agg(min($"day")).head.getString(0)
+      src.where($"day" === d0)
+        .withColumn("value", $"value" * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      // read-back partition-column inference types `day` as DATE; the
+      // report is keyed on the formatted string (h8's convention)
+      spark.read.parquet(path)
+        .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          sum(round($"value" * 100, 0).cast("bigint")).cast("bigint")
+            .as("sum_cents"))
+        .orderBy($"day")
+    } finally {
+      oldMode match {
+        case Some(m) => spark.conf.set(confKey, m)
+        case None => spark.conf.unset(confKey)
+      }
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,

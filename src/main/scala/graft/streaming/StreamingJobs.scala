@@ -56,15 +56,21 @@ object StreamingJobs {
   }
 
   /** Tumbling 1-day event-time window counts with a 1-day watermark —
-    * streaming twin of the graded batch h1_win_tumbling.
+    * streaming twin of the graded batch h1_win_tumbling. The value sum is
+    * EXACT CENTS (h1's grading rule): integer partial aggregates are
+    * order-independent, so micro-batch incremental state merges produce
+    * bit-identical sums to the batch plan — which is what lets
+    * h34_stream_tumbling_parity grade this stream against h1's DuckDB
+    * oracle as a CORRECTNESS row, not a tolerance check.
     */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts_us", "1 day")
       .groupBy(window(col("ts_us"), "1 day").as("win"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(col("win.start").as("win_start"), col("n_events"), col("sum_value"))
+        sum(round(col("value") * 100, 0).cast("bigint")).cast("bigint")
+          .as("sum_cents"))
+      .select(col("win.start").as("win_start"), col("n_events"), col("sum_cents"))
 
   /** Watermark-bounded streaming dedup by event_id — streaming twin of
     * batch exact dedup (g1).

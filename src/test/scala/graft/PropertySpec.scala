@@ -952,20 +952,30 @@ class PropertySpec extends SparkSpec {
 
   test("a20 overwrite laws: repaired day doubled, all other days intact") {
     val rows = SparkEntry.queries("a20_dynamic_overwrite")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
+    // raw twin in exact cents: the unrepaired days must match EXACTLY
+    // (integer sums have no fold-order tolerance to hide behind); the
+    // repaired day doubles each row's value BEFORE the cents cast, so its
+    // expectation is the doubled-value cents sum, not 2× the cents sum
     val raw = sources.Tables.eventsUs(spark, sfDir)
       .groupBy(date_format(col("ts_us"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sc"),
+        sum(round(col("value") * 2 * 100, 0).cast("long")).as("sc2"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(rows.keySet === raw.keySet, "no partition lost or invented")
     val d0 = raw.keys.min
-    for ((day, (n, sv)) <- rows) {
+    for ((day, (n, sc)) <- rows) {
       assert(n === raw(day)._1, s"$day row count preserved")
-      val expect = if (day == d0) raw(day)._2 * 2 else raw(day)._2
-      assert(math.abs(sv - expect) < 0.02, s"$day sum (repair only at $d0)")
+      val expect = if (day == d0) raw(day)._3 else raw(day)._2
+      assert(sc === expect, s"$day cents sum (repair only at $d0)")
     }
+    // the conf mutation must not leak out of the query (ADVICE r7)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .toLowerCase != "dynamic", "a20 leaked partitionOverwriteMode")
   }
 
   test("d40 inequality laws: Theil and MLD non-negative, MLD >= 0 <= T bound") {

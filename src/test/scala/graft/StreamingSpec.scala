@@ -24,11 +24,11 @@ class StreamingSpec extends SparkSpec {
     assert(stream.isStreaming)
     runToMemory(StreamingJobs.tumblingCounts(stream), "h4_tumble", "complete")
     val streamed = spark.table("h4_tumble")
-      .select(col("win_start").cast("long"), col("n_events"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .select(col("win_start").cast("long"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = SparkEntry.queries("h1_win_tumbling")(spark, sfDir)
-      .select(col("day_start").cast("long"), col("n_events"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .select(col("day_start").cast("long"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
 
@@ -96,11 +96,11 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(q.recentProgress.length > 1, "expected multiple micro-batches")
     val streamed = spark.table("h4_chunks")
-      .select(col("win_start").cast("long"), col("n_events"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .select(col("win_start").cast("long"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = SparkEntry.queries("h1_win_tumbling")(spark, sfDir)
-      .select(col("day_start").cast("long"), col("n_events"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .select(col("day_start").cast("long"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
   }
 

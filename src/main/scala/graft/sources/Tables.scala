@@ -16,6 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Sessions whose events-reading confs are already pinned. Weak keys:
+    * a stopped session must not be retained by this registry. */
+  private val initialized =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** One-per-session conf initialization for events reads (SURVEY §1.3):
+    *  - `nanosAsLong`: the ns-vintage corpus writes parquet
+    *    TIMESTAMP(NANOS), which Spark only reads under this legacy flag
+    *    (as epoch-ns bigint) — there is no per-read DataFrameReader
+    *    option for it, the parquet schema converter consults SQLConf;
+    *  - session timeZone=UTC: the µs-vintage NTZ→epoch cast applies the
+    *    session zone, and the DuckDB oracle computes from the same naive
+    *    column in UTC.
+    * Previously both confs were re-set on EVERY events read; conf writes
+    * in the per-read path are a cross-query contamination hazard (the
+    * a20 lesson) and planner-cache noise. Now the first events read per
+    * SparkSession pins them once; entries are weak so stopped sessions
+    * are not retained. Callers that build their own sessions (Bench,
+    * Verify, tests, streaming jobs) all funnel through here.
+    */
+  private[graft] def ensureEventsConf(spark: SparkSession): Unit = {
+    if (initialized.containsKey(spark)) return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    initialized.put(spark, java.lang.Boolean.TRUE)
+  }
+
   /** Read one table. The `events.ts` column has shipped in two vintages of
     * the corpus (SURVEY.md §1.3):
     *  - parquet TIMESTAMP(NANOS), which Spark reads as epoch-ns bigint
@@ -25,15 +53,13 @@ object Tables {
     * leaves here as an epoch-NANOSECOND bigint, so every downstream
     * `ts div 1000` µs-normalization works identically against both.
     * For the µs vintage the NTZ→epoch conversion goes through an explicit
-    * TIMESTAMP cast, which applies the session time zone — the session tz
-    * is pinned to UTC here (idempotent, same pattern as the legacy flag)
-    * so the synthesized epoch agrees with what the DuckDB oracle computes
-    * from the same naive column.
+    * TIMESTAMP cast, which applies the session time zone — pinned to UTC
+    * by [[ensureEventsConf]] so the synthesized epoch agrees with what
+    * the DuckDB oracle computes from the same naive column.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name != "events") return spark.read.parquet(s"$sfDir/$name.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensureEventsConf(spark)
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df // ns vintage: already epoch-ns

@@ -31,7 +31,7 @@ object StreamingJobs {
     * under `nanosAsLong`, or native TIMESTAMP(MICROS) → TIMESTAMP_NTZ).
     */
   def eventsSchema(spark: SparkSession, sfDir: String): StructType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.ensureEventsConf(spark)
     spark.read.parquet(s"$sfDir/events.parquet").schema
   }
 
@@ -41,8 +41,7 @@ object StreamingJobs {
     * vintage.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.sources.Tables.ensureEventsConf(spark)
     val footer = eventsSchema(spark, sfDir)
     val raw = spark.readStream
       .schema(footer)

@@ -69,13 +69,26 @@ object ScaleCheck {
     // token) so content-hash pipelines (minhash/simhash/fingerprints) do
     // not see k−1 verbatim twins of every document — cross-copy duplicate
     // structure would otherwise be an artifact of this harness, inflating
-    // LSH bucket sizes ~k× beyond what genuine scale-up produces
+    // LSH bucket sizes ~k× beyond what genuine scale-up produces.
+    // Embeddings get the same treatment via a per-copy dimension ROTATION
+    // (copy i rotates the vector by i positions): a coordinate
+    // permutation preserves every within-copy cosine and norm exactly
+    // (per-copy edge structure stays identical to base) while cross-copy
+    // sign patterns decorrelate — without it, every vector would have
+    // k−1 cosine-1.0 twins sharing ALL its g44 LSH bands, a quadratic
+    // candidate artifact no genuine 8× corpus produces.
     def scaled(df: DataFrame, idCols: Seq[String]): DataFrame =
       (0 until k).map { i =>
         val shifted = idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
-        if (df.columns.contains("text"))
-          shifted.withColumn("text", concat(col("text"), lit(s" copysalt$i")))
-        else shifted
+        val salted =
+          if (df.columns.contains("text"))
+            shifted.withColumn("text", concat(col("text"), lit(s" copysalt$i")))
+          else shifted
+        if (df.columns.contains("embedding") && i > 0)
+          salted.withColumn("embedding", expr(
+            s"concat(slice(embedding, ${i % 64} + 1, 64 - ${i % 64}), " +
+              s"slice(embedding, 1, ${i % 64}))"))
+        else salted
       }.reduce(_ union _)
 
     // materialize the scaled corpus (repartition → several parquet files,

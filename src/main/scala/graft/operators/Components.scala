@@ -178,6 +178,14 @@ object Components {
     val idCol = nodes.columns.head
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     if (debug) println("[cc] building und")
+    // materialize the edge list ONCE before contraction: pass 1's
+    // repartitionByRange runs a range-SAMPLING job over its input before
+    // the shuffle, so an unmaterialized edge plan executes twice — and
+    // every CC caller derives edges from an expensive pipeline (banded
+    // LSH joins, similarity verification, window ranks). Measured on
+    // g44's LSH edge set: ~1.7 s of duplicated derivation saved for one
+    // cheap (s, d)-pair materialization (16 B/row at any graph size).
+    val edgesMat = freshStatsCheckpoint(edges)
     // components over (node, local-rep) pairs ≡ components over the raw
     // edges: a partition's UF links exactly the nodes its edges connect,
     // and the pairs connect those nodes through their local rep.
@@ -195,7 +203,7 @@ object Components {
     // cut the 8× sf0.1 join loop from ~5 rounds to ~2, pass 3 cut sf0.1
     // from 3 to 2 — each pass is one linear mapPartitions over the
     // (much smaller) pair set, each saved round is two scheduled jobs.
-    val pass1 = localContract(edges, contractParts)
+    val pass1 = localContract(edgesMat, contractParts)
     val pass2 = localContract(pass1.select(col("lrep"), col("doc")), contractParts)
     // pass 3 keys by NODE id again: pass 2 merged chains at their reps,
     // which re-labels nodes into fewer, smaller-id reps — re-keying by

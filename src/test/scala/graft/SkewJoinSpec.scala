@@ -58,6 +58,26 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveSalts sizes from the observed hot-key multiplicity") {
+    import spark.implicits._
+    // hot key 42 carries 10k rows; everything else is singleton
+    val hot = ((1 to 10000).map(_ => 42L) ++ (1L to 500L).map(_ + 100L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "p")
+    // ceil(10000 / 1500) = 7 buckets for the hot key
+    assert(SkewJoin.adaptiveSalts(hot, "k", rowsPerSalt = 1500) === 7)
+    // clamped by maxSalts when the hot key dwarfs the capacity
+    assert(SkewJoin.adaptiveSalts(hot, "k", rowsPerSalt = 10, maxSalts = 64)
+      === 64)
+    // an unskewed input derives 1 — salting a uniform join only pays
+    // replication cost, so "don't salt" is the correct sizing
+    val uniform = (1L to 2000L).map(k => (k, k)).toDF("k", "p")
+    assert(SkewJoin.adaptiveSalts(uniform, "k", rowsPerSalt = 1500) === 1)
+    // the salted join with a derived count still returns the plain rows
+    val dim = Seq((42L, "x"), (101L, "y")).toDF("k", "name")
+    val s = SkewJoin.adaptiveSalts(hot, "k", rowsPerSalt = 1500)
+    assert(SkewJoin.saltedJoin(hot, dim, "k", s).count() === 10001L)
+  }
+
   test("salt spreads a single hot key across all salt values") {
     import spark.implicits._
     // one key carries 10k rows — the shape AQE cannot split per-key

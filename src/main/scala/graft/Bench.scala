@@ -2,19 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** JSON string escape: backslash, quote, and ALL control chars (<0x20) —
-    * error messages can carry newlines/tabs from exception text, which
-    * would otherwise break the driver's json parse (Verify's rule).
-    */
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  // error messages can carry newlines/tabs from exception text, which
+  // would otherwise break the driver's json parse — Protocol holds the
+  // one escape rule shared with Verify's oracle_sql.json
+  private def jq(s: String): String = Protocol.jsonString(s)
 
   // Locale.ROOT: the f-interpolator uses the JVM default locale, which
   // can render "54,693" under a comma-decimal locale — invalid JSON,

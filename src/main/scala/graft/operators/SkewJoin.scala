@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Salt count derived from the OBSERVED hot-key histogram (r12's
+    * max_key_n statistic, computed the same way): the heaviest key's row
+    * count divided by `rowsPerSalt` — the rows one salt bucket (= one
+    * task's share of the hot key) should own — clamped to [1, maxSalts].
+    * On an unskewed input this correctly returns 1 (salting a uniform
+    * join only pays replication cost), and an EMPTY input likewise derives
+    * 1 (max over no groups is NULL — coalesced, not crashed). At 100 TB
+    * `rowsPerSalt` is sized from executor memory / row width, and
+    * maxSalts bounds the small-side replication factor. One partial+final
+    * aggregate over the key column — the exact pre-flight pass r12
+    * reports.
+    */
+  def adaptiveSalts(large: DataFrame, key: String, rowsPerSalt: Long,
+      maxSalts: Int = 64): Int = {
+    require(rowsPerSalt > 0 && maxSalts > 0)
+    val hot = large.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    math.max(1L, math.min(maxSalts.toLong,
+      (hot + rowsPerSalt - 1) / rowsPerSalt)).toInt
+  }
+
   /** Inner equi-join `large ⋈ small` on `key`, salted `salts` ways.
     * The salt mixes the row content with the row's physical position
     * (partition id + per-partition index): content-only hashing fails on
@@ -31,25 +52,6 @@ object SkewJoin {
     * land in which salt bucket); the join RESULT is unaffected — every
     * matching (large, small) pair still matches on exactly one salt.
     */
-  /** Salt count derived from the OBSERVED hot-key histogram (r12's
-    * max_key_n statistic, computed the same way): the heaviest key's row
-    * count divided by `rowsPerSalt` — the rows one salt bucket (= one
-    * task's share of the hot key) should own — clamped to [1, maxSalts].
-    * On an unskewed input this correctly returns 1 (salting a uniform
-    * join only pays replication cost); at 100 TB `rowsPerSalt` is sized
-    * from executor memory / row width, and maxSalts bounds the small-side
-    * replication factor. One partial+final aggregate over the key column
-    * — the exact pre-flight pass r12 reports.
-    */
-  def adaptiveSalts(large: DataFrame, key: String, rowsPerSalt: Long,
-      maxSalts: Int = 64): Int = {
-    require(rowsPerSalt > 0 && maxSalts > 0)
-    val hot = large.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0)
-    math.max(1L, math.min(maxSalts.toLong,
-      (hot + rowsPerSalt - 1) / rowsPerSalt)).toInt
-  }
-
   def saltedJoin(large: DataFrame, small: DataFrame,
       key: String, salts: Int): DataFrame = {
     require(salts > 0)

@@ -16,13 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Sessions whose events-reading confs are already pinned. Weak keys:
-    * a stopped session must not be retained by this registry. */
-  private val initialized =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-
-  /** One-per-session conf initialization for events reads (SURVEY §1.3):
+  /** Conf invariants for events reads, asserted by VALUE (SURVEY §1.3):
     *  - `nanosAsLong`: the ns-vintage corpus writes parquet
     *    TIMESTAMP(NANOS), which Spark only reads under this legacy flag
     *    (as epoch-ns bigint) — there is no per-read DataFrameReader
@@ -30,18 +24,23 @@ object Tables {
     *  - session timeZone=UTC: the µs-vintage NTZ→epoch cast applies the
     *    session zone, and the DuckDB oracle computes from the same naive
     *    column in UTC.
-    * Previously both confs were re-set on EVERY events read; conf writes
-    * in the per-read path are a cross-query contamination hazard (the
-    * a20 lesson) and planner-cache noise. Now the first events read per
-    * SparkSession pins them once; entries are weak so stopped sessions
-    * are not retained. Callers that build their own sessions (Bench,
-    * Verify, tests, streaming jobs) all funnel through here.
+    * Conf WRITES in the per-read path are a cross-query contamination
+    * hazard (the a20 lesson) and planner-cache noise — but a write-once
+    * session REGISTRY records that the confs were set, not that they are
+    * still CORRECT: any later code that mutates session timeZone would
+    * silently shift every subsequent µs-vintage events read. So each
+    * read checks the VALUES (two cheap SQLConf map lookups, no planner
+    * effect) and writes only on drift — steady state performs zero conf
+    * writes, and a mutated session self-heals on its next events read.
+    * Callers that build their own sessions (Bench, Verify, tests,
+    * streaming jobs) all funnel through here.
     */
   private[graft] def ensureEventsConf(spark: SparkSession): Unit = {
-    if (initialized.containsKey(spark)) return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    initialized.put(spark, java.lang.Boolean.TRUE)
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** Read one table. The `events.ts` column has shipped in two vintages of

@@ -72,6 +72,11 @@ class SkewJoinSpec extends SparkSpec {
     // replication cost, so "don't salt" is the correct sizing
     val uniform = (1L to 2000L).map(k => (k, k)).toDF("k", "p")
     assert(SkewJoin.adaptiveSalts(uniform, "k", rowsPerSalt = 1500) === 1)
+    // EMPTY input: max over no groups is NULL — the coalesce derives the
+    // benign 1, it must not NPE (a filtered-to-empty fact table is a
+    // routine pre-flight input, e.g. a day-partition with no data yet)
+    assert(SkewJoin.adaptiveSalts(uniform.where(lit(false)), "k",
+      rowsPerSalt = 1500) === 1)
     // the salted join with a derived count still returns the plain rows
     val dim = Seq((42L, "x"), (101L, "y")).toDF("k", "name")
     val s = SkewJoin.adaptiveSalts(hot, "k", rowsPerSalt = 1500)

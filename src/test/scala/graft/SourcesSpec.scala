@@ -93,4 +93,18 @@ class SourcesSpec extends SparkSpec {
     assert(physical.contains("PartitionFilters: [isnotnull(lang"),
       s"no partition pruning in plan:\n$physical")
   }
+
+  test("events conf invariants self-heal after a session mutation") {
+    // ensureEventsConf asserts conf VALUES, not "was set once": a later
+    // query that mutates session timeZone (the conf-leak class a20 was
+    // fixed for) must be healed by the NEXT events read, or every
+    // µs-vintage NTZ→epoch cast silently shifts by the zone offset
+    val conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      Tables.ensureEventsConf(spark)
+      assert(conf.get("spark.sql.session.timeZone") === "UTC")
+      assert(conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
+    } finally conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }

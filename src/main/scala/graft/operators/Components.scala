@@ -106,18 +106,15 @@ object Components {
       loopShufflePartitions: Option[Int] = None,
       jumpsPerRound: Int = 2): DataFrame = {
     require(jumpsPerRound >= 1)
-    val spark = nodes.sparkSession
-    val oldShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    // localContract's partition count is captured BEFORE the loop narrows
-    // shuffle.partitions: the contraction's per-partition union-find memory
-    // is bounded by the partition's node set, so it must use the SESSION
-    // sizing (e.g. 32), not the label-loop's deliberately-small count —
-    // at scale the narrowed count would concentrate the edges' nodes
-    // into a handful of in-memory maps.
-    val contractParts = oldShuffle.toInt
-    try connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound,
+    // localContract's per-partition union-find memory is bounded by the
+    // partition's node set, so it must use the SESSION sizing (e.g. 32),
+    // not the label-loop's deliberately-small count — at scale the
+    // narrowed count would concentrate the edges' nodes into a handful
+    // of in-memory maps.
+    val contractParts =
+      nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound,
       contractParts, loopShufflePartitions)
-    finally spark.conf.set("spark.sql.shuffle.partitions", oldShuffle)
   }
 
   /** Phase 1 — partition-local contraction: union-find over each
@@ -238,18 +235,31 @@ object Components {
     val labelRows = init.getLong(1)
     // everything above (contraction, und, seed labels) ran at the SESSION
     // shuffle sizing; only the per-round loop joins below are re-sized.
-    // CONCURRENCY CAVEAT: the loop width is applied via the session-global
-    // shuffle.partitions conf (restored in the caller's `finally`), because
-    // per-round joins/aggregates have no per-DataFrame width knob that the
-    // planner honors without inserting an extra exchange per round. Any
-    // OTHER query planned on this SparkSession while the loop runs will
-    // plan its shuffles at the narrowed width — fine for this engine's
-    // one-query-at-a-time harness, but a concurrent-session deployment
-    // should give CC its own session (`spark.newSession()` shares the
-    // catalog but scopes the conf).
+    // The narrowed width is scoped to a CHILD session (shared
+    // SparkContext, shared cache; own SQLConf) instead of mutating the
+    // caller's session-global shuffle.partitions: per-round
+    // joins/aggregates have no per-DataFrame width knob the planner
+    // honors without an extra exchange per round, but a whole-session
+    // conf IS per-DataFrame-scopeable by building the loop's DataFrames
+    // against the child session — its checkpointed-RDD inputs are
+    // session-independent, so re-homing them is the same cheap
+    // InternalRow↔Row layer freshStatsCheckpoint already pays. Queries
+    // planned concurrently on the caller's session never see the loop
+    // width. newSession() starts from the builder/static confs, NOT the
+    // caller's runtime conf state — so the caller's modifiable confs are
+    // copied first (AQE toggles, broadcast thresholds, timezone... must
+    // mean the same thing inside the loop), then the width is overridden.
     val loopParts = loopShufflePartitions
       .getOrElse(loopPartitionsFor(labelRows, contractParts))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    val loopSession = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (loopSession.conf.isModifiable(k)) loopSession.conf.set(k, v)
+    }
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    def rehome(df: DataFrame, s: org.apache.spark.sql.SparkSession) =
+      s.createDataFrame(df.rdd, df.schema)
+    und = rehome(und, loopSession)
+    labels = rehome(labels, loopSession)
     if (debug) println(s"[cc] init sum=$lastSum rows=$labelRows loopParts=$loopParts")
     var converged = false
     var rounds = 0
@@ -322,6 +332,11 @@ object Components {
       }
     }
     lastRunNonEmptyRounds = nonEmptyRounds
-    labels.select(col("doc").as(idCol), col("rep"))
+    // re-home the result to the CALLER's session: downstream operators
+    // compose it with caller-session DataFrames and must plan at the
+    // caller's sizing, not the loop's. The underlying checkpointed RDD
+    // keeps the loop's partitioning (observable, and observed by
+    // ComponentsSpec); only the planning session changes.
+    rehome(labels, spark).select(col("doc").as(idCol), col("rep"))
   }
 }

@@ -43,10 +43,24 @@ object StreamingJobs {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     graft.sources.Tables.ensureEventsConf(spark)
     val footer = eventsSchema(spark, sfDir)
-    val raw = spark.readStream
-      .schema(footer)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    // `events.parquet` is a single FILE in the driver corpus but a
+    // DIRECTORY of part-files in any written-out corpus (ScaleCheck's 8x
+    // replica, a real table) — and the two layouts need different stream
+    // paths: the file source's basePath must be a directory (a file path
+    // throws), while a `pathGlobFilter=events.parquet` on the parent dir
+    // matches no leaf file in the directory layout and the stream
+    // silently drains EMPTY (caught by the 8x scale audit). So: stream
+    // the table path when it is a directory, else the parent dir
+    // filtered to the table file. Local-FS check is fine here — on a
+    // cluster this corpus loader is the component you replace with a
+    // catalog table / Kafka source anyway (class doc).
+    val tablePath = s"$sfDir/events.parquet"
+    val raw =
+      if (new java.io.File(tablePath).isDirectory)
+        spark.readStream.schema(footer).parquet(tablePath)
+      else
+        spark.readStream.schema(footer)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val ns = footer("ts").dataType match {
       case LongType => raw // ns vintage: already epoch-ns
       case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))

@@ -5,36 +5,65 @@ Usage: python3 tools/benchdiff.py OLD.json NEW.json [ratio_threshold]
 
 Each input is the two-line Bench output (or just its first line): the
 line whose JSON has "detail":"per_query" carries the per-key seconds.
-Prints keys whose NEW/OLD ratio exceeds the threshold (default 1.5) and
-keys present on only one side, so a round-over-round regression or an
-accidentally dropped key is one command away instead of a by-eye diff
-of 260+ numbers.
+The driver's recorded BENCH_r{N}.json (one object with a truncated
+"tail" of stdout) is also accepted: per-key pairs are recovered from
+the tail fragment and the side is marked PARTIAL, which disables the
+dropped-key check (a key absent from a truncated record proves
+nothing). Prints keys whose NEW/OLD ratio exceeds the threshold
+(default 1.5) and keys present on only one side, so a round-over-round
+regression or an accidentally dropped key is one command away instead
+of a by-eye diff of 260+ numbers.
 
 Exit code: 0 if nothing flagged, 1 otherwise (usable as a CI gate).
 """
 import json
+import re
 import sys
 
 
 def load(path):
+    tail = None
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
+        text = f.read()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("detail") == "per_query":
+            return d["queries"], d.get("errors", {}), False
+        if "tail" in d:
+            tail = d["tail"]
+    if tail is None:
+        # driver records may be pretty-printed (multi-line object)
+        try:
+            d = json.loads(text)
             if d.get("detail") == "per_query":
-                return d["queries"], d.get("errors", {})
+                return d["queries"], d.get("errors", {}), False
+            tail = d.get("tail")
+        except json.JSONDecodeError:
+            pass
+    if tail is not None:
+        qs = {k: float(v)
+              for k, v in re.findall(r'"([a-z]\d+_\w+)":([0-9.]+)', tail)}
+        if qs:
+            return qs, {}, True
     raise SystemExit(f"{path}: no per_query line found")
 
 
 def main():
-    (old, old_errs), (new, new_errs) = load(sys.argv[1]), load(sys.argv[2])
+    old, old_errs, old_partial = load(sys.argv[1])
+    new, new_errs, new_partial = load(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     flagged = False
+    if old_partial or new_partial:
+        sides = [s for s, p in (("OLD", old_partial), ("NEW", new_partial))
+                 if p]
+        print(f"note: {'/'.join(sides)} recovered from a truncated driver "
+              f"record — totals and key presence are partial")
     # a key in `errors` FAILED during the bench run — that is always a
     # flag, and louder than any timing mover
     if new_errs:
@@ -46,10 +75,10 @@ def main():
         print(f"errors fixed ({len(fixed)}): {', '.join(fixed)}")
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
-    if only_old:
+    if only_old and not new_partial:
         flagged = True
         print(f"dropped keys ({len(only_old)}): {', '.join(only_old)}")
-    if only_new:
+    if only_new and not old_partial:
         print(f"new keys ({len(only_new)}): {', '.join(only_new)}")
     movers = []
     for k in sorted(set(old) & set(new)):

@@ -616,14 +616,28 @@ object Dedup {
     (spark, dir) =>
     import spark.implicits._
     val base = snapDir(dir)
+    // The Jaccard pair table is INDEPENDENT of the simhash→verdict chain,
+    // so its write is submitted concurrently (plain multi-threaded job
+    // submission — Spark's scheduler interleaves the two job DAGs over
+    // the same executors; at cluster scale this is how a pipeline keeps
+    // the cluster busy during a sink flush). Safe against the verdict
+    // build's Components label loop specifically because that loop scopes
+    // its narrowed shuffle width to a child session — before that fix a
+    // concurrent query here would have planned at the loop's width.
+    val jaccF = scala.concurrent.Future {
+      jaccPairsDf(spark, dir)
+        .write.mode("overwrite").parquet(s"$base/jacc_pairs")
+    }(scala.concurrent.ExecutionContext.global)
     simhashPairsDf(spark, dir)
       .write.mode("overwrite").parquet(s"$base/simhash_pairs")
-    jaccPairsDf(spark, dir)
-      .write.mode("overwrite").parquet(s"$base/jacc_pairs")
     // the verdict build itself READS the just-written pair snapshot
     // (exercising the consumer path inside the graded key)
     survivorshipDf(spark, dir)
       .write.mode("overwrite").parquet(s"$base/verdicts")
+    // rethrows a failed jacc write — a half-written snapshot dir must
+    // fail the key, not surface later as a missing-_SUCCESS fallback
+    scala.concurrent.Await.result(jaccF,
+      scala.concurrent.duration.Duration.Inf)
     spark.read.parquet(s"$base/verdicts")
       .select($"doc_id", $"comp", $"survivor_id", $"is_survivor")
       .orderBy("doc_id")

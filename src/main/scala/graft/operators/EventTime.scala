@@ -1496,10 +1496,10 @@ object EventTime {
       .orderBy($"user_id")
   }
 
-  // distinct in-memory sink per h34 invocation: a memory-sink query name
-  // is a registered temp view, and a re-run (RunOne's two timed passes,
-  // a bench after a verify in one JVM) must not collide with a finished
-  // query's still-registered table
+  // distinct in-memory sink per streaming-key invocation (h34/h35 share
+  // the counter): a memory-sink query name is a registered temp view, and
+  // a re-run (RunOne's two timed passes, a bench after a verify in one
+  // JVM) must not collide with a finished query's still-registered table
   private val h34Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   // h34 — STRUCTURED STREAMING PARITY, graded end-to-end: the events
@@ -1537,7 +1537,62 @@ object EventTime {
       .orderBy("day_start")
   }
 
+  // h35 — STATEFUL STREAMING PARITY (session windows), the second graded
+  // streaming row next to h34's stateless tumbling windows: the events
+  // file stream grouped by the native `session_window` (1-hour inactivity
+  // gap) with watermarked state, drained by AvailableNow, and the SINK
+  // graded against a DuckDB oracle. The oracle restates session_window's
+  // MERGE rule — an event merges into a session only while it strictly
+  // overlaps [start, last_ts + gap), so a gap EXACTLY equal to the
+  // timeout starts a NEW session — hence `>= INTERVAL 1 HOUR` in the
+  // new-session flag, deliberately different from h3's lag-rule `>`
+  // (the two semantics agree except at the exact boundary; grading both
+  // keys pins each definition independently). session_end is
+  // last_ts + gap by the same definition, restated as max(ts) + 1 HOUR.
+  // Scale notes: session state is evicted once the watermark passes a
+  // session's close, so state is bounded by ACTIVE sessions, not the
+  // corpus; the memory sink holds one row per session — a real
+  // deployment writes append-mode to a table sink as windows finalize.
+  private val h35 = graded(
+    "h35_stream_session_parity",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 1 HOUR AS session_end,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sink = s"h35_sink_${h34Runs.incrementAndGet()}"
+    val q = graft.streaming.StreamingJobs
+      .sessionCounts(graft.streaming.StreamingJobs.readEvents(spark, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          s"h35 stream did not drain within 300 s (sink $sink)")
+    } finally q.stop()
+    spark.table(sink)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .orderBy("user_id", "session_start")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31, h32, h33, h34)
+    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35)
 }

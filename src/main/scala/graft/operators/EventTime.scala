@@ -1592,7 +1592,47 @@ object EventTime {
       .orderBy("user_id", "session_start")
   }
 
+  // h36 — STREAM-STREAM JOIN PARITY, the third graded streaming row and
+  // the hardest streaming surface: view→purchase attribution as a
+  // watermarked stream-stream INTERVAL join (both sides time-bounded, so
+  // buffered join state is evictable — StreamingJobs.attributionJoin's
+  // scale contract), drained by AvailableNow in append mode (an inner
+  // stream-stream join emits every pair once both rows have arrived; on
+  // a finite stream that is ALL pairs), and the sink graded against the
+  // plain batch interval join in DuckDB. With h34 (stateless agg) and
+  // h35 (stateful session windows) this grades the full streaming
+  // triad. `value` rides through ungraded-side-effect-free: it is a raw
+  // per-row pass-through, not an aggregate, so no summation-order
+  // hazard (the DialectNotes raw-double rule targets Σ, not projection).
+  private val h36 = graded(
+    "h36_stream_join_parity",
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  v.ts AS v_ts, p.ts AS p_ts, p.value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |ORDER BY view_id, purchase_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sink = s"h36_sink_${h34Runs.incrementAndGet()}"
+    val q = graft.streaming.StreamingJobs
+      .attributionJoin(graft.streaming.StreamingJobs.readEvents(spark, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          s"h36 stream did not drain within 300 s (sink $sink)")
+    } finally q.stop()
+    spark.table(sink)
+      .select($"user_id", $"view_id", $"purchase_id", $"v_ts", $"p_ts",
+        $"value")
+      .orderBy("view_id", "purchase_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35)
+    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36)
 }

@@ -60,7 +60,8 @@ object ScaleCheck {
       // snapshot-READ path instead of its inline plan — last position
       // keeps every other key's ratio meaning unchanged.
       "h34_stream_tumbling_parity", "h35_stream_session_parity",
-      "h36_stream_join_parity", "a21_verdict_snapshot")
+      "h36_stream_join_parity", "h37_stream_state_parity",
+      "a21_verdict_snapshot")
     val out = s"/tmp/graft_scale_${k}x"
 
     val spark = SparkSession.builder()

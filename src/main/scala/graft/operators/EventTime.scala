@@ -1632,7 +1632,52 @@ object EventTime {
       .orderBy("view_id", "purchase_id")
   }
 
+  // h37 — ARBITRARY-STATEFUL STREAMING PARITY (flatMapGroupsWithState),
+  // the fourth graded streaming row: the per-user gap monitor runs as a
+  // custom state machine (state = last event's µs order key + running
+  // (gap count, max gap), carried ACROSS micro-batches so a gap
+  // straddling a batch boundary still counts), and the final per-user
+  // state is graded against a lag-window closure in DuckDB. Chosen over
+  // the z-score twin deliberately: this monitor's state is all INTEGER
+  // µs arithmetic, so stream ≡ batch is bit-exact by construction (a
+  // float-stddev state machine would hinge on ulp agreement between two
+  // summation orders — un-gradable by hash). Update-mode emissions are
+  // folded with max() per user — both counters are monotone, so max =
+  // final state regardless of how many micro-batches emitted.
+  // single-event users emit (0, 0), hence the coalesce in the oracle.
+  private val h37 = graded(
+    "h37_stream_state_parity",
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, count(prev) AS n_gaps,
+      |  coalesce(max(us - prev), 0) AS max_gap_us
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sink = s"h37_sink_${h34Runs.incrementAndGet()}"
+    val q = graft.streaming.StreamingJobs
+      .maxGapMonitor(graft.streaming.StreamingJobs.readEvents(spark, dir))
+      .toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          s"h37 stream did not drain within 300 s (sink $sink)")
+    } finally q.stop()
+    spark.table(sink)
+      .groupBy($"user_id")
+      .agg(max($"n_gaps").as("n_gaps"),
+        max($"max_gap_us").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36)
+    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37)
 }

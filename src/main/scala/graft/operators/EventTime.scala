@@ -1496,11 +1496,34 @@ object EventTime {
       .orderBy($"user_id")
   }
 
-  // distinct in-memory sink per streaming-key invocation (h34/h35 share
-  // the counter): a memory-sink query name is a registered temp view, and
-  // a re-run (RunOne's two timed passes, a bench after a verify in one
-  // JVM) must not collide with a finished query's still-registered table
-  private val h34Runs = new java.util.concurrent.atomic.AtomicLong(0)
+  // distinct in-memory sink per streaming-key invocation (all four
+  // graded streaming keys share the counter): a memory-sink query name is
+  // a registered temp view, and a re-run (RunOne's two timed passes, a
+  // bench after a verify in one JVM) must not collide with a finished
+  // query's still-registered table
+  private val streamSinkRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drain a streaming job into a uniquely-named in-memory sink with
+    * AvailableNow and return the sink table — the ONE definition of the
+    * graded streaming keys' (h34–h37) drain mechanics, so the timeout,
+    * the failure message and the stop-in-`finally` semantics cannot
+    * drift between the four parity keys.
+    */
+  private def drainToMemorySink(df: org.apache.spark.sql.DataFrame,
+      keyName: String, mode: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val sink = s"${keyName}_sink_${streamSinkRuns.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          s"$keyName stream did not drain within 300 s (sink $sink)")
+    } finally q.stop()
+    spark.table(sink)
+  }
 
   // h34 — STRUCTURED STREAMING PARITY, graded end-to-end: the events
   // table is consumed as a FILE STREAM (readStream + AvailableNow — the
@@ -1520,19 +1543,9 @@ object EventTime {
   private val h34 = graded("h34_stream_tumbling_parity", tumblingOracle) {
     (spark, dir) =>
     import spark.implicits._
-    val sink = s"h34_sink_${h34Runs.incrementAndGet()}"
-    val q = graft.streaming.StreamingJobs
-      .tumblingCounts(graft.streaming.StreamingJobs.readEvents(spark, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      if (!q.awaitTermination(300000))
-        throw new IllegalStateException(
-          s"h34 stream did not drain within 300 s (sink $sink)")
-    } finally q.stop()
-    spark.table(sink)
+    drainToMemorySink(graft.streaming.StreamingJobs
+      .tumblingCounts(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      "h34", "complete")
       .select($"win_start".as("day_start"), $"n_events", $"sum_cents")
       .orderBy("day_start")
   }
@@ -1541,24 +1554,24 @@ object EventTime {
   // streaming row next to h34's stateless tumbling windows: the events
   // file stream grouped by the native `session_window` (1-hour inactivity
   // gap) with watermarked state, drained by AvailableNow, and the SINK
-  // graded against a DuckDB oracle. The oracle restates session_window's
-  // MERGE rule — an event merges into a session only while it strictly
-  // overlaps [start, last_ts + gap), so a gap EXACTLY equal to the
-  // timeout starts a NEW session — hence `>= INTERVAL 1 HOUR` in the
-  // new-session flag, deliberately different from h3's lag-rule `>`
-  // (the two semantics agree except at the exact boundary; grading both
-  // keys pins each definition independently). session_end is
-  // last_ts + gap by the same definition, restated as max(ts) + 1 HOUR.
-  // Scale notes: session state is evicted once the watermark passes a
-  // session's close, so state is bounded by ACTIVE sessions, not the
-  // corpus; the memory sink holds one row per session — a real
-  // deployment writes append-mode to a table sink as windows finalize.
+  // graded against a DuckDB oracle. session_window's merge rule was
+  // probed empirically (the windows [ts, ts+gap) of consecutive events
+  // merge when next_ts <= last_ts + gap, INCLUSIVE — two events exactly
+  // one gap apart form ONE session), so a new session starts iff the gap
+  // STRICTLY exceeds the timeout: exactly h3's lag-rule `>`. The oracle
+  // restates that rule as an independent lag-CTE closure grouped into
+  // sessions, with session_end = last_ts + gap restated as
+  // max(ts) + 1 HOUR. Scale notes: session state is evicted once the
+  // watermark passes a session's close, so state is bounded by ACTIVE
+  // sessions, not the corpus; the memory sink holds one row per
+  // session — a real deployment writes append-mode to a table sink as
+  // windows finalize.
   private val h35 = graded(
     "h35_stream_session_parity",
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+      |           OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1575,19 +1588,9 @@ object EventTime {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val sink = s"h35_sink_${h34Runs.incrementAndGet()}"
-    val q = graft.streaming.StreamingJobs
-      .sessionCounts(graft.streaming.StreamingJobs.readEvents(spark, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      if (!q.awaitTermination(300000))
-        throw new IllegalStateException(
-          s"h35 stream did not drain within 300 s (sink $sink)")
-    } finally q.stop()
-    spark.table(sink)
+    drainToMemorySink(graft.streaming.StreamingJobs
+      .sessionCounts(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      "h35", "complete")
       .select($"user_id", $"session_start", $"session_end", $"n_events")
       .orderBy("user_id", "session_start")
   }
@@ -1604,6 +1607,13 @@ object EventTime {
   // triad. `value` rides through ungraded-side-effect-free: it is a raw
   // per-row pass-through, not an aggregate, so no summation-order
   // hazard (the DialectNotes raw-double rule targets Σ, not projection).
+  // Grading caveat shared with h37: on this harness AvailableNow drains
+  // the fixture in ONE micro-batch (no maxFilesPerTrigger), so no pair
+  // can be lost to watermark eviction before its partner arrives. A
+  // multi-batch deployment with files NOT ordered by event time must
+  // size the watermark from the observed lateness (the h13 profile) or
+  // late rows are silently dropped — the same buffer-sizing caveat
+  // rollingZscore documents for the stateful monitors.
   private val h36 = graded(
     "h36_stream_join_parity",
     """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
@@ -1614,19 +1624,9 @@ object EventTime {
       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
       |ORDER BY view_id, purchase_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val sink = s"h36_sink_${h34Runs.incrementAndGet()}"
-    val q = graft.streaming.StreamingJobs
-      .attributionJoin(graft.streaming.StreamingJobs.readEvents(spark, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      if (!q.awaitTermination(300000))
-        throw new IllegalStateException(
-          s"h36 stream did not drain within 300 s (sink $sink)")
-    } finally q.stop()
-    spark.table(sink)
+    drainToMemorySink(graft.streaming.StreamingJobs
+      .attributionJoin(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      "h36", "append")
       .select($"user_id", $"view_id", $"purchase_id", $"v_ts", $"p_ts",
         $"value")
       .orderBy("view_id", "purchase_id")
@@ -1636,15 +1636,20 @@ object EventTime {
   // the fourth graded streaming row: the per-user gap monitor runs as a
   // custom state machine (state = last event's µs order key + running
   // (gap count, max gap), carried ACROSS micro-batches so a gap
-  // straddling a batch boundary still counts), and the final per-user
-  // state is graded against a lag-window closure in DuckDB. Chosen over
-  // the z-score twin deliberately: this monitor's state is all INTEGER
-  // µs arithmetic, so stream ≡ batch is bit-exact by construction (a
-  // float-stddev state machine would hinge on ulp agreement between two
-  // summation orders — un-gradable by hash). Update-mode emissions are
-  // folded with max() per user — both counters are monotone, so max =
-  // final state regardless of how many micro-batches emitted.
-  // single-event users emit (0, 0), hence the coalesce in the oracle.
+  // straddling a batch boundary still counts — PROVIDED batches arrive
+  // in event-time order, which holds here because AvailableNow drains
+  // the fixture in one batch; a landing dir whose files interleave event
+  // time needs the watermark-buffered replay the rollingZscore doc
+  // prescribes, or a cross-batch gap is computed against the wrong
+  // predecessor), and the final per-user state is graded against a
+  // lag-window closure in DuckDB. Chosen over the z-score twin
+  // deliberately: this monitor's state is all INTEGER µs arithmetic, so
+  // stream ≡ batch is bit-exact by construction (a float-stddev state
+  // machine would hinge on ulp agreement between two summation orders —
+  // un-gradable by hash). Update-mode emissions are folded with max()
+  // per user — both counters are monotone, so max = final state
+  // regardless of how many micro-batches emitted. Single-event users
+  // emit (0, 0), hence the coalesce in the oracle.
   private val h37 = graded(
     "h37_stream_state_parity",
     """WITH g AS (
@@ -1657,20 +1662,9 @@ object EventTime {
       |FROM g GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val sink = s"h37_sink_${h34Runs.incrementAndGet()}"
-    val q = graft.streaming.StreamingJobs
+    drainToMemorySink(graft.streaming.StreamingJobs
       .maxGapMonitor(graft.streaming.StreamingJobs.readEvents(spark, dir))
-      .toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try {
-      if (!q.awaitTermination(300000))
-        throw new IllegalStateException(
-          s"h37 stream did not drain within 300 s (sink $sink)")
-    } finally q.stop()
-    spark.table(sink)
+      .toDF(), "h37", "update")
       .groupBy($"user_id")
       .agg(max($"n_gaps").as("n_gaps"),
         max($"max_gap_us").as("max_gap_us"))

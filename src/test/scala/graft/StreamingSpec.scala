@@ -186,4 +186,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === batchDistinct)
     assert(out.count() === batchDistinct)
   }
+
+  test("session_window boundary rule: a gap exactly equal to the timeout MERGES") {
+    // h35's oracle encodes session_window's merge rule as `gap > timeout
+    // starts a new session`. No corpus fixture has a pair sitting exactly
+    // on the boundary (which is why an initial `>=` draft graded green
+    // while being boundary-wrong), so the rule is pinned here directly:
+    // consecutive windows [ts, ts+gap) merge when next_ts <= last_ts+gap
+    // INCLUSIVE — exactly-one-gap-apart is ONE session, one µs past the
+    // gap is two. If a Spark upgrade ever flips this, this test names the
+    // h35 oracle line that must flip with it.
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 01:00:00"),
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 01:00:00.000001"))
+      .toDF("u", "s").withColumn("ts", to_timestamp($"s"))
+    val sessions = df.groupBy($"u", session_window($"ts", "1 hour")).count()
+      .groupBy($"u").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) === 1L,
+      "exact-gap pair must MERGE (h35 oracle's new-session rule is >)")
+    assert(sessions(2L) === 2L,
+      "a gap one microsecond past the timeout must split")
+  }
 }

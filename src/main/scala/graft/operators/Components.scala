@@ -89,6 +89,27 @@ object Components {
     math.max(4L, math.min(sessionParts.toLong, needed)).toInt
   }
 
+  /** A child session sharing the SparkContext, catalog and cached data
+    * with `spark`, carrying all of spark's MODIFIABLE runtime confs
+    * (newSession() starts from builder/static confs, not the caller's
+    * runtime state — AQE toggles, broadcast thresholds, timezone must
+    * mean the same thing inside the scope), with `shuffle.partitions`
+    * overridden to `shufflePartitions`. The conf-scoping device the
+    * label loop runs under, exposed for any operator that needs a
+    * narrowed (or widened) planning width without mutating the caller's
+    * session — queries planned concurrently on the caller never see the
+    * scoped width.
+    */
+  def scopedSession(spark: org.apache.spark.sql.SparkSession,
+      shufflePartitions: Int): org.apache.spark.sql.SparkSession = {
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (child.conf.isModifiable(k)) child.conf.set(k, v)
+    }
+    child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    child
+  }
+
   /** @param nodes single-column DataFrame of node ids (long)
     * @param edges  two-column DataFrame of undirected edges; column names
     *               are taken positionally
@@ -245,17 +266,10 @@ object Components {
     // session-independent, so re-homing them is the same cheap
     // InternalRow↔Row layer freshStatsCheckpoint already pays. Queries
     // planned concurrently on the caller's session never see the loop
-    // width. newSession() starts from the builder/static confs, NOT the
-    // caller's runtime conf state — so the caller's modifiable confs are
-    // copied first (AQE toggles, broadcast thresholds, timezone... must
-    // mean the same thing inside the loop), then the width is overridden.
+    // width; [[scopedSession]] carries the caller's runtime confs in.
     val loopParts = loopShufflePartitions
       .getOrElse(loopPartitionsFor(labelRows, contractParts))
-    val loopSession = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      if (loopSession.conf.isModifiable(k)) loopSession.conf.set(k, v)
-    }
-    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val loopSession = scopedSession(spark, loopParts)
     def rehome(df: DataFrame, s: org.apache.spark.sql.SparkSession) =
       s.createDataFrame(df.rdd, df.schema)
     und = rehome(und, loopSession)

@@ -1503,6 +1503,29 @@ object EventTime {
   // query's still-registered table
   private val streamSinkRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Session for a graded streaming key, with the STATE-STORE width
+    * sized from the observed events row count: a stateful streaming
+    * query keeps one state store per shuffle partition per stateful
+    * operator side, and at small input volume the per-partition snapshot
+    * IO dominates wall-clock (measured: h36 6.0 s at 32 partitions vs
+    * 2.8 s at 8, on 100k events) while a corpus-sized stream needs the
+    * full width — exactly the Components label-loop sizing problem, so
+    * the SAME rule applies (loopPartitionsFor: ~50k rows/task, floor 4,
+    * cap = the session setting = the user's cluster-wide knob), scoped
+    * the same way ([[graft.operators.Components.scopedSession]]: child
+    * session, the caller's conf is never touched). The row count is one
+    * metadata-cheap parquet count. A real deployment sizes this from
+    * expected per-batch volume; the checkpoint pins it for the query's
+    * life either way.
+    */
+  private def streamSession(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.SparkSession = {
+    val rows = Tables(spark, dir, "events").count()
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    graft.operators.Components.scopedSession(spark,
+      graft.operators.Components.loopPartitionsFor(rows, sessionParts))
+  }
+
   /** Drain a streaming job into a uniquely-named in-memory sink with
     * AvailableNow and return the sink table — the ONE definition of the
     * graded streaming keys' (h34–h37) drain mechanics, so the timeout,
@@ -1544,7 +1567,8 @@ object EventTime {
     (spark, dir) =>
     import spark.implicits._
     drainToMemorySink(graft.streaming.StreamingJobs
-      .tumblingCounts(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      .tumblingCounts(graft.streaming.StreamingJobs
+        .readEvents(streamSession(spark, dir), dir)),
       "h34", "complete")
       .select($"win_start".as("day_start"), $"n_events", $"sum_cents")
       .orderBy("day_start")
@@ -1589,7 +1613,8 @@ object EventTime {
       |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     drainToMemorySink(graft.streaming.StreamingJobs
-      .sessionCounts(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      .sessionCounts(graft.streaming.StreamingJobs
+        .readEvents(streamSession(spark, dir), dir)),
       "h35", "complete")
       .select($"user_id", $"session_start", $"session_end", $"n_events")
       .orderBy("user_id", "session_start")
@@ -1625,7 +1650,8 @@ object EventTime {
       |ORDER BY view_id, purchase_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     drainToMemorySink(graft.streaming.StreamingJobs
-      .attributionJoin(graft.streaming.StreamingJobs.readEvents(spark, dir)),
+      .attributionJoin(graft.streaming.StreamingJobs
+        .readEvents(streamSession(spark, dir), dir)),
       "h36", "append")
       .select($"user_id", $"view_id", $"purchase_id", $"v_ts", $"p_ts",
         $"value")
@@ -1663,7 +1689,8 @@ object EventTime {
       |ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     drainToMemorySink(graft.streaming.StreamingJobs
-      .maxGapMonitor(graft.streaming.StreamingJobs.readEvents(spark, dir))
+      .maxGapMonitor(graft.streaming.StreamingJobs
+        .readEvents(streamSession(spark, dir), dir))
       .toDF(), "h37", "update")
       .groupBy($"user_id")
       .agg(max($"n_gaps").as("n_gaps"),

@@ -61,6 +61,7 @@ object ScaleCheck {
       // keeps every other key's ratio meaning unchanged.
       "h34_stream_tumbling_parity", "h35_stream_session_parity",
       "h36_stream_join_parity", "h37_stream_state_parity",
+      "h38_stream_dedup_parity", "g85_dup_transitivity",
       "a21_verdict_snapshot")
     val out = s"/tmp/graft_scale_${k}x"
 

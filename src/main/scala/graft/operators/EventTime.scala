@@ -1708,7 +1708,46 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  // h38 — STREAMING INGEST DEDUP PARITY, the fifth graded streaming row
+  // and the one that completes the family with the training-pipeline
+  // ingest shape: an at-least-once delivery is simulated by reading the
+  // events table as TWO independent file streams and unioning them
+  // (every event arrives exactly twice, the redelivery worst case), then
+  // `dropDuplicatesWithinWatermark("event_id")` — the streaming twin of
+  // batch exact dedup g1 — collapses each event back to ONE row, and the
+  // append-mode sink is graded against the plain events table in DuckDB
+  // (event_id is unique in the corpus, so "dedup of 2× events ≡ events"
+  // is exact, not statistical). Scale notes: this is the operator that
+  // makes streaming ingest idempotent at 100 TB — plain
+  // `dropDuplicates` keeps one state row per key FOREVER (state grows
+  // with the corpus and the query eventually OOMs), while the
+  // WithinWatermark variant evicts a key's state once the watermark
+  // passes its event time, bounding state by the redelivery horizon
+  // (here 1 h) × arrival rate, independent of corpus size. Grading
+  // caveat shared with h36/h37: AvailableNow drains both source copies
+  // in ONE micro-batch, so no duplicate can arrive after its key's
+  // state was evicted; a deployment must size the watermark to the
+  // broker's actual redelivery window or a late duplicate re-emits.
+  private val h38 = graded(
+    "h38_stream_dedup_parity",
+    """SELECT event_id, user_id, ts, event_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    // two readEvents calls = two distinct source plans: a self-union of
+    // ONE source node would be collapsed to a single scan and deliver
+    // each row once, defeating the redelivery fixture
+    val redelivered = graft.streaming.StreamingJobs.readEvents(s, dir)
+      .unionAll(graft.streaming.StreamingJobs.readEvents(s, dir))
+    drainToMemorySink(
+      graft.streaming.StreamingJobs.dedupEvents(redelivered),
+      "h38", "append")
+      .select($"event_id", $"user_id", $"ts_us".as("ts"), $"event_type")
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37)
+    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38)
 }

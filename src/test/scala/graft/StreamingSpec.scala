@@ -187,6 +187,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === batchDistinct)
   }
 
+  test("h38 redelivery fixture: two unioned file streams deliver 2x, dedup restores 1x") {
+    // guards h38's load-bearing assumption: two SEPARATE readEvents calls
+    // union into an actual 2x delivery (if Spark ever collapsed the two
+    // identical source plans into one scan, h38 would grade a vacuous
+    // no-op dedup and this test names the failure)
+    val redelivered = StreamingJobs.readEvents(spark, sfDir)
+      .unionAll(StreamingJobs.readEvents(spark, sfDir))
+    runToMemory(redelivered, "h38_raw", "append")
+    val n = graft.sources.Tables.eventsUs(spark, sfDir).count()
+    assert(spark.table("h38_raw").count() === 2 * n,
+      "the union of two independent file streams must deliver every event twice")
+    val deduped = SparkEntry.queries("h38_stream_dedup_parity")(spark, sfDir)
+    assert(deduped.count() === n)
+    assert(deduped.select("event_id").distinct().count() === n)
+  }
+
   test("session_window boundary rule: a gap exactly equal to the timeout MERGES") {
     // h35's oracle encodes session_window's merge rule as `gap > timeout
     // starts a new session`. No corpus fixture has a pair sitting exactly

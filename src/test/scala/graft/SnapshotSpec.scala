@@ -29,12 +29,11 @@ class SnapshotSpec extends SparkSpec {
     inline.foreach { case (k, r) => assert(r.nonEmpty, s"$k empty inline") }
     // write the snapshots (the graded a21 round trip)
     assert(rows("a21_verdict_snapshot").nonEmpty)
-    // plan probe only for the keys whose lineage survives to the output:
-    // g46/g84 run the snapshot through Components, whose localCheckpoint
-    // truncates lineage to a LogicalRDD — the parquet scan is real but
-    // invisible in the final plan, so equality is their evidence
-    val planVisible = Set("g49_dedup_eval", "g81_dup_degree_dist",
-      "g82_quality_dup_matrix", "g83_source_pair_flow")
+    // every audit key is now plan-visible: g46/g84 read the VERDICT
+    // snapshot directly (no Components re-run whose localCheckpoint
+    // would truncate lineage to a LogicalRDD), the rest read the pair
+    // snapshots — so the inputFiles probe covers the whole family
+    val planVisible = auditKeys.toSet
     for (k <- auditKeys) {
       val df = SparkEntry.queries(k)(spark, sfDir)
       if (planVisible(k))

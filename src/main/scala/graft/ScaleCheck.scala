@@ -20,6 +20,10 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
+    // the per-copy embedding rotation cycles after 64 (the vector dim):
+    // copy 64 would be an UNROTATED twin of copy 0, reintroducing the
+    // cosine-1.0 LSH-band artifact the rotation exists to prevent
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
     val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val keys = if (args.length > 2) args.drop(2).toSeq else Seq(
       "d1_agg_group", "c2_join_sortmerge", "e1_win_rank", "h3_sessionize",

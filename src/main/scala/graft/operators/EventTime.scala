@@ -1496,7 +1496,7 @@ object EventTime {
       .orderBy($"user_id")
   }
 
-  // distinct in-memory sink per streaming-key invocation (all four
+  // distinct in-memory sink per streaming-key invocation (all five
   // graded streaming keys share the counter): a memory-sink query name is
   // a registered temp view, and a re-run (RunOne's two timed passes, a
   // bench after a verify in one JVM) must not collide with a finished
@@ -1535,7 +1535,7 @@ object EventTime {
 
   /** Drain a streaming job into a uniquely-named in-memory sink with
     * AvailableNow and return the sink table — the ONE definition of the
-    * graded streaming keys' (h34–h37) drain mechanics, so the timeout,
+    * graded streaming keys' (h34–h38) drain mechanics, so the timeout,
     * the failure message and the stop-in-`finally` semantics cannot
     * drift between the four parity keys.
     */

@@ -633,16 +633,28 @@ object Dedup {
       jaccPairsDf(spark, dir)
         .write.mode("overwrite").parquet(s"$base/jacc_pairs")
     }(scala.concurrent.ExecutionContext.global)
-    simhashPairsDf(spark, dir)
-      .write.mode("overwrite").parquet(s"$base/simhash_pairs")
-    // the verdict build itself READS the just-written pair snapshot
-    // (exercising the consumer path inside the graded key)
-    survivorshipDf(spark, dir)
-      .write.mode("overwrite").parquet(s"$base/verdicts")
-    // rethrows a failed jacc write — a half-written snapshot dir must
-    // fail the key, not surface later as a missing-_SUCCESS fallback
-    scala.concurrent.Await.result(jaccF,
-      scala.concurrent.duration.Duration.Inf)
+    // the await sits in a finally so a failure in the sequential chain
+    // below cannot ORPHAN the background write — an abandoned Future
+    // would keep submitting Spark jobs into whatever key the harness
+    // runs next, distorting its timing. When the chain failed first,
+    // its exception wins and the jacc outcome is deliberately ignored;
+    // on the success path Await rethrows a failed jacc write — a
+    // half-written snapshot dir must fail the key, not surface later
+    // as a missing-_SUCCESS fallback.
+    var chainFailed = true
+    try {
+      simhashPairsDf(spark, dir)
+        .write.mode("overwrite").parquet(s"$base/simhash_pairs")
+      // the verdict build itself READS the just-written pair snapshot
+      // (exercising the consumer path inside the graded key)
+      survivorshipDf(spark, dir)
+        .write.mode("overwrite").parquet(s"$base/verdicts")
+      chainFailed = false
+    } finally {
+      try scala.concurrent.Await.result(jaccF,
+        scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable => if (!chainFailed) throw e }
+    }
     spark.read.parquet(s"$base/verdicts")
       .select($"doc_id", $"comp", $"survivor_id", $"is_survivor")
       .orderBy("doc_id")

@@ -56,18 +56,33 @@ class PlanQualitySpec extends SparkSpec {
     "c21_join_spatial_grid", // two 3-row neighbor-offset dims crossed
     "g82_quality_dup_matrix") // 6-cell crosstab crossing the 1-row total
 
+  // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
+  // full streaming query; a21 writes three parquet snapshots) and whose
+  // returned frame is just a scan of the result (memory-sink table /
+  // snapshot read-back) — capturing their "plan" costs a full run and
+  // asserts nothing about the real pipeline. Their internal plan shapes
+  // are covered where they are visible: the streaming transforms are the
+  // SAME expressions as their batch twins (h1/h3/c19/h28/g1 — all netted
+  // here), and a21's builders are g16/g2/g46's plans (also netted here).
+  private val executesOnConstruct: Set[String] = Set(
+    "h34_stream_tumbling_parity", "h35_stream_session_parity",
+    "h36_stream_join_parity", "h37_stream_state_parity",
+    "h38_stream_dedup_parity", "a21_verdict_snapshot")
+
   // Per-key Try: a single broken loader must not cascade into every plan
   // assertion (see GradedQuerySpec's construction gate, which reports the
   // per-key failures; here broken keys are simply absent from `plans`).
-  private lazy val plans: Seq[(String, String)] = SparkEntry.all.flatMap { d =>
-    scala.util.Try(
-      d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString
-    ).toOption
-  }
+  private lazy val plans: Seq[(String, String)] = SparkEntry.all
+    .filterNot(d => executesOnConstruct(d.key)).flatMap { d =>
+      scala.util.Try(
+        d.key -> d.fn(spark, sfDir).queryExecution.executedPlan.toString
+      ).toOption
+    }
 
   test("all plans construct") {
-    assert(plans.size === SparkEntry.all.size,
-      s"${SparkEntry.all.size - plans.size} keys failed to construct — " +
+    val expected = SparkEntry.all.size - executesOnConstruct.size
+    assert(plans.size === expected,
+      s"${expected - plans.size} keys failed to construct — " +
         "see GradedQuerySpec's construction gate for per-key errors")
   }
 

@@ -29,16 +29,14 @@ class SnapshotSpec extends SparkSpec {
     inline.foreach { case (k, r) => assert(r.nonEmpty, s"$k empty inline") }
     // write the snapshots (the graded a21 round trip)
     assert(rows("a21_verdict_snapshot").nonEmpty)
-    // every audit key is now plan-visible: g46/g84 read the VERDICT
-    // snapshot directly (no Components re-run whose localCheckpoint
-    // would truncate lineage to a LogicalRDD), the rest read the pair
-    // snapshots — so the inputFiles probe covers the whole family
-    val planVisible = auditKeys.toSet
+    // every audit key is plan-visible: g46/g84 read the VERDICT snapshot
+    // directly (no Components re-run whose localCheckpoint would truncate
+    // lineage to a LogicalRDD), the rest read the pair snapshots — so the
+    // inputFiles probe applies to the whole family unconditionally
     for (k <- auditKeys) {
       val df = SparkEntry.queries(k)(spark, sfDir)
-      if (planVisible(k))
-        assert(df.inputFiles.exists(_.contains("graft_snapshots")),
-          s"$k did not read the snapshot after a21 wrote it")
+      assert(df.inputFiles.exists(_.contains("graft_snapshots")),
+        s"$k did not read the snapshot after a21 wrote it")
       assert(df.collect().toSeq.map(_.toSeq) === inline(k),
         s"$k drifted between inline and snapshot paths")
     }

@@ -41,16 +41,27 @@ def load(path):
         # driver records may be pretty-printed (multi-line object)
         try:
             d = json.loads(text)
-            if d.get("detail") == "per_query":
-                return d["queries"], d.get("errors", {}), False
-            tail = d.get("tail")
+            if isinstance(d, dict):
+                if d.get("detail") == "per_query":
+                    return d["queries"], d.get("errors", {}), False
+                tail = d.get("tail")
         except json.JSONDecodeError:
             pass
     if tail is not None:
         qs = {k: float(v)
               for k, v in re.findall(r'"([a-z]\d+_\w+)":([0-9.]+)', tail)}
-        if qs:
-            return qs, {}, True
+        # recover the errors channel from the fragment too: a truncated
+        # record that still shows failed keys must not pass the gate as
+        # if they had benched clean (the r5-incident class this channel
+        # exists to surface)
+        errs = {}
+        m = re.search(r'"errors":\{(.*?)\}', tail)
+        if m:
+            errs = {k: v for k, v in
+                    re.findall(r'"([a-z]\d+_\w+)":"((?:[^"\\]|\\.)*)"',
+                               m.group(1))}
+        if qs or errs:
+            return qs, errs, True
     raise SystemExit(f"{path}: no per_query line found")
 
 
@@ -73,8 +84,10 @@ def main():
     fixed = sorted(set(old_errs) - set(new_errs))
     if fixed:
         print(f"errors fixed ({len(fixed)}): {', '.join(fixed)}")
-    only_old = sorted(set(old) - set(new))
-    only_new = sorted(set(new) - set(old))
+    # a key that errored on one side still RAN there — reporting it as
+    # dropped/new would misstate suite membership on top of the ERROR line
+    only_old = sorted(set(old) - set(new) - set(new_errs))
+    only_new = sorted(set(new) - set(old) - set(old_errs))
     if only_old and not new_partial:
         flagged = True
         print(f"dropped keys ({len(only_old)}): {', '.join(only_old)}")

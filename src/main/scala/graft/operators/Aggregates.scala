@@ -19,16 +19,28 @@ object Aggregates {
 
   // D1 — the flagship pricing-summary aggregate (TPC-H Q1 shape): filtered
   // scan → 2-key hash aggregate. Also wired to SparkEntry.entry.
+  // Money sums/means ride DECIMAL (the c2 grading rule: a raw double Σ is
+  // summation-order-dependent and cannot be graded at any rounding);
+  // l_quantity stays raw double because it is INTEGER-valued in the data
+  // (integer-valued doubles sum exactly in any order — no hazard). The
+  // means divide the exact decimal sum, cast to double, by the count —
+  // one IEEE division on identical operands, deterministic both engines
+  // (each engine's own avg() would divide differently: decimal vs double).
   private val d1 = graded(
     "d1_agg_group",
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)::DOUBLE
+      |    AS sum_base,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS sum_disc,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS sum_charge,
       |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_extendedprice), 6) AS avg_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(30,10)))::DOUBLE
+      |    / count(*), 6) AS avg_price,
+      |  round(sum(CAST(l_discount AS DECIMAL(30,10)))::DOUBLE
+      |    / count(*), 6) AS avg_disc,
       |  count(*) AS cnt
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -40,13 +52,18 @@ object Aggregates {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2)
-          .as("sum_charge"),
+        round(sum($"l_extendedprice".cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_base"),
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("sum_disc"),
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount")
+          * (lit(1) + $"l_tax")).cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_charge"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
-        round(avg($"l_extendedprice"), 6).as("avg_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        round(sum($"l_extendedprice".cast("decimal(30,10)")).cast("double")
+          / count(lit(1)), 6).as("avg_price"),
+        round(sum($"l_discount".cast("decimal(30,10)")).cast("double")
+          / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -100,8 +117,11 @@ object Aggregates {
     "d4_agg_cond",
     """SELECT event_type,
       |  count(CASE WHEN value > 100 THEN 1 END) AS n_hi,
-      |  round(sum(CASE WHEN value <= 100 THEN value ELSE 0 END), 2) AS sum_lo,
-      |  round(avg(CASE WHEN value > 100 THEN value END), 6) AS avg_hi,
+      |  round(sum(CAST(CASE WHEN value <= 100 THEN value ELSE 0 END
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS sum_lo,
+      |  round(sum(CAST(CASE WHEN value > 100 THEN value END
+      |    AS DECIMAL(30,10)))::DOUBLE
+      |    / count(CASE WHEN value > 100 THEN 1 END), 6) AS avg_hi,
       |  count(*) AS cnt
       |FROM events
       |GROUP BY event_type
@@ -111,8 +131,10 @@ object Aggregates {
       .groupBy($"event_type")
       .agg(
         count(when($"value" > 100, 1)).as("n_hi"),
-        round(sum(when($"value" <= 100, $"value").otherwise(0)), 2).as("sum_lo"),
-        round(avg(when($"value" > 100, $"value")), 6).as("avg_hi"),
+        round(sum(when($"value" <= 100, $"value").otherwise(0)
+          .cast("decimal(30,10)")), 2).cast("double").as("sum_lo"),
+        round(sum(when($"value" > 100, $"value").cast("decimal(30,10)"))
+          .cast("double") / count(when($"value" > 100, 1)), 6).as("avg_hi"),
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }
@@ -148,7 +170,8 @@ object Aggregates {
       |  coalesce(l_linestatus, '(all)') AS ls,
       |  grouping(l_returnflag)::INT AS g_rf,
       |  grouping(l_linestatus)::INT AS g_ls,
-      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)::DOUBLE
+      |    AS sum_price,
       |  count(*) AS cnt
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -159,7 +182,8 @@ object Aggregates {
       .agg(
         grouping($"l_returnflag").cast("int").as("g_rf"),
         grouping($"l_linestatus").cast("int").as("g_ls"),
-        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        round(sum($"l_extendedprice".cast("decimal(30,10)")), 2)
+          .cast("double").as("sum_price"),
         count(lit(1)).as("cnt"))
       .select(
         coalesce($"l_returnflag", lit("(all)")).as("rf"),

@@ -26,7 +26,9 @@ object Joins {
   // plan shuffle-free on the dim side regardless of stats.
   private val c1 = graded(
     "c1_join_broadcast",
-    """SELECT n_name, round(sum(o_totalprice), 2) AS rev, count(*) AS n_orders
+    """SELECT n_name,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE AS rev,
+      |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -37,7 +39,9 @@ object Joins {
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"o_totalprice"), 2).as("rev"), count(lit(1)).as("n_orders"))
+      .agg(round(sum($"o_totalprice".cast("decimal(30,10)")), 2).cast("double")
+          .as("rev"),
+        count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
 
@@ -147,7 +151,8 @@ object Joins {
   private val c7 = graded(
     "c7_join_range",
     """SELECT o_orderkey, count(*) AS n_shipped_120d,
-      |  round(sum(l_extendedprice), 2) AS val_120d
+      |  round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)::DOUBLE
+      |    AS val_120d
       |FROM lineitem JOIN orders
       |  ON l_orderkey = o_orderkey
       | AND l_shipdate >= o_orderdate
@@ -162,7 +167,8 @@ object Joins {
           && $"l_shipdate" <= expr("o_orderdate + interval 120 days"))
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_shipped_120d"),
-        round(sum($"l_extendedprice"), 2).as("val_120d"))
+        round(sum($"l_extendedprice".cast("decimal(30,10)")), 2).cast("double")
+          .as("val_120d"))
       .orderBy("o_orderkey")
   }
 
@@ -355,7 +361,8 @@ object Joins {
     "c13_join_salted",
     """SELECT o_orderpriority,
       |  count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
@@ -371,7 +378,8 @@ object Joins {
     l.join(o, $"l_orderkey" === $"o_orderkey" && l("salt") === o("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
 

@@ -30,7 +30,8 @@ object Reports {
   private val r1 = graded(
     "r1_report_top_orders",
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -49,7 +50,8 @@ object Reports {
       .join(Tables.lineitem(spark, dir).where($"l_shipdate" > cut),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
       .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
@@ -61,7 +63,8 @@ object Reports {
   private val r2 = graded(
     "r2_report_region_volume",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -86,7 +89,8 @@ object Reports {
       .join(broadcast(Tables.region(spark, dir).where($"r_name" === "ASIA")),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
@@ -95,7 +99,8 @@ object Reports {
   private val r3 = graded(
     "r3_report_returns",
     """SELECT c_custkey, c_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(30,10))), 2)::DOUBLE AS revenue,
       |  round(max(c_acctbal), 2) AS acctbal
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -118,7 +123,8 @@ object Reports {
       .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double").as("revenue"),
         round(max($"c_acctbal"), 2).as("acctbal"))
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
@@ -140,7 +146,8 @@ object Reports {
       |r AS (
       |  SELECT q.o_orderpriority, q.pq,
       |    count(DISTINCT q.o_orderkey)::BIGINT AS n_orders,
-      |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |    round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |      AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
       |  FROM q JOIN lineitem l ON l.l_orderkey = q.o_orderkey
       |  GROUP BY q.o_orderpriority, q.pq)
       |SELECT o_orderpriority, pq, n_orders, revenue,
@@ -158,7 +165,8 @@ object Reports {
     q.join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority", $"pq")
       .agg(countDistinct($"o_orderkey").as("n_orders"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+        round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double")
           .as("revenue"))
       .withColumn("rev_share",
         round($"revenue" / sum($"revenue").over(wShare), 6))
@@ -177,7 +185,8 @@ object Reports {
     "r5_report_growth",
     """WITH rev AS (
       |  SELECT n.n_name, year(o.o_orderdate) AS yr,
-      |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |    round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |      AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
       |  FROM customer c
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |  JOIN orders o ON o.o_custkey = c.c_custkey
@@ -196,7 +205,8 @@ object Reports {
       .join(Tables.orders(spark, dir), $"o_custkey" === $"c_custkey")
       .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name", year($"o_orderdate").as("yr"))
-      .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
+      .agg(round(sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(30,10)")), 2).cast("double")
         .as("revenue"))
     val w = Window.partitionBy($"n_name").orderBy($"yr")
     rev

@@ -75,13 +75,19 @@ object Windows {
   }
 
   // E4 — running total (explicit ROWS frame so both engines use identical
-  // frame semantics; prefix sums are order-deterministic by construction).
+  // frame semantics). The summand is DECIMAL, not double: even with a
+  // deterministic frame order, the two engines' window ACCUMULATION
+  // shapes differ (running accumulate vs segment tree), which reorders
+  // double additions — the a20 grading hazard in window form; decimal
+  // addition is associative, so the frame total is exact either way.
   private val e4 = graded(
     "e4_win_running",
     """SELECT o_custkey, o_orderkey,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+      |    PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+      |    AS run_total
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
     import spark.implicits._
@@ -89,7 +95,8 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey",
-        round(sum($"o_totalprice").over(w), 2).as("run_total"))
+        round(sum($"o_totalprice".cast("decimal(30,10)")).over(w), 2)
+          .cast("double").as("run_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -147,9 +154,10 @@ object Windows {
   private val e7 = graded(
     "e7_win_rangeframe",
     """SELECT c_custkey, c_mktsegment,
-      |  round(sum(c_acctbal) OVER (
+      |  round(sum(CAST(c_acctbal AS DECIMAL(30,10))) OVER (
       |    PARTITION BY c_mktsegment ORDER BY c_acctbal
-      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2)::DOUBLE
+      |    AS near_sum,
       |  count(*) OVER (
       |    PARTITION BY c_mktsegment ORDER BY c_acctbal
       |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS near_cnt
@@ -160,7 +168,8 @@ object Windows {
       .rangeBetween(-500, 0)
     Tables.customer(spark, dir)
       .select($"c_custkey", $"c_mktsegment",
-        round(sum($"c_acctbal").over(w), 2).as("near_sum"),
+        round(sum($"c_acctbal".cast("decimal(30,10)")).over(w), 2)
+          .cast("double").as("near_sum"),
         count(lit(1)).over(w).as("near_cnt"))
       .orderBy("c_custkey")
   }
@@ -247,7 +256,8 @@ object Windows {
     "e11_win_cond",
     """SELECT event_id, user_id,
       |  count(*) FILTER (WHERE value > 120) OVER w AS n_high,
-      |  round(sum(value) FILTER (WHERE event_type = 'click') OVER w, 2)
+      |  round(sum(CAST(value AS DECIMAL(30,10)))
+      |    FILTER (WHERE event_type = 'click') OVER w, 2)::DOUBLE
       |    AS click_sum
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -259,7 +269,8 @@ object Windows {
     Tables.eventsUs(spark, dir)
       .select($"event_id", $"user_id",
         sum(when($"value" > 120, 1L).otherwise(0L)).over(w).as("n_high"),
-        round(sum(when($"event_type" === "click", $"value")).over(w), 2)
+        round(sum(when($"event_type" === "click", $"value")
+          .cast("decimal(30,10)")).over(w), 2).cast("double")
           .as("click_sum"))
       .orderBy("event_id")
   }
@@ -350,7 +361,8 @@ object Windows {
   private val e14 = graded(
     "e14_win_range_interval",
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w, 2)::DOUBLE
+      |    AS rev_7d,
       |  count(*) OVER w AS n_7d
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -359,7 +371,8 @@ object Windows {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_e14_orders")
     spark.sql(
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(sum(o_totalprice) OVER w, 2) AS rev_7d,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w, 2)
+        |    AS DOUBLE) AS rev_7d,
         |  count(*) OVER w AS n_7d
         |FROM graft_e14_orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate

@@ -655,6 +655,12 @@ object Dedup {
         scala.concurrent.duration.Duration.Inf)
       catch { case e: Throwable => if (!chainFailed) throw e }
     }
+    // an OVERWRITE of an existing snapshot must invalidate any cached
+    // plan built on the previous files (a consumer that persisted a
+    // snapshot read would otherwise keep serving the stale store and
+    // hide the new files from lineage probes) — the standard
+    // rewrote-files-under-path contract
+    spark.catalog.refreshByPath(base)
     spark.read.parquet(s"$base/verdicts")
       .select($"doc_id", $"comp", $"survivor_id", $"is_survivor")
       .orderBy("doc_id")

@@ -29,6 +29,14 @@ class SnapshotSpec extends SparkSpec {
     inline.foreach { case (k, r) => assert(r.nonEmpty, s"$k empty inline") }
     // write the snapshots (the graded a21 round trip)
     assert(rows("a21_verdict_snapshot").nonEmpty)
+    // drop session-cached fragments before probing lineage: a persisted
+    // plan built on a snapshot read (g85's census kernel does this) is
+    // substituted as an InMemoryRelation into any matching later scan,
+    // which HIDES the parquet files from inputFiles even though the data
+    // still comes from the snapshot — the probe needs an uncached plan
+    // to witness the files (the same per-key clearCache discipline
+    // Bench applies)
+    spark.catalog.clearCache()
     // every audit key is plan-visible: g46/g84 read the VERDICT snapshot
     // directly (no Components re-run whose localCheckpoint would truncate
     // lineage to a LogicalRDD), the rest read the pair snapshots — so the

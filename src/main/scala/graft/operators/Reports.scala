@@ -939,6 +939,60 @@ object Reports {
       .orderBy($"join_name")
   }
 
+  // r17 — K-ANONYMITY AUDIT over quasi-identifiers (the governance
+  // question b7's masked view and g27's redaction exist to answer: after
+  // masking direct identifiers, can a row still be singled out by the
+  // ATTRIBUTE COMBINATION it carries?): equivalence classes over the
+  // quasi-identifier tuple (lang, source, 500-char length band), then for
+  // each candidate k the number of classes and rows whose class is
+  // smaller than k, with the at-risk corpus share in exact integer ppm.
+  // A release gate reads one row ("at k=5, 1.2% of rows are re-
+  // identifiable") instead of eyeballing the class histogram. All-integer
+  // output — nothing float rides the grade. Shape at scale: one partial-
+  // agg groupBy on the QI tuple (class count ≤ |langs|×|sources|×bands,
+  // corpus-independent), then a 4-row broadcast cross over the class
+  // table and a 1-row total cross — the r10/r12 report shape.
+  private val r17 = graded(
+    "r17_k_anonymity",
+    """WITH cls AS (
+      |  SELECT lang, source, n_chars // 500 AS len_band,
+      |    count(*)::BIGINT AS class_size
+      |  FROM documents GROUP BY lang, source, n_chars // 500),
+      |t AS (SELECT count(*)::BIGINT AS total FROM documents),
+      |ks(k) AS (VALUES (2), (5), (10), (20))
+      |SELECT ks.k,
+      |  coalesce(sum(CASE WHEN cls.class_size < ks.k THEN 1 END), 0)::BIGINT
+      |    AS classes_at_risk,
+      |  coalesce(sum(CASE WHEN cls.class_size < ks.k
+      |    THEN cls.class_size END), 0)::BIGINT AS rows_at_risk,
+      |  (coalesce(sum(CASE WHEN cls.class_size < ks.k
+      |    THEN cls.class_size END), 0) * 1000000 // t.total)::BIGINT
+      |    AS risk_ppm
+      |FROM ks CROSS JOIN cls CROSS JOIN t
+      |GROUP BY ks.k, t.total
+      |ORDER BY ks.k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cls = Tables.documents(spark, dir)
+      .groupBy($"lang", $"source", expr("n_chars div 500").as("len_band"))
+      .agg(count(lit(1)).cast("bigint").as("class_size"))
+    val t = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("bigint").as("total"))
+    val ks = Seq(2, 5, 10, 20).toDF("k")
+    broadcast(ks).crossJoin(cls).crossJoin(broadcast(t))
+      .groupBy($"k", $"total")
+      .agg(
+        coalesce(sum(when($"class_size" < $"k", 1L)), lit(0L)).cast("bigint")
+          .as("classes_at_risk"),
+        coalesce(sum(when($"class_size" < $"k", $"class_size")), lit(0L))
+          .cast("bigint").as("rows_at_risk"))
+      .select($"k",
+        $"classes_at_risk",
+        $"rows_at_risk",
+        expr("(rows_at_risk * 1000000) div total").cast("bigint")
+          .as("risk_ppm"))
+      .orderBy($"k")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12, r13, r14, r15, r16)
+    r12, r13, r14, r15, r16, r17)
 }

@@ -757,6 +757,67 @@ object Similarity {
       .orderBy($"cluster")
   }
 
+  // g86 — EMBEDDING DRIFT between dataset splits (the semantic twin of
+  // r10's PSI drift on scalar columns): did splitting move the embedding
+  // DISTRIBUTION? Per-split centroids (g20's reduction, one shuffle on a
+  // (splits × 64)-key space regardless of corpus size), then the pairwise
+  // cosine between split centroids — train/val centroids of an unbiased
+  // split should be near-parallel (cos → 1); a content-correlated split
+  // (by crawl date, by source) shows up as centroid divergence before any
+  // model ever trains on it. Determinism is the d23 rounded-moments rule:
+  // the cosine is computed FROM the 6-dp-ROUNDED centroid components
+  // (g20 proves per-dim rounded means hash-stable across engines), so
+  // the final arithmetic runs on values both engines already agree on —
+  // 64-term dot products of ~1e-2 rounded values, far inside the 6-dp
+  // grading slack. Splits are vec_id mod 3: engine-portable and
+  // deterministic (a content-hash split is g25's surface; the drift
+  // audit is agnostic to HOW the split was made).
+  private val g86 = graded(
+    "g86_embedding_drift",
+    """WITH s AS (
+      |  SELECT vec_id % 3 AS split, embedding FROM embeddings),
+      |cent AS (
+      |  SELECT split, gs.i AS dim,
+      |    round(avg(embedding[gs.i + 1]::DOUBLE), 6) AS c
+      |  FROM s, generate_series(0, 63) gs(i)
+      |  GROUP BY split, gs.i),
+      |n AS (SELECT split, count(*)::BIGINT AS n_vecs FROM s GROUP BY split),
+      |p AS (
+      |  SELECT a.split AS split_a, b.split AS split_b,
+      |    sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na2,
+      |    sum(b.c * b.c) AS nb2
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.split < b.split
+      |  GROUP BY a.split, b.split)
+      |SELECT p.split_a, p.split_b, x.n_vecs AS n_a, y.n_vecs AS n_b,
+      |  round(p.dot / (sqrt(p.na2) * sqrt(p.nb2)), 6) AS centroid_cos
+      |FROM p
+      |JOIN n x ON x.split = p.split_a
+      |JOIN n y ON y.split = p.split_b
+      |ORDER BY split_a, split_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = Tables.embeddingsDist(spark, dir)
+      .select(($"vec_id" % 3).as("split"), $"embedding")
+    val cent = s
+      .select($"split", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"split", $"dim")
+      .agg(round(avg($"x".cast("double")), 6).as("c"))
+    val n = s.groupBy($"split").agg(count(lit(1)).cast("bigint").as("n_vecs"))
+    val a = cent.select($"split".as("split_a"), $"dim", $"c".as("ca"))
+    val b = cent.select($"split".as("split_b"), $"dim", $"c".as("cb"))
+    val p = a.join(b, Seq("dim")).where($"split_a" < $"split_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(sum($"ca" * $"cb").as("dot"), sum($"ca" * $"ca").as("na2"),
+        sum($"cb" * $"cb").as("nb2"))
+    p.join(broadcast(n.select($"split".as("split_a"), $"n_vecs".as("n_a"))),
+        "split_a")
+      .join(broadcast(n.select($"split".as("split_b"), $"n_vecs".as("n_b"))),
+        "split_b")
+      .select($"split_a", $"split_b", $"n_a", $"n_b",
+        round($"dot" / (sqrt($"na2") * sqrt($"nb2")), 6).as("centroid_cos"))
+      .orderBy("split_a", "split_b")
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80)
+    Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80,
+      g86)
 }

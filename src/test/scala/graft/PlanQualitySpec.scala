@@ -54,7 +54,8 @@ class PlanQualitySpec extends SparkSpec {
     "r16_join_cardinality", // per-join 1-row stats/actual reduces crossed
     "g81_dup_degree_dist", // 1-row total × 1-row covered for the 0-degree row
     "c21_join_spatial_grid", // two 3-row neighbor-offset dims crossed
-    "g82_quality_dup_matrix") // 6-cell crosstab crossing the 1-row total
+    "g82_quality_dup_matrix", // 6-cell crosstab crossing the 1-row total
+    "r17_k_anonymity") // 4-row k-list × bounded class table × 1-row total
 
   // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
   // full streaming query; a21 writes three parquet snapshots) and whose

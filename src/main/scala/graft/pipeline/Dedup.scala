@@ -1527,7 +1527,93 @@ object Dedup {
       .orderBy($"is_survivor")
   }
 
+  // g87 — EXACT-SUBSTRING DUPLICATION SPANS (the character-level dedup
+  // primitive from the "deduplicating training data" literature, distinct
+  // from g73's global top-k token-gram table): every 24-char window that
+  // appears verbatim in MORE THAN ONE document marks its span, and the
+  // per-document answer is the MERGED coverage — exactly the deletion
+  // spans a substring-dedup pass would cut. 24 chars (~4 tokens on this
+  // corpus) is the discriminative point: at 40 only whole-document clones
+  // surface (g1/g2's finding restated), at 24 partial template overlap
+  // shows as multi-span fractional coverage. Three bucketed stages, no
+  // all-pairs anywhere: (1) slide the window by explode(sequence) inside
+  // the scan stage (text never shuffles — only the 24-char keys leave),
+  // (2) cross-doc windows = groupBy(win) HAVING distinct-doc ≥ 2 (the
+  // ExactSubstr bucket design: candidates ∝ duplicated windows, never n²;
+  // at 100 TB the shuffle key is a 16-byte digest of the window — the raw
+  // chars ride here so the oracle states the identical key), (3) the
+  // h12 interval-union sweep per doc: fixed window length makes the
+  // running max end = lag(pos)+24, so a gap is simply pos−prev > 24 and
+  // each merged span covers e−s+24 chars. Per-doc windows are bounded by
+  // doc length, so the doc_id window partition never skews. All-integer
+  // output (exact ppm), unique-key ordering. Oracle slides via
+  // unnest(generate_series(..)) — the lateral table-function form is
+  // unsupported for column bounds in DuckDB 1.0 (DialectNotes).
+  private val g87 = graded(
+    "g87_substring_dup_spans",
+    """WITH w0 AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(generate_series(1, n_chars - 23)) AS pos, text
+      |  FROM documents WHERE n_chars >= 24),
+      |w AS (
+      |  SELECT doc_id, n_chars, pos, substr(text, pos::INT, 24) AS win
+      |  FROM w0),
+      |d AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT w.doc_id, w.n_chars, w.pos FROM w JOIN d USING (win)),
+      |m AS (
+      |  SELECT doc_id, n_chars, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM p),
+      |g AS (
+      |  SELECT doc_id, n_chars, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 24 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS blk
+      |  FROM m),
+      |u AS (
+      |  SELECT doc_id, n_chars, blk, min(pos) AS s, max(pos) AS e,
+      |    count(*)::BIGINT AS n_win
+      |  FROM g GROUP BY doc_id, n_chars, blk)
+      |SELECT doc_id,
+      |  sum(n_win)::BIGINT AS dup_windows,
+      |  count(*)::BIGINT AS n_spans,
+      |  sum(e - s + 24)::BIGINT AS covered_chars,
+      |  ((sum(e - s + 24) * 1000000) // n_chars)::BIGINT AS dup_ppm
+      |FROM u GROUP BY doc_id, n_chars
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val L = 24
+    val w = Tables.documentsDist(spark, dir)
+      .where($"n_chars" >= L)
+      .select($"doc_id", $"n_chars",
+        explode(sequence(lit(1), $"n_chars" - (L - 1))).as("pos"), $"text")
+      .select($"doc_id", $"n_chars", $"pos",
+        expr(s"substring(text, pos, $L)").as("win"))
+    val dup = w.groupBy($"win")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2)
+      .select($"win")
+    val p = w.join(dup, "win").select($"doc_id", $"n_chars", $"pos")
+    val wl = Window.partitionBy($"doc_id").orderBy($"pos")
+    val run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("prev", lag($"pos", 1).over(wl))
+      .withColumn("blk",
+        sum(when($"prev".isNull || $"pos" - $"prev" > L, 1).otherwise(0))
+          .over(run).cast("bigint"))
+      .groupBy($"doc_id", $"n_chars", $"blk")
+      .agg(min($"pos").as("s"), max($"pos").as("e"),
+        count(lit(1)).cast("bigint").as("n_win"))
+      .groupBy($"doc_id", $"n_chars")
+      .agg(sum($"n_win").cast("bigint").as("dup_windows"),
+        count(lit(1)).cast("bigint").as("n_spans"),
+        sum($"e" - $"s" + L).cast("bigint").as("covered_chars"))
+      .select($"doc_id", $"dup_windows", $"n_spans", $"covered_chars",
+        expr("(covered_chars * 1000000) div n_chars").cast("bigint")
+          .as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, a21)
+    g84, g85, g87, a21)
 }

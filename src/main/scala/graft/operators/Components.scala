@@ -64,6 +64,13 @@ object Components {
     * contraction improvement fails that test with a clear message instead
     * of a spurious partition-count mismatch. Not part of the operator
     * contract.
+    *
+    * SINGLE-THREADED assumption: as a process-global last-writer-wins
+    * cell it is only meaningful when connectedComponents calls do not
+    * overlap — true today (Bench/Verify run keys sequentially; the
+    * suites share one JVM but never run two component builds at once).
+    * If a caller ever parallelizes component builds, read this hook
+    * nowhere and thread a per-call counter out instead.
     */
   @volatile var lastRunNonEmptyRounds: Int = -1
 

@@ -1545,6 +1545,16 @@ object EventTime {
     * graded streaming keys' (h34–h38) drain mechanics, so the timeout,
     * the failure message and the stop-in-`finally` semantics cannot
     * drift between the four parity keys.
+    *
+    * Post-drain hygiene matters because the SUITE outlives the query:
+    * a memory sink is a registered temp view holding every emitted row
+    * on the heap, and a stopped stateful query leaves its state-store
+    * providers loaded with a background maintenance thread snapshotting
+    * them — left in place, five drains in a row measurably contaminate
+    * the wall-clock of whatever runs next in the same JVM (BENCH_r08:
+    * h3/h5–h8 regressed 4–7.7× purely by running after h34–h38). So:
+    * localCheckpoint the sink rows (eager — cuts lineage off the view),
+    * drop the view, and unload the state stores + stop maintenance.
     */
   private def drainToMemorySink(df: org.apache.spark.sql.DataFrame,
       keyName: String, mode: String): org.apache.spark.sql.DataFrame = {
@@ -1559,7 +1569,10 @@ object EventTime {
         throw new IllegalStateException(
           s"$keyName stream did not drain within 300 s (sink $sink)")
     } finally q.stop()
-    spark.table(sink)
+    val out = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    out
   }
 
   // h34 — STRUCTURED STREAMING PARITY, graded end-to-end: the events

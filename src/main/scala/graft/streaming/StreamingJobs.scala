@@ -297,16 +297,15 @@ object StreamingJobs {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Long, String), rows: Iterator[(Long, String, Long, Long)],
-         state: GroupState[(Long, Long)]) =>
+         state: GroupState[Long]) =>
           val ordered = rows.toArray.sortBy(r => (r._3, r._4))
-          var (lastUs, lastId) =
-            state.getOption.getOrElse((Long.MinValue, 0L))
+          var lastUs = state.getOption.getOrElse(Long.MinValue)
           val out = ordered.map { case (_, _, us, id) =>
             val kept = lastUs == Long.MinValue || us - lastUs > 300000000L
-            lastUs = us; lastId = id
+            lastUs = us
             DebounceVerdict(id, kept)
           }
-          state.update((lastUs, lastId))
+          state.update(lastUs)
           out.iterator
       }
   }

@@ -1806,8 +1806,140 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Misra–Gries summary over one partition's stream: the ≤ k keys whose
+    * residual counters survive the decrement-all discipline. The classic
+    * guarantee, proved in `PropertySpec`: any item with partition
+    * frequency > n_p/(k+1) is ALWAYS among the survivors (each
+    * decrement-all event consumes k+1 occurrence credits — the arriving
+    * untracked item plus one from each tracked key — so fewer than
+    * n_p/(k+1) such events can happen, and an item must be decremented
+    * more times than its own count to vanish). Amortized O(n_p): the
+    * O(k) decrement sweep runs at most n_p/(k+1) times. d43's map-side
+    * kernel, factored for direct property testing.
+    */
+  private[graft] def misraGriesKeys(it: Iterator[String],
+      k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      m.get(w) match {
+        case Some(c) => m.update(w, c + 1)
+        case None if m.size < k => m.update(w, 1L)
+        case None =>
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.foreachEntry((kk, c) =>
+            if (c == 1L) { dead += kk } else m.update(kk, c - 1))
+          dead.foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
+
+  // d43 — HEAVY HITTERS, the sketch-narrowed exact top report (the thing
+  // a 100 TB skew monitor pages on — r12's sketch-backed sibling, and the
+  // d16 count-min family's TOP-K face): all tokens with corpus frequency
+  // > N/200, found WITHOUT a full-vocabulary shuffle. Two stages:
+  // (1) map-side Misra–Gries (k=200) per partition — if an item's global
+  // count exceeds N/200 then by pigeonhole some partition has it above
+  // n_p/200 > n_p/201, so the per-partition summaries jointly have NO
+  // FALSE NEGATIVES (PropertySpec pins the law on the factored kernel);
+  // (2) exact counts for the ≤ 200×partitions candidates only — the
+  // candidate set broadcasts, so the only token-volume shuffle is the
+  // partial-agg'd candidate count. The final exact HAVING makes the
+  // output EXACTLY the true heavy-hitter set (sketch for candidates,
+  // exact arithmetic for the answer — which is why this key is graded,
+  // not bench-only). Scale: candidate list ≤ k × partitions rows (a few
+  // KB), total-count is one map-side agg; nothing driver-side but the
+  // two one-row/bounded broadcasts.
+  private val d43 = graded(
+    "d43_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT count(*)::BIGINT AS n_tok FROM tok)
+      |SELECT token, count(*)::BIGINT AS cnt
+      |FROM tok, n
+      |GROUP BY token, n.n_tok
+      |HAVING count(*) * 200 > n.n_tok
+      |ORDER BY cnt DESC, token""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 200
+    val toks = Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+    val cands = toks.as[String]
+      .mapPartitions(it => misraGriesKeys(it, k))
+      .toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).cast("bigint").as("n_tok"))
+    toks.join(broadcast(cands), "token")
+      .groupBy($"token")
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .crossJoin(broadcast(total))
+      .where($"cnt" * k > $"n_tok")
+      .select($"token", $"cnt")
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  // d44 — MERGEABLE QUANTILE SKETCH (bench-only): d20's two-level HLL
+  // union-merge pattern applied to quantiles — the 100 TB dashboard
+  // shape where per-shard/per-group sketches are built ONCE and any
+  // rollup (group, region, corpus) is a cheap merge of summaries, never
+  // a re-scan. Sketch = Spark's own Greenwald–Khanna summary
+  // (catalyst QuantileSummaries, the approx_percentile machinery) built
+  // per partition per group in one pass, merged per group (level 1),
+  // then the ≤33-row group sketches merged corpus-wide (level 2). The
+  // GK merge preserves the ε rank bound, so the merged corpus quantiles
+  // are within ε·N ranks of exact — the law PropertySpec asserts against
+  // d7's exact percentiles; no DuckDB oracle because insertion order
+  // perturbs which ±ε·N-valid sample the sketch returns (the d9/d11
+  // precedent). Output: one row per group + one MERGED corpus row.
+  private val d44 = benchOnly("d44_quantile_merge") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val eps = 0.01
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, QuantileSummaries)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[QuantileSummaries])
+    def freshQs() =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, eps)
+    // level 1: one sketch per group, each group co-located by an explicit
+    // repartition and built over a DETERMINISTIC within-partition order —
+    // a GK summary's retained samples depend on insertion/merge order
+    // (any order is ε-valid, but the golden regression net pins exact
+    // bytes, so the build must be reproducible). A production
+    // TypedImperativeAggregate would instead merge per-partition partial
+    // sketches in arrival order — same bound, unpinnable bytes.
+    val perGroup: Array[(Long, QuantileSummaries)] = Tables.lineitem(spark, dir)
+      .select(($"l_partkey" % 32).as("g"), $"l_extendedprice".as("v"))
+      .repartition(32, $"g")
+      .sortWithinPartitions($"g", $"v")
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[Long, QuantileSummaries]
+        it.foreach { case (g, v) =>
+          m.update(g, m.getOrElse(g, freshQs()).insert(v))
+        }
+        m.iterator.map { case (g, s) => (g, s.compress()) }
+      }
+      .collect().sortBy(_._1) // ≤ 32 sketches, a few KB each
+    // level 2: corpus-wide union-merge of the group sketches (ascending
+    // group order — deterministic)
+    val merged = perGroup.map(_._2.compress())
+      .reduce((a, b) => a.merge(b))
+    val rows = perGroup.sortBy(_._1).map { case (g, s) =>
+      val v = qs.map(q => s.query(q).getOrElse(Double.NaN))
+      (g.toString, s.count, v(0), v(1), v(2), v(3))
+    } :+ {
+      val v = qs.map(q => merged.query(q).getOrElse(Double.NaN))
+      ("MERGED", merged.count, v(0), v(1), v(2), v(3))
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("scope", "n", "p25", "p50", "p75", "p95")
+      .orderBy($"scope")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42)
+    d39, d40, d41, d42, d43, d44)
 }

@@ -1767,7 +1767,158 @@ object EventTime {
       .orderBy("event_id")
   }
 
+  // Staged multi-file landing dir for h39 (written once per JVM per
+  // corpus): the driver corpus ships events as ONE parquet file, which a
+  // file stream drains in ONE micro-batch — staging the same rows as 4
+  // part-files with maxFilesPerTrigger=1 makes the foreachBatch sink
+  // discipline face what it faces in production, a SEQUENCE of batches
+  // appending to one table. Projection only (event_id, ts_us, value);
+  // row set identical to the corpus, so the oracle still reads `events`.
+  private val h39Stage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // same hygiene as Dedup's snapshot root: first use wipes OUR pid's
+  // stage dir (pid recycling) and GCs dead-pid siblings
+  private lazy val stageRoot: String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val root = new java.io.File("/tmp/graft_stream_stage")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(root, pid.toString))
+    Option(root.listFiles()).toSeq.flatten.foreach { d =>
+      val dead = scala.util.Try(d.getName.toLong).toOption
+        .exists(p => !java.lang.ProcessHandle.of(p)
+          .map[java.lang.Boolean](h => h.isAlive).orElse(false))
+      if (dead) rmTree(d)
+    }
+    s"/tmp/graft_stream_stage/$pid"
+  }
+
+  private def stagedEventsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    h39Stage.computeIfAbsent(dir, d => {
+      val path = s"$stageRoot/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Tables.eventsUs(spark, d)
+        .select(col("event_id"), col("ts_us"), col("value"))
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  // h39 — STREAMING TABLE-SINK PARITY, the write-side row that closes the
+  // h34–h38 family: the staged events landing dir is drained as a
+  // multi-micro-batch file stream (maxFilesPerTrigger=1) whose foreachBatch
+  // sink appends each batch to a REAL parquet table through
+  // StreamingJobs.idempotentAppend (dynamic overwrite of the batch's own
+  // batch_id partition — a20's write discipline on the stream side). The
+  // graded row then DELIBERATELY RETRIES the last batch — re-appending the
+  // same rows under the same batchId, exactly what Spark does after a sink
+  // failure — before aggregating the table into h1's tumbling report
+  // against h1's verbatim oracle: one duplicated or dropped row from the
+  // retry and the sums hash-mismatch. So exactly-once is graded, not just
+  // spec'd (StreamingSpec holds the standalone replay law). Scale notes:
+  // stateless stream → no state store; the table grows one partition per
+  // batch and the readback aggregate prunes nothing because it wants
+  // everything — a real consumer prunes on its own predicates.
+  private val h39 = graded("h39_stream_sink_parity", tumblingOracle) {
+    (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val stage = stagedEventsDir(s, dir)
+    val out = s"$stage-sink"
+    // a fresh run must not inherit partitions from a previous invocation
+    // whose batch split differed (the checkpoint is temp-scoped per run)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val stream = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .select($"ts_us",
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingJobs.idempotentAppend(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h39 stream did not drain within 300 s")
+    } finally q.stop()
+    // retry the last batch: localCheckpoint materializes the replay rows
+    // BEFORE the overwrite touches the path they came from
+    val t0 = s.read.parquet(out)
+    // partition-dir column: inferred INT for small ids, hence the cast
+    val lastId = t0.agg(max($"batch_id").cast("bigint")).head().getLong(0)
+    val replay = t0.where($"batch_id" === lastId).drop("batch_id")
+      .localCheckpoint(true)
+    graft.streaming.StreamingJobs.idempotentAppend(replay, lastId, out)
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+      .groupBy(window($"ts_us", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").cast("bigint").as("sum_cents"))
+      .select($"window.start".as("day_start"), $"n_events", $"sum_cents")
+      .orderBy("day_start")
+  }
+
+  // h40 — QUANTIFIED-PATTERN CEP (the MATCH_RECOGNIZE-shaped extension of
+  // h9's adjacent-pair lite form): each user's event history becomes an
+  // ordered SYMBOL STRING (event-type initials are distinct on this
+  // corpus: c/p/e/s/v, ordered by ts then event_id), and patterns with
+  // QUANTIFIERS and CHARACTER ALTERNATION run as regexes over it —
+  // `[cv]+p` = "a browse streak (clicks/views) closed by a purchase"
+  // (counted non-overlapping, the funnel h7 can't see because it needs
+  // adjacency), `e{2,}` = "consecutive-error bursts" with the longest
+  // burst length. Spark has no native MATCH_RECOGNIZE; compiling the
+  // pattern to a regex over a per-key collected sequence IS the
+  // idiomatic distributed form (Flink CEP does the same NFA walk per
+  // key). Scale notes: one shuffle by user_id; per-user state = one
+  // string bounded by that user's event count (the h27 collect bound);
+  // both engines run greedy leftmost matching — parity proves the
+  // semantics agree, and a symbol string sidesteps engine differences
+  // in multi-char token alternation.
+  private val h40 = graded(
+    "h40_cep_pattern",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+      |      AS sym
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  len(regexp_extract_all(sym, '[cv]+p'))::BIGINT AS n_funnels,
+      |  len(regexp_extract_all(sym, 'e{2,}'))::BIGINT AS n_error_bursts,
+      |  coalesce(list_max(list_transform(
+      |    regexp_extract_all(sym, 'e{2,}'), m -> len(m))), 0)::BIGINT
+      |    AS max_burst
+      |FROM s ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.eventsUs(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts", $"event_id",
+          expr("substring(event_type, 1, 1)").as("c")))),
+        x => x.getField("c")), "").as("sym"))
+      .select($"user_id",
+        expr("cast(size(regexp_extract_all(sym, '[cv]+p', 0)) as bigint)")
+          .as("n_funnels"),
+        expr("cast(size(regexp_extract_all(sym, 'e{2,}', 0)) as bigint)")
+          .as("n_error_bursts"),
+        expr("""cast(coalesce(array_max(transform(
+          regexp_extract_all(sym, 'e{2,}', 0), m -> length(m))), 0)
+          as bigint)""").as("max_burst"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
-    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38)
+    h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
+    h40)
 }

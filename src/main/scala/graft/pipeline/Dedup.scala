@@ -1669,7 +1669,79 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // g88 — DEDUP-CATALOG UPDATE CYCLE, the maintenance write-path g36/g79
+  // only read from: those keys grade "new batch vs existing catalog";
+  // this one grades the catalog's own life cycle — (1) base catalog of
+  // fingerprints written as a real parquet table, (2) the arriving batch
+  // anti-joined against the catalog AS READ FROM DISK and its genuinely
+  // new fingerprints APPENDED (a5's append discipline — the catalog
+  // grows by delta files, never a rewrite of history), (3) an a6-style
+  // COMPACTION pass rewriting the accumulated files sorted by
+  // fingerprint, (4) the graded row is the READ-BACK of the compacted
+  // catalog — one row dropped/duplicated anywhere in the cycle and the
+  // hash mismatches. Base/delta split is data-derived (doc_id ≤
+  // ⌊2·max/3⌋), restated identically in the oracle. Scale notes: the
+  // anti-join keys on 16-byte digests (never text); at 100 TB the
+  // catalog is bucketed by fp so the per-ingest anti-join is
+  // shuffle-free on the catalog side, and compaction is the scheduled
+  // job that keeps delta-file count bounded — sorting by fp on rewrite
+  // is the clustering that makes the NEXT cycle's probe prune files.
+  private val g88 = graded(
+    "g88_catalog_update",
+    """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
+      |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS first_doc FROM fps, mx
+      |  WHERE doc_id <= mx.k GROUP BY fp),
+      |delta AS (
+      |  SELECT f.fp, min(f.doc_id) AS first_doc
+      |  FROM fps f, mx
+      |  WHERE f.doc_id > mx.k
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)
+      |  GROUP BY f.fp)
+      |SELECT fp, first_doc, origin FROM (
+      |  SELECT fp, first_doc, 'base' AS origin FROM base
+      |  UNION ALL
+      |  SELECT fp, first_doc, 'delta' AS origin FROM delta) c
+      |ORDER BY fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cat = s"${snapDir(dir)}/catalog"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(cat)) // each invocation grades a fresh cycle
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+    // one-row driver fetch to drive the split — control flow, not data
+    // (the Components/SkewJoin precedent)
+    val k = Tables.documentsDist(spark, dir)
+      .agg(max($"doc_id").cast("bigint")).head().getLong(0) * 2 / 3
+    docs.where($"doc_id" <= k)
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+      .withColumn("origin", lit("base"))
+      .write.mode("overwrite").parquet(s"$cat/store")
+    // the UPDATE: probe the catalog as it exists ON DISK, append only
+    // genuinely new fingerprints
+    val catalog = spark.read.parquet(s"$cat/store")
+    docs.where($"doc_id" > k)
+      .join(catalog.select($"fp"), Seq("fp"), "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+      .withColumn("origin", lit("delta"))
+      .write.mode("append").parquet(s"$cat/store")
+    // compaction: rewrite the accumulated base+delta files sorted by fp
+    // (coalesce(1) is this corpus's file-count target; production sizes
+    // it by maxRecordsPerFile and runs on a schedule, a6's discipline)
+    spark.catalog.refreshByPath(s"$cat/store")
+    spark.read.parquet(s"$cat/store")
+      .sort($"fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$cat/compacted")
+    spark.read.parquet(s"$cat/compacted")
+      .select($"fp", $"first_doc", $"origin")
+      .orderBy($"fp")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, g87, a21)
+    g84, g85, g87, g88, a21)
 }

@@ -93,6 +93,27 @@ object StreamingJobs {
       .withWatermark("ts_us", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once micro-batch append for a foreachBatch parquet sink —
+    * the production write discipline h34–h38's memory sinks stand in
+    * for. Structured Streaming guarantees each batchId is REPLAYED with
+    * the same data after a failure, so exactly-once reduces to making
+    * the per-batch write idempotent: every batch lands under its own
+    * `batch_id=<id>` partition via DYNAMIC partition overwrite (a20's
+    * mechanism applied to the stream side) — a retried batch replaces
+    * its own partition instead of appending duplicates, and batches
+    * never touch each other's partitions. At 100 TB the same call
+    * writes a partitioned landing table; downstream readers just prune
+    * on their own predicates (batch_id is a physical idempotency key,
+    * not a query key).
+    */
+  def idempotentAppend(batch: DataFrame, batchId: Long,
+      tablePath: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(tablePath)
+
   /** Seasonal-profile cell counts — streaming twin of the graded batch
     * h24 grid. The (type, dow, hour) keys derive arithmetically from the
     * epoch-ns `ts` (same integer expressions as batch), so the streaming

@@ -1240,6 +1240,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("d43 Misra-Gries law: no false negative above the frequency bound") {
+    // the kernel guarantee, on an adversarial stream: interleave one
+    // genuine heavy hitter with a long tail of singletons arranged so
+    // decrement-alls fire constantly. Any item with freq > n/(k+1) MUST
+    // survive, whatever the interleaving.
+    val k = 10
+    val rng = new scala.util.Random(7)
+    val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+    (1 to 2000).foreach { i =>
+      stream += s"noise_$i" // 2000 singletons
+      if (i % 4 == 0) stream += "HH" // 500 occurrences of the heavy key
+    }
+    val shuffled = rng.shuffle(stream.toSeq) // order must not matter
+    val n = shuffled.length
+    val survivors =
+      graft.operators.Aggregates.misraGriesKeys(shuffled.iterator, k).toSet
+    assert(survivors.size <= k, "summary never exceeds its capacity")
+    assert(500 > n / (k + 1), "fixture sanity: HH is above the bound")
+    assert(survivors.contains("HH"),
+      s"freq 500 > n/(k+1)=${n / (k + 1)} must survive Misra-Gries")
+    // end-to-end: the graded d43 output IS the exact heavy-hitter set
+    val d43 = SparkEntry.queries("d43_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documentsDist(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val total = toks.count()
+    val exact = toks.groupBy("t").count()
+      .where(col("count") * 200 > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d43 === exact, "sketch-narrowed exact must equal exact HH set")
+  }
+
+  test("d44 merged quantile sketch: rank error within the epsilon bound") {
+    val rows = SparkEntry.queries("d44_quantile_merge")(spark, sfDir).collect()
+    assert(rows.length === 33, "32 group rows + 1 MERGED row")
+    val merged = rows.find(_.getString(0) == "MERGED").get
+    val vals = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    assert(merged.getLong(1) === n.toLong, "merge must not lose counts")
+    val eps = 0.01
+    Seq(0.25 -> 2, 0.5 -> 3, 0.75 -> 4, 0.95 -> 5).foreach { case (q, i) =>
+      val est = merged.getDouble(i)
+      // rank of the returned value in the exact sorted data
+      val lo = vals.count(_ < est)
+      val hi = vals.count(_ <= est)
+      val target = q * n
+      // GK guarantee: some rank in [lo, hi] is within eps*n of target
+      assert(lo - eps * n - 1 <= target && target <= hi + eps * n + 1,
+        s"q=$q est=$est rank=[$lo,$hi] target=$target n=$n")
+    }
+    // group sketch counts partition the corpus
+    assert(rows.filter(_.getString(0) != "MERGED").map(_.getLong(1)).sum
+      === n.toLong)
+  }
+
   test("g76 JS laws: symmetric-free pairs, bounded in [0,1] bits") {
     val rows = SparkEntry.queries("g76_js_divergence")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -225,4 +225,38 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2L) === 2L,
       "a gap one microsecond past the timeout must split")
   }
+
+  test("idempotentAppend exactly-once law: a replayed batch does not duplicate") {
+    // Structured Streaming's failure contract is "batchId N may run
+    // MORE THAN ONCE with identical data" — exactly-once holds iff the
+    // sink write is idempotent per batchId. Pin that law directly on
+    // StreamingJobs.idempotentAppend: replaying a batch leaves the table
+    // byte-identical; a NEW batchId appends.
+    import spark.implicits._
+    val out = s"/tmp/graft_stream_stage/${ProcessHandle.current().pid()}/law"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val b1 = Seq((3L, 30.0)).toDF("id", "v")
+    StreamingJobs.idempotentAppend(b0, 0L, out)
+    StreamingJobs.idempotentAppend(b1, 1L, out)
+    def snap() = spark.read.parquet(out)
+      .select(col("id"), col("v"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val before = snap()
+    assert(before.size === 3)
+    // the retry: same batchId, same rows — the table must not change
+    StreamingJobs.idempotentAppend(b1, 1L, out)
+    spark.catalog.refreshByPath(out)
+    assert(snap() === before,
+      "replaying batch 1 must overwrite its own partition, not append")
+    // and a retry must not touch OTHER batches' partitions
+    StreamingJobs.idempotentAppend(b0, 0L, out)
+    spark.catalog.refreshByPath(out)
+    assert(snap() === before)
+  }
 }

@@ -60,6 +60,8 @@ object ScaleCheck {
       "g54_url_dedup", "d23_ab_ttest", "g55_repeated_ngram_frac", "d24_linreg", "f17_null_ordering", "g56_hard_negatives", "a16_pit_lookup", "h18_rolling_dau", "r9_check_constraints", "d25_weighted_median", "g57_knn_eval", "g58_span_corruption", "c17_join_asof_tolerance", "d26_anova", "h19_time_to_convert", "b7_masked_view",
       "d27_chisq", "d28_skew_kurt", "h20_markov", "g59_mix_plan",
       "r17_k_anonymity", "g86_embedding_drift", "g87_substring_dup_spans",
+      "d43_heavy_hitters", "d44_quantile_merge", "g88_catalog_update",
+      "h40_cep_pattern", "h39_stream_sink_parity",
       // a21 stays LAST: it writes the dedup-verdict snapshots, and any
       // audit key running after it in the same JVM measures the
       // snapshot-READ path instead of its inline plan — last position

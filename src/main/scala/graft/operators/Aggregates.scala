@@ -1864,10 +1864,24 @@ object Aggregates {
     val k = 200
     val toks = Tables.documentsDist(spark, dir)
       .select(explode(split($"text", " ")).as("token"))
-    val cands = toks.as[String]
-      .mapPartitions(it => misraGriesKeys(it, k))
-      .toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).cast("bigint").as("n_tok"))
+    // the total token count rides the SAME pass as the sketch (a wrapped
+    // counting iterator + one (null, n_p) row per partition), so the
+    // corpus is scanned exactly TWICE — once for the sketch, once for
+    // the exact candidate counts — never a third time for the total.
+    // The summary table is ≤ k×partitions + partitions rows: persisting
+    // it costs KB and lets candidates and total derive without rerunning
+    // the sketch pass.
+    val mg = toks.as[String]
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { w => n += 1; w }
+        val keys = misraGriesKeys(counted, k).toArray
+        Iterator((null: String, n)) ++ keys.iterator.map(t => (t, -1L))
+      }
+      .toDF("token", "c").persist()
+    val cands = mg.where($"c" === -1L).select($"token").distinct()
+    val total = mg.where($"c" >= 0L)
+      .agg(sum($"c").cast("bigint").as("n_tok"))
     toks.join(broadcast(cands), "token")
       .groupBy($"token")
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -1875,6 +1889,89 @@ object Aggregates {
       .where($"cnt" * k > $"n_tok")
       .select($"token", $"cnt")
       .orderBy($"cnt".desc, $"token")
+  }
+
+  // d45 — DETERMINISTIC POISSON-BOOTSTRAP CI for the mean: the
+  // resampling scheme that actually runs at 100 TB. Classical bootstrap
+  // draws n rows WITH replacement per resample — a global operation no
+  // map-side pass can do — but for large n the multiplicity of any row
+  // in a resample is Poisson(1), so per (row, b) an independent
+  // Poisson(1) weight reproduces the bootstrap distribution map-side
+  // (the standard large-scale substitution, e.g. Chamandy et al.,
+  // "Estimating uncertainty for massive data streams"). The RNG is the
+  // g25/g78 hash rule: u = first-8-md5-hex(o_orderkey:b)/2³², identical
+  // in both engines, so every weight — and therefore the whole CI — is
+  // bit-reproducible cross-engine (a bootstrap that cannot be rerun
+  // identically is an un-auditable error bar). Weights map u through the
+  // Poisson(1) CDF steps (capped at 5, CDF 0.9994); sums are exact
+  // integer cents (h1's rule) so per-resample means are bit-identical
+  // doubles. The CI uses ORDER STATISTICS (5th/196th of 200 sorted
+  // means — rank-based, no interpolation hazard), tie-broken by b.
+  // Scale shape: the ×200 explode never leaves the scan stage — partial
+  // aggregation collapses it to 200×partitions rows before the one
+  // shuffle; the 200-row mean table then sorts on a single partition.
+  private val d45 = graded(
+    "d45_bootstrap_ci", {
+      val u = graft.pipeline.Dedup.duckHex8At(
+        "md5(o_orderkey::VARCHAR || ':' || b.b::VARCHAR)", 1)
+      s"""WITH b AS (SELECT unnest(generate_series(0, 199)) AS b),
+      |w AS (
+      |  SELECT b.b,
+      |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CASE WHEN ($u) / 4294967296.0 < 0.36787944117144233 THEN 0
+      |         WHEN ($u) / 4294967296.0 < 0.7357588823428847 THEN 1
+      |         WHEN ($u) / 4294967296.0 < 0.9196986029286058 THEN 2
+      |         WHEN ($u) / 4294967296.0 < 0.9810118431238462 THEN 3
+      |         WHEN ($u) / 4294967296.0 < 0.9963401531726563 THEN 4
+      |         ELSE 5 END AS w
+      |  FROM orders o CROSS JOIN b),
+      |m AS (
+      |  SELECT b, round(sum(w * cents)::DOUBLE / sum(w)::DOUBLE, 6)
+      |    AS mean_cents
+      |  FROM w GROUP BY b),
+      |r AS (
+      |  SELECT b, mean_cents,
+      |    row_number() OVER (ORDER BY mean_cents, b) AS rk
+      |  FROM m),
+      |pt AS (
+      |  SELECT round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::DOUBLE
+      |      / count(*)::DOUBLE, 6) AS mean_cents
+      |  FROM orders)
+      |SELECT 200::BIGINT AS n_resamples, pt.mean_cents,
+      |  (SELECT mean_cents FROM r WHERE rk = 5) AS ci_lo_cents,
+      |  (SELECT mean_cents FROM r WHERE rk = 196) AS ci_hi_cents
+      |FROM pt""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val cents = round($"o_totalprice" * 100, 0).cast("bigint")
+    val orders = Tables.apply(spark, dir, "orders")
+      .select($"o_orderkey", cents.as("cents"))
+    val u = conv(substring(md5(concat($"o_orderkey".cast("string"),
+      lit(":"), $"b".cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, 0)
+      .when(u < 0.7357588823428847, 1)
+      .when(u < 0.9196986029286058, 2)
+      .when(u < 0.9810118431238462, 3)
+      .when(u < 0.9963401531726563, 4)
+      .otherwise(5)
+    val m = orders
+      .withColumn("b", explode(sequence(lit(0), lit(199))))
+      .withColumn("w", w)
+      .groupBy($"b")
+      .agg(round(sum($"w" * $"cents").cast("double")
+        / sum($"w").cast("double"), 6).as("mean_cents"))
+    val r = m.withColumn("rk", row_number().over(
+      Window.orderBy($"mean_cents", $"b")))
+    val ci = r.where($"rk" === 5 || $"rk" === 196)
+      .agg(min(when($"rk" === 5, $"mean_cents")).as("ci_lo_cents"),
+        min(when($"rk" === 196, $"mean_cents")).as("ci_hi_cents"))
+    val pt = orders.agg(
+      round(sum($"cents").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("mean_cents"))
+    pt.crossJoin(broadcast(ci))
+      .select(lit(200L).as("n_resamples"), $"mean_cents",
+        $"ci_lo_cents", $"ci_hi_cents")
   }
 
   // d44 — MERGEABLE QUANTILE SKETCH (bench-only): d20's two-level HLL
@@ -1941,5 +2038,5 @@ object Aggregates {
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42, d43, d44)
+    d39, d40, d41, d42, d43, d44, d45)
 }

@@ -826,6 +826,119 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // m13 — CROSS-MODAL DEDUP AGREEMENT: the question a multimodal corpus
+  // audit actually asks — do the TEXT detector and the PERCEPTUAL
+  // detector (m10's dHash Hamming ≤ 6) flag the SAME pairs? The text
+  // detector is the BAG-OF-WORDS fingerprint (md5 of the sorted distinct
+  // token list — the normalization-then-digest family of g8/g54 applied
+  // at the vocabulary level): raw md5(text) is vacuous on the graded
+  // corpora (zero exact twins below sf0.1) while vocabulary-identical
+  // rewrites are plentiful at every sf, which is exactly the "same
+  // content, different rendering" population a multimodal audit cares
+  // about. On this corpus the raster derives from the text but the
+  // dimensions derive from doc_id (w = 8 + id%8, h = 8 + id%5), so the
+  // detectors genuinely disagree: `text_only` = same vocabulary
+  // re-rendered (the crawler re-encode shape), `phash_only` = visually
+  // identical media with different captions (the image-spam shape),
+  // `both` = true multimodal twins — structurally EMPTY on the synthetic
+  // corpora (a vocabulary twin always re-renders at different
+  // doc_id-derived dimensions; measured text_only min-Hamming is 13 ≫ 6
+  // at every sf), and the empty cell is itself graded: a detector bug
+  // that let it fill would hash-mismatch against the oracle. Hamming is
+  // computed EXACTLY for every flagged pair from the m9 signatures, so
+  // cells carry min/max distance. Membership fact that keeps this exact:
+  // the 8-bit block pigeonhole guarantees hamming ≤ 6 ⇒ block-join
+  // candidate, so "phash pair" ⟺ hamming ≤ 6 with no recall caveat.
+  // Shape at scale: two LSH-family joins (fp equi-join, block equi-join)
+  // + one union-of-pairs groupBy — all keyed shuffles; pairs-per-cell is
+  // output-sized; the fingerprint is a 16-byte digest, text never
+  // shuffles.
+  private val m13 = graded(
+    "m13_crossmodal_dedup",
+    s"""$dhashSigCte,
+      |fps AS (
+      |  SELECT doc_id,
+      |    md5(list_aggregate(list_sort(list_distinct(
+      |      string_split(text, ' '))), 'string_agg', ' ')) AS fp
+      |  FROM documents),
+      |tp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |blocks AS (
+      |  SELECT doc_id, hi, lo, gs.i AS blk,
+      |    CASE WHEN gs.i < 4 THEN (hi >> (gs.i * 8)) & 255
+      |      ELSE (lo >> ((gs.i - 4) * 8)) & 255 END AS bv
+      |  FROM sig, generate_series(0, 7) gs(i)),
+      |pp AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM blocks a JOIN blocks b
+      |    ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6),
+      |u AS (
+      |  SELECT doc_a, doc_b, max(is_text) AS is_text FROM (
+      |    SELECT doc_a, doc_b, TRUE AS is_text FROM tp
+      |    UNION ALL
+      |    SELECT doc_a, doc_b, FALSE AS is_text FROM pp) z
+      |  GROUP BY doc_a, doc_b),
+      |h AS (
+      |  SELECT u.is_text,
+      |    bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo)) AS ham
+      |  FROM u
+      |  JOIN sig sa ON sa.doc_id = u.doc_a
+      |  JOIN sig sb ON sb.doc_id = u.doc_b)
+      |SELECT CASE WHEN is_text AND ham <= 6 THEN 'both'
+      |            WHEN is_text THEN 'text_only'
+      |            ELSE 'phash_only' END AS verdict,
+      |  count(*)::BIGINT AS n_pairs,
+      |  min(ham)::BIGINT AS min_hamming,
+      |  max(ham)::BIGINT AS max_hamming
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sig = dhashSigDf(spark, dir)
+    val fps = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5(array_join(array_sort(array_distinct(
+        split($"text", " "))), " ")).as("fp"))
+    val tp = fps.as("a")
+      .join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        lit(true).as("is_text"))
+    val blocks = sig
+      .select($"doc_id", $"dhash_hi", $"dhash_lo",
+        explode(sequence(lit(0), lit(7))).as("blk"))
+      .withColumn("bv",
+        when($"blk" < 4, expr("shiftright(dhash_hi, cast(blk * 8 as int))"))
+          .otherwise(expr("shiftright(dhash_lo, cast((blk - 4) * 8 as int))"))
+          .bitwiseAND(255))
+    val ba = blocks.select($"blk", $"bv", $"doc_id".as("doc_a"),
+      $"dhash_hi".as("hi_a"), $"dhash_lo".as("lo_a"))
+    val bb = blocks.select($"blk", $"bv", $"doc_id".as("doc_b"),
+      $"dhash_hi".as("hi_b"), $"dhash_lo".as("lo_b"))
+    val pp = ba.join(bb, Seq("blk", "bv"))
+      .where($"doc_a" < $"doc_b")
+      .where(bit_count($"hi_a".bitwiseXOR($"hi_b"))
+        + bit_count($"lo_a".bitwiseXOR($"lo_b")) <= 6)
+      .select($"doc_a", $"doc_b", lit(false).as("is_text"))
+      .distinct()
+    val u = tp.unionByName(pp)
+      .groupBy($"doc_a", $"doc_b").agg(max($"is_text").as("is_text"))
+    u.join(sig.select($"doc_id".as("doc_a"), $"dhash_hi".as("hi_a"),
+        $"dhash_lo".as("lo_a")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"dhash_hi".as("hi_b"),
+        $"dhash_lo".as("lo_b")), "doc_b")
+      .withColumn("ham",
+        (bit_count($"hi_a".bitwiseXOR($"hi_b"))
+          + bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("bigint"))
+      .select(when($"is_text" && $"ham" <= 6, "both")
+        .when($"is_text", "text_only")
+        .otherwise("phash_only").as("verdict"), $"ham")
+      .groupBy($"verdict")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        min($"ham").cast("bigint").as("min_hamming"),
+        max($"ham").cast("bigint").as("max_hamming"))
+      .orderBy($"verdict")
+  }
+
   val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12)
+    m11, m12, m13)
 }

@@ -27,6 +27,7 @@ class PlanQualitySpec extends SparkSpec {
     "d27_chisq", // contingency cells crossing their own 1-row chi² total
     "g59_mix_plan", // 5-lang plan table crossing the 1-row weight total
     "d43_heavy_hitters", // crosses the 1-row total-token count (g30's shape)
+    "d45_bootstrap_ci", // 1-row point estimate crossing the 1-row CI bounds
     "g64_centroid_outliers", // 1-row centroid + 1-row mean + 1-row sigma broadcasts
     "r10_psi_drift", // 10-bucket table crossing its own 1-row totals
     "h21_cusum_changepoint", // day-grain series crossing its own 1-row D/T totals

@@ -1801,7 +1801,7 @@ object EventTime {
     h39Stage.computeIfAbsent(dir, d => {
       val path = s"$stageRoot/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       Tables.eventsUs(spark, d)
-        .select(col("event_id"), col("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
         .repartition(4, col("event_id"))
         .write.mode("overwrite").parquet(path)
       path
@@ -1917,8 +1917,76 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  // h41 — STREAMING KEYED-UPSERT PARITY, the MERGE twin of h39's append
+  // (the two production foreachBatch write shapes: h39 lands immutable
+  // facts, h41 maintains LATEST STATE per key — registries, profiles,
+  // catalog heads). The staged multi-batch event stream drives
+  // StreamingJobs.upsertLatest: per batch, per-user last-writer-wins
+  // merge into a parquet table hash-partitioned on user_id % 8, reading
+  // and dynamically overwriting ONLY the buckets the batch touches. The
+  // graded run then DELIBERATELY REPLAYS one staged batch file through
+  // the same merge before reading the table back: upsert idempotency is
+  // SEMANTIC (re-offering rows the table already reflects is a fixed
+  // point of last-writer-wins), so one regressed, duplicated, or dropped
+  // user row hash-mismatches against the batch oracle — the global
+  // per-user argmax over all events. Scale notes: each micro-batch
+  // rewrites at most `buckets` partitions, never the table; the merge's
+  // read is partition-pruned by the touched-bucket list; state lives in
+  // the table, not a state store, so there is nothing to bound.
+  private val h41 = graded(
+    "h41_stream_upsert_parity",
+    """SELECT user_id, ts AS last_ts_us, event_id AS last_event_id,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS last_cents
+      |FROM (
+      |  SELECT user_id, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val stage = stagedEventsDir(s, dir)
+    val out = s"$stage-upsert"
+    // fresh table per run: a leftover from a previous invocation holds
+    // merged state this run's batches would be a no-op against
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val proj = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"event_id", $"user_id", $"ts_us",
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val stream = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = proj(stream).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingJobs.upsertLatest(b, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h41 stream did not drain within 300 s")
+    } finally q.stop()
+    // replay one staged batch (lexicographically first part-file — any
+    // batch works, because upsert idempotency is per-row semantic, not
+    // per-batch positional): the merge must leave the table unchanged
+    val firstFile = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).min
+    graft.streaming.StreamingJobs.upsertLatest(
+      proj(s.read.parquet(firstFile)), out)
+    s.read.parquet(out)
+      .select($"user_id", $"last_ts_us", $"last_event_id", $"last_cents")
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40)
+    h40, h41)
 }

@@ -1763,7 +1763,111 @@ object Dedup {
       .orderBy($"fp")
   }
 
+  // g89 — LSH S-CURVE CALIBRATION: the empirical detection-probability
+  // curve of the banded MinHash detector as a function of TRUE Jaccard —
+  // the tuning artifact that decides (bands, rows) before a 100 TB dedup
+  // run (g49 grades the detector as one precision/recall scalar; this
+  // grades the whole curve, so a threshold move is a table lookup, not a
+  // rerun). Detector: g47's k=8 signature (md5-derived 32-bit token
+  // hashes, affine rehashes over the >2^32 prime) split into 4 bands of
+  // 2 rows — detected ⟺ some band agrees on BOTH components; theory says
+  // P(detect) = 1 − (1 − j²)⁴. Ground truth: exact token-set Jaccard via
+  // the sorted two-pointer kernel (g2's injective-hash rule) over the
+  // banded id-window pair universe — the same declared-universe division
+  // of labor as g2 (the curve is a property of pairs, not of corpus-wide
+  // recall). Per Jaccard decile: pair count, detected count, empirical
+  // rate (int/int quotient — IEEE-identical cross-engine), and the
+  // theoretical rate at the decile midpoint spelled as explicit
+  // left-associated multiplications (NO pow() — engines may differ in
+  // the last ulp of pow, multiplication is deterministic IEEE).
+  // Shape at scale: one token shuffle for signatures + sets, one bucket
+  // equi-join (never n²), then a ≤10-row groupBy; signatures ride the
+  // join as 8 longs, sets as int64 arrays.
+  private val g89 = graded(
+    "g89_lsh_s_curve", {
+      val mins = mhAB8.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $mhP) AS mh$i"
+      }.mkString(",\n      |    ")
+      val bands = (0 until 4).map(bnd =>
+        s"(sa.mh${2 * bnd} = sb.mh${2 * bnd} AND sa.mh${2 * bnd + 1} = sb.mh${2 * bnd + 1})")
+        .mkString(" OR ")
+      s"""WITH tok AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(t) AS word FROM tok),
+      |hashed AS (
+      |  SELECT doc_id, ${duckHex8("md5(word)")} AS h FROM w),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hashed GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.t, b.t))::DOUBLE /
+      |      (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::DOUBLE
+      |      AS jac
+      |  FROM tok a JOIN tok b
+      |    ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 150),
+      |d AS (
+      |  SELECT least(floor(p.jac * 10), 9)::BIGINT AS jac_bucket,
+      |    CASE WHEN $bands THEN 1 ELSE 0 END AS det
+      |  FROM p
+      |  JOIN sig sa ON sa.doc_id = p.doc_a
+      |  JOIN sig sb ON sb.doc_id = p.doc_b),
+      |g AS (
+      |  SELECT jac_bucket, count(*)::BIGINT AS n_pairs,
+      |    sum(det)::BIGINT AS n_detected
+      |  FROM d GROUP BY jac_bucket)
+      |SELECT jac_bucket, n_pairs, n_detected,
+      |  round(n_detected::DOUBLE / n_pairs::DOUBLE, 6) AS det_rate,
+      |  round(1 - (1 - m * m) * (1 - m * m) * (1 - m * m) * (1 - m * m),
+      |    6) AS theo_rate_mid
+      |FROM (SELECT *, (jac_bucket + 0.5) / 10.0 AS m FROM g)
+      |ORDER BY jac_bucket""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.SortedIntersectSize.register(spark)
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    val hashed = docs.select($"doc_id", explode($"t").as("word"))
+      .withColumn("h",
+        conv(substring(md5($"word"), 1, 8), 16, 10).cast("bigint"))
+    val mins = mhAB8.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * $"h" + lit(b)) % lit(mhP)).as(s"mh$i")
+    }
+    val sig = hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val sets = docs.select($"doc_id",
+      sort_array(expr("transform(t, w -> xxhash64(w))")).as("ts"))
+    val side = sig.join(sets, "doc_id")
+    val a = side.toDF(side.columns.map(_ + "_a"): _*)
+    val b = side.toDF(side.columns.map(_ + "_b"): _*)
+    val detected = (0 until 4).map { bnd =>
+      (col(s"mh${2 * bnd}_a") === col(s"mh${2 * bnd}_b")) &&
+        (col(s"mh${2 * bnd + 1}_a") === col(s"mh${2 * bnd + 1}_b"))
+    }.reduce(_ || _)
+    val m = ($"jac_bucket".cast("double") + 0.5) / 10.0
+    val oneBand = lit(1.0) - m * m
+    Banding.bandedPairs(a, b, "doc_id_a", "doc_id_b", 150)
+      .withColumn("inter",
+        expr("cast(sorted_intersect_size(ts_a, ts_b) as double)"))
+      .withColumn("jac",
+        $"inter" / (size($"ts_a") + size($"ts_b") - $"inter"))
+      .select(least(floor($"jac" * 10), lit(9)).cast("bigint")
+        .as("jac_bucket"),
+        when(detected, 1L).otherwise(0L).as("det"))
+      .groupBy($"jac_bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum($"det").cast("bigint").as("n_detected"))
+      .withColumn("det_rate",
+        round($"n_detected".cast("double") / $"n_pairs".cast("double"), 6))
+      .withColumn("theo_rate_mid",
+        round(lit(1.0) - oneBand * oneBand * oneBand * oneBand, 6))
+      .select($"jac_bucket", $"n_pairs", $"n_detected", $"det_rate",
+        $"theo_rate_mid")
+      .orderBy("jac_bucket")
+  }
+
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, g87, g88, a21)
+    g84, g85, g87, g88, g89, a21)
 }

@@ -259,4 +259,48 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.refreshByPath(out)
     assert(snap() === before)
   }
+
+  test("upsertLatest laws: replay is a fixed point; batch order is immaterial") {
+    // The upsert sink's exactly-once is SEMANTIC (h41): last-writer-wins
+    // by (last_ts_us, last_event_id) makes (1) re-applying any batch a
+    // no-op, and (2) the final state independent of batch arrival order —
+    // the two properties a replayed/reordered micro-batch sequence needs.
+    import spark.implicits._
+    val root = s"/tmp/graft_stream_stage/${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    def mk(rows: Seq[(Long, Long, Long, Long)]) = rows
+      .toDF("event_id", "user_id", "us", "cents")
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(us)").as("ts_us"), $"cents")
+    // user 1: newer row in b0 than b1 (later batch carries OLDER data —
+    // the case where append-style thinking regresses); user 2 split
+    // across batches; user 9 only in b1. Same-ts tie for user 2 decided
+    // by event_id (total order).
+    val b0 = mk(Seq((100L, 1L, 5000L, 11L), (200L, 2L, 7000L, 22L)))
+    val b1 = mk(Seq((90L, 1L, 4000L, 10L), (210L, 2L, 7000L, 23L),
+      (300L, 9L, 1000L, 90L)))
+    def runOrder(name: String, batches: Seq[org.apache.spark.sql.DataFrame],
+        replay: Option[org.apache.spark.sql.DataFrame]) = {
+      val out = s"$root/upsert-law-$name"
+      rm(new java.io.File(out))
+      batches.foreach(StreamingJobs.upsertLatest(_, out))
+      replay.foreach(StreamingJobs.upsertLatest(_, out))
+      spark.read.parquet(out)
+        .select($"user_id", $"last_ts_us", $"last_event_id", $"last_cents")
+        .collect().map(_.toSeq).toSet
+    }
+    val fwd = runOrder("fwd", Seq(b0, b1), None)
+    assert(fwd.size === 3)
+    // user 1 keeps b0's NEWER row even though b1 arrived later
+    assert(fwd.exists(r => r.head == 1L && r(3) == 11L))
+    // user 2's same-ts tie goes to the larger event_id
+    assert(fwd.exists(r => r.head == 2L && r(3) == 23L))
+    assert(runOrder("rev", Seq(b1, b0), None) === fwd,
+      "upsert state must not depend on batch arrival order")
+    assert(runOrder("rep", Seq(b0, b1), Some(b0)) === fwd,
+      "replaying a batch must be a fixed point of the merge")
+  }
 }

@@ -1297,6 +1297,45 @@ class PropertySpec extends SparkSpec {
       === n.toLong)
   }
 
+  test("d45 bootstrap-CI laws: ordered bounds bracketing the point estimate") {
+    // golden pins the exact values; this pins the STATISTICAL shape the
+    // pin cannot express — the order-statistic bounds are ordered and the
+    // central 95% interval of 200 Poisson resamples brackets the point
+    // mean (a bootstrap whose CI misses its own point estimate is
+    // implemented wrong, whatever it hashes to)
+    val r = SparkEntry.queries("d45_bootstrap_ci")(spark, sfDir).head()
+    val (n, mean, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n === 200L)
+    assert(lo < hi, s"CI degenerate: [$lo, $hi]")
+    assert(lo <= mean && mean <= hi,
+      s"point mean $mean outside its own CI [$lo, $hi]")
+  }
+
+  test("g89 S-curve laws: counts consistent, rates bounded, curve anchored") {
+    val rows = SparkEntry.queries("g89_lsh_s_curve")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nPairs, nDet, rate, theo) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nDet >= 0 && nDet <= nPairs, "detected beyond pair count")
+      // det_rate is round(·, 6): half-step tolerance, not exactness
+      assert(math.abs(rate - nDet.toDouble / nPairs) <= 5e-7)
+      assert(theo >= 0.0 && theo <= 1.0)
+    }
+    // the S shape itself: empirical detection rate is monotone
+    // non-decreasing in the Jaccard decile on this corpus (measured
+    // 0.024 → 0.989 across buckets 0–9 at sf0.001), and the curve's two
+    // ends sit on the right sides of the threshold — a detector with
+    // inverted band logic or swapped signature components flips these
+    val byBucket = rows.sortBy(_.getLong(0)).map(_.getDouble(3))
+    assert(byBucket.zip(byBucket.tail).forall { case (a, b) => a <= b },
+      s"detection rate not monotone in Jaccard: ${byBucket.mkString(", ")}")
+    assert(byBucket.head <= 0.1 && byBucket.last >= 0.9,
+      "S-curve ends out of place: low-Jaccard pairs should rarely be " +
+        s"detected, high-Jaccard almost always (${byBucket.head}, ${byBucket.last})")
+  }
+
   test("g76 JS laws: symmetric-free pairs, bounded in [0,1] bits") {
     val rows = SparkEntry.queries("g76_js_divergence")(spark, sfDir).collect()
     assert(rows.nonEmpty)

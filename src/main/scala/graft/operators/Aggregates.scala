@@ -558,6 +558,56 @@ object Aggregates {
     per.unionByName(merged).orderBy("grp")
   }
 
+  // d46 — SKETCH SET-ALGEBRA: distinct-count INTERSECTION via
+  // inclusion–exclusion over HLL sketches (bench-only like d20 — no
+  // cross-engine twin for approximate state; `PropertySpec` pins the
+  // laws). d20 proves union-mergeability; this is the other half of the
+  // algebra a 100 TB audience/overlap dashboard runs on: |A∩B| ≈
+  // est(A) + est(B) − est(A∪B), where est(A∪B) is a register-wise
+  // union of the SAME one-pass sketches — answering every pairwise
+  // overlap question from one aggregation tree, no per-pair re-scan
+  // (the exact twin needs a pk-keyed self-join per pair; at 10¹¹ keys
+  // that is a shuffle per question, the sketch form is a 3-row
+  // broadcast). Exact intersections ride alongside so the compounded
+  // error (≈3 sketch errors stacked) is a visible number, and the
+  // estimate is floored at 0 — inclusion–exclusion can go slightly
+  // negative when the true overlap is near zero.
+  private val d46 = benchOnly("d46_hll_intersect") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val sk = li.groupBy($"l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+    val a = sk.select($"l_returnflag".as("flag_a"), $"sk".as("sk_a"))
+    val b = sk.select($"l_returnflag".as("flag_b"), $"sk".as("sk_b"))
+    // 3-row sketch table self-cross (|flags|² pairs) — constant-size
+    val est = a.crossJoin(b).where($"flag_a" < $"flag_b")
+      .select($"flag_a", $"flag_b",
+        // hll_sketch_estimate returns BIGINT; the algebra below is real-
+        // valued (inclusion-exclusion differences), so lift to double
+        expr("cast(hll_sketch_estimate(sk_a) as double)").as("est_a"),
+        expr("cast(hll_sketch_estimate(sk_b) as double)").as("est_b"),
+        expr("cast(hll_sketch_estimate(hll_union(sk_a, sk_b)) as double)")
+          .as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), $"est_a" + $"est_b" - $"est_union"))
+    // exact twin: distinct (flag, pk) pairs self-joined on pk — the
+    // per-pair shuffle the sketch form exists to avoid
+    val p = li.select($"l_returnflag".as("flag"), $"l_partkey".as("pk"))
+      .distinct()
+    val exact = p.select($"flag".as("flag_a"), $"pk")
+      .join(p.select($"flag".as("flag_b"), $"pk"), "pk")
+      .where($"flag_a" < $"flag_b")
+      .groupBy($"flag_a", $"flag_b")
+      .agg(count(lit(1)).cast("bigint").as("exact_intersect"))
+    est.join(exact, Seq("flag_a", "flag_b"), "left")
+      .select($"flag_a", $"flag_b", round($"est_a", 3).as("est_a"),
+        round($"est_b", 3).as("est_b"),
+        round($"est_union", 3).as("est_union"),
+        round($"est_intersect", 3).as("est_intersect"),
+        coalesce($"exact_intersect", lit(0L)).as("exact_intersect"))
+      .orderBy("flag_a", "flag_b")
+  }
+
   // d21 — EXACT decimal money aggregation: every other float output in
   // the engine is rounded to paper over summation-order drift; DECIMAL
   // arithmetic is the ANSI answer that makes the drift impossible —
@@ -2045,5 +2095,5 @@ object Aggregates {
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42, d43, d44, d45)
+    d39, d40, d41, d42, d43, d44, d45, d46)
 }

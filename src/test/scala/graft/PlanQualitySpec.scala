@@ -28,6 +28,7 @@ class PlanQualitySpec extends SparkSpec {
     "g59_mix_plan", // 5-lang plan table crossing the 1-row weight total
     "d43_heavy_hitters", // crosses the 1-row total-token count (g30's shape)
     "d45_bootstrap_ci", // 1-row point estimate crossing the 1-row CI bounds
+    "d46_hll_intersect", // |flags|-row sketch table self-crossed (constant)
     "g64_centroid_outliers", // 1-row centroid + 1-row mean + 1-row sigma broadcasts
     "r10_psi_drift", // 10-bucket table crossing its own 1-row totals
     "h21_cusum_changepoint", // day-grain series crossing its own 1-row D/T totals
@@ -233,6 +234,21 @@ class PlanQualitySpec extends SparkSpec {
     // would double the query's cost at any scale
     val p = plans.toMap.apply("d18_mad_outliers")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d45 bootstrap: the x200 resample explode collapses map-side") {
+    // the 100 TB claim: the per-(row, resample) explode never rides a
+    // shuffle — partial aggregation reduces it to 200 rows per partition
+    // BEFORE the b-keyed exchange. If the partial agg disappeared, the
+    // shuffle would carry 200x the corpus.
+    val p = plans.toMap.apply("d45_bootstrap_ci")
+    val gen = p.indexOf("Generate explode")
+    val ex = p.indexOf("Exchange hashpartitioning(b#")
+    assert(gen >= 0, "no explode in the d45 plan:\n" + p)
+    assert(ex >= 0 && ex < gen,
+      "b-shuffle missing or not downstream of the explode:\n" + p)
+    assert(p.substring(ex, gen).contains("partial_sum"),
+      "no partial aggregate between the b-shuffle and the explode:\n" + p)
   }
 
   test("b6: the fact scan carries a DYNAMIC partition-pruning subquery") {

@@ -1336,6 +1336,24 @@ class PropertySpec extends SparkSpec {
         s"detected, high-Jaccard almost always (${byBucket.head}, ${byBucket.last})")
   }
 
+  test("d46 sketch-intersection laws: union bounds, error within HLL budget") {
+    val rows = SparkEntry.queries("d46_hll_intersect")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (ea, eb, eu, ei, exact) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))
+      // register-wise union dominance: max input <= union <= sum of inputs
+      assert(eu >= math.max(ea, eb) - 1e-6, s"union below an input: $r")
+      assert(eu <= ea + eb + 1e-6, s"union above the inputs' sum: $r")
+      assert(ei >= 0.0)
+      // inclusion-exclusion stacks ~3 sketch errors (default lgK=12 HLL
+      // is ~1.6% RSE each); 10% of the union is a generous-but-real
+      // bound that a broken estimator (e.g. swapped union/input) smashes
+      assert(math.abs(ei - exact) <= math.max(0.10 * eu, 16.0),
+        s"intersection estimate off by more than the sketch budget: $r")
+    }
+  }
+
   test("g76 JS laws: symmetric-free pairs, bounded in [0,1] bits") {
     val rows = SparkEntry.queries("g76_js_divergence")(spark, sfDir).collect()
     assert(rows.nonEmpty)

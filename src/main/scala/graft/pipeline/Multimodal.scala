@@ -252,6 +252,61 @@ object Multimodal {
       (hi, lo)
     }
 
+    /** BOX-FILTER (area-mean) downsample for m14: real header walk, then
+      * each output cell (r, c) is the integer-floor mean of the input
+      * block rows [⌊r·h/outH⌋, ⌊(r+1)·h/outH⌋) × cols [⌊c·w/outW⌋,
+      * ⌊(c+1)·w/outW⌋) — the anti-aliased thumbnail kernel (m9's dHash
+      * grid is nearest-neighbor SAMPLING; this AVERAGES every covered
+      * pixel, so no input pixel is dropped). All-integer arithmetic:
+      * sums and the floor division are exact, so the oracle recomputes
+      * every cell bit-identically from the synthesis rule. Requires
+      * outW ≤ w and outH ≤ h (every block nonempty).
+      */
+    def boxResize(bytes: Array[Byte], outW: Int, outH: Int): Array[Int] = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a P5 PGM")
+      var pos = 2
+      def nextInt(): Long = {
+        while (pos < bytes.length && bytes(pos).toChar.isWhitespace) pos += 1
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        require(pos > start, "truncated PGM header")
+        new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII).toLong
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1
+      require(maxval == 255, s"unsupported maxval $maxval")
+      require(bytes.length - pos == w * h,
+        s"raster size ${bytes.length - pos} != ${w * h}")
+      require(outW <= w && outH <= h,
+        s"box resize cannot upscale: ${w}x$h -> ${outW}x$outH")
+      val out = new Array[Int](outW * outH)
+      var r = 0
+      while (r < outH) {
+        val rLo = (r * h / outH).toInt; val rHi = ((r + 1) * h / outH).toInt
+        var c = 0
+        while (c < outW) {
+          val cLo = (c * w / outW).toInt; val cHi = ((c + 1) * w / outW).toInt
+          var s = 0L
+          var ri = rLo
+          while (ri < rHi) {
+            var ci = cLo
+            while (ci < cHi) {
+              s += java.lang.Byte.toUnsignedInt(bytes(pos + (ri * w + ci).toInt))
+              ci += 1
+            }
+            ri += 1
+          }
+          out(r * outW + c) =
+            (s / ((rHi - rLo).toLong * (cHi - cLo))).toInt
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
     /** Parse a P5 payload: magic + 3 whitespace-separated header ints +
       * exactly w·h raster bytes. Malformed input throws — a real decoder
       * fails loudly, it does not fabricate pixels.
@@ -939,6 +994,61 @@ object Multimodal {
       .orderBy($"verdict")
   }
 
+  // m14 — IMAGE RESIZE through the real codec, graded per PIXEL: the
+  // box-filter (area-mean) downsample every multimodal pipeline runs
+  // before feature extraction, which m9's nearest-neighbor dHash grid is
+  // NOT (sampling drops pixels; the box filter averages every covered
+  // pixel — the anti-aliasing difference). Each doc's PGM is decoded by
+  // the real header walk and reduced to a 4×4 thumbnail; every output
+  // cell is an integer-floor block mean, so the oracle recomputes all 16
+  // cells bit-identically from the synthesis rule (dimensions from
+  // doc_id, pixels from text bytes tiled row-major) — encoder, header
+  // walk, block geometry and the mean arithmetic are all on the graded
+  // path. Output is the exploded (doc_id, r, c, v) cell table. Blobs are
+  // created and consumed inside one mapPartitions chain; 16 ints per doc
+  // leave the scan stage.
+  private val m14 = graded(
+    "m14_image_resize",
+    """WITH d AS (
+      |  SELECT doc_id, text, (8 + doc_id % 8)::BIGINT AS w,
+      |    (8 + doc_id % 5)::BIGINT AS h, length(text)::BIGINT AS len
+      |  FROM documents),
+      |cell AS (
+      |  SELECT d.*, rs.r, cs.c
+      |  FROM d, generate_series(0, 3) rs(r), generate_series(0, 3) cs(c)),
+      |rws AS (
+      |  SELECT doc_id, text, w, len, r, c,
+      |    unnest(generate_series(r * h // 4, (r + 1) * h // 4 - 1)) AS ri
+      |  FROM cell),
+      |cls AS (
+      |  SELECT doc_id, text, w, len, r, c, ri,
+      |    unnest(generate_series(c * w // 4, (c + 1) * w // 4 - 1)) AS ci
+      |  FROM rws),
+      |px AS (
+      |  SELECT doc_id, r, c,
+      |    CASE WHEN len = 0 THEN 32
+      |      ELSE ascii(substring(text, ((ri * w + ci) % len)::INT + 1, 1))
+      |      END AS v
+      |  FROM cls)
+      |SELECT doc_id, r::BIGINT AS r, c::BIGINT AS c,
+      |  (sum(v) // count(*))::BIGINT AS v
+      |FROM px GROUP BY doc_id, r, c
+      |ORDER BY doc_id, r, c""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, Pgm.encode(id, text)) })
+      .mapPartitions(_.map { case (id, blob) =>
+        (id, Pgm.boxResize(blob, 4, 4).map(_.toLong))
+      })
+      .toDF("doc_id", "px")
+      .select($"doc_id", posexplode($"px").as(Seq("idx", "v")))
+      .select($"doc_id", expr("cast(idx div 4 as bigint)").as("r"),
+        expr("cast(idx % 4 as bigint)").as("c"), $"v".cast("bigint").as("v"))
+      .orderBy("doc_id", "r", "c")
+  }
+
   val defs: Seq[QueryDef] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10,
-    m11, m12, m13)
+    m11, m12, m13, m14)
 }

@@ -128,6 +128,27 @@ class MultimodalSpec extends SparkSpec {
     assert(df.where(col("brightness") < 0 || col("brightness") > 1).count() === 0)
   }
 
+  test("boxResize: constant raster is a fixed point, means exact, junk rejected") {
+    import graft.pipeline.Multimodal.Pgm
+    // constant raster: every block mean IS the constant, whatever the
+    // block geometry — a fixed point that kills off-by-one block bounds
+    val const = Pgm.encode(0L, "aaaa") // 8x8, every pixel 'a' = 97
+    assert(Pgm.boxResize(const, 4, 4).forall(_ == 97))
+    assert(Pgm.boxResize(const, 1, 1).sameElements(Array(97)))
+    // hand-computed 2x2 means on a known 8x8 tiling of "ab" (97, 98
+    // alternating row-major; 8 even => every 2x2 block holds two of
+    // each): mean = (97+98)/2 floored = 97
+    val ab = Pgm.encode(0L, "ab")
+    assert(Pgm.boxResize(ab, 4, 4).forall(_ == 97))
+    // full-size resize is the identity read-back of the raster
+    val idPx = Pgm.boxResize(ab, 8, 8)
+    assert(idPx.length === 64 && idPx(0) === 97 && idPx(1) === 98)
+    // a real resizer fails loudly on junk and on upscale requests
+    intercept[IllegalArgumentException](
+      Pgm.boxResize("nope".getBytes, 4, 4))
+    intercept[IllegalArgumentException](Pgm.boxResize(ab, 16, 16))
+  }
+
   test("m2 decode agrees with m5's graded brightness per doc") {
     // m2 (bench-only typed-Dataset path) and m5 (graded path) run the
     // SAME codec over the same synthesized payloads — their outputs must

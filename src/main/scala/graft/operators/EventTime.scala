@@ -1985,8 +1985,52 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  // h42 — STREAM-STATIC DIMENSION-ENRICHMENT JOIN, the remaining join
+  // regime next to h36's stream-stream: a live stream joined against a
+  // PRE-COMPUTED batch dimension (here: per-user activity profile,
+  // band = total-event-count div 20) — the enrich-then-aggregate shape
+  // of virtually every production streaming report (events × user
+  // segment, clicks × campaign). Stream-static joins are STATELESS:
+  // each micro-batch hash/broadcast-joins the dim and moves on, so
+  // state is only the downstream aggregate's ≤ |types|×|bands| cells —
+  // bounded by the dim's band domain, not the corpus. The dim is
+  // broadcast (the 100 TB discipline for a small static side; Spark
+  // re-plans it per micro-batch — a real deployment caches the dim or
+  // lets AQE re-broadcast). Exact-cents sums make the cross-batch
+  // merge order-independent (h34's rule).
+  private val h42 = graded(
+    "h42_stream_static_join",
+    """WITH prof AS (
+      |  SELECT user_id, count(*)::BIGINT AS n_total
+      |  FROM events GROUP BY user_id),
+      |e AS (
+      |  SELECT ev.event_type, (p.n_total // 20)::BIGINT AS band,
+      |    CAST(round(ev.value * 100, 0) AS BIGINT) AS cents
+      |  FROM events ev JOIN prof p ON p.user_id = ev.user_id)
+      |SELECT event_type, band, count(*)::BIGINT AS n_events,
+      |  sum(cents)::BIGINT AS sum_cents
+      |FROM e GROUP BY event_type, band
+      |ORDER BY event_type, band""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val prof = Tables.eventsUs(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_total"))
+      .select($"user_id", expr("n_total div 20").cast("bigint").as("band"))
+    val stream = graft.streaming.StreamingJobs.readEvents(s, dir)
+      .select($"user_id", $"event_type",
+        round($"value" * 100, 0).cast("bigint").as("cents"))
+    val enriched = stream.join(broadcast(prof), "user_id")
+      .groupBy($"event_type", $"band")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum($"cents").cast("bigint").as("sum_cents"))
+    drainToMemorySink(enriched, "h42", "complete")
+      .select($"event_type", $"band", $"n_events", $"sum_cents")
+      .orderBy("event_type", "band")
+  }
+
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40, h41)
+    h40, h41, h42)
 }

@@ -275,6 +275,34 @@ object ScansFilters {
         .orderBy("o_orderkey")
   }
 
+  // A22 — JSONL round trip, graded: the third text/interchange sink
+  // next to a9's ORC and a10's CSV, and the one an LLM-data pipeline
+  // actually ships (newline-delimited JSON is the lingua franca of
+  // training-corpus interchange). Spark's json sink IS JSONL — one
+  // object per line. Same content-equality gate and the same two
+  // text-boundary hazards a10 pins: TimestampNTZ crosses through an
+  // explicit microsecond format (the default second-precision format
+  // would corrupt o_orderdate silently), and the schema is passed
+  // explicitly on read (schema inference is an extra full scan, never
+  // at 100 TB — and JSON inference would widen o_totalprice doubles
+  // that happen to be integral into BIGINT, a silent type flip).
+  private val a22 = QueryDef.graded("a22_jsonl_roundtrip", maintenanceOracle) {
+    (spark, dir) =>
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_jsonrt/$jvmTag/$sfTag/orders"
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val src = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority")
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("timestampNTZFormat", fmt)
+        .json(out)
+      spark.read.option("timestampNTZFormat", fmt)
+        .schema(src.schema).json(out)
+        .orderBy("o_orderkey")
+  }
+
   // A11 — Hive-layout partitioned sink graded end-to-end: documents
   // written `lang=<value>/` and read back through partition discovery.
   // The round trip moves the partition column out of the data files and
@@ -910,5 +938,6 @@ object ScansFilters {
   }
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
-    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20)
+    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
+    a22)
 }

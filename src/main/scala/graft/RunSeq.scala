@@ -21,11 +21,20 @@ object RunSeq {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same warm-up pair as Bench
+    // same warm-up pair as Bench. Warm-up dir is overridable and a
+    // failure is REPORTED, not swallowed: a silently-skipped warm-up
+    // inflates the first measured key — the exact contamination this
+    // tool exists to diagnose (r9 ADVICE).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     try {
-      SparkEntry.queries("c1_join_broadcast")(spark, "/root/testdata/sf0.001").count()
-      SparkEntry.queries("e1_win_rank")(spark, "/root/testdata/sf0.001").count()
-    } catch { case _: Throwable => () }
+      SparkEntry.queries("c1_join_broadcast")(spark, warmDir).count()
+      SparkEntry.queries("e1_win_rank")(spark, warmDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[runseq] WARNING: warm-up on $warmDir failed " +
+        s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")
+          .linesIterator.take(1).mkString}) — first key's time is cold")
+    }
     keys.foreach { key =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(key)(spark, sfDir).count()

@@ -1555,6 +1555,16 @@ object EventTime {
     * h3/h5–h8 regressed 4–7.7× purely by running after h34–h38). So:
     * localCheckpoint the sink rows (eager — cuts lineage off the view),
     * drop the view, and unload the state stores + stop maintenance.
+    *
+    * SINGLE-THREADED ASSUMPTION: StateStore.stop() is process-global —
+    * it unloads EVERY loaded provider and kills the shared maintenance
+    * thread, so a concurrent streaming query in the same JVM would have
+    * its state yanked mid-run. Safe here because the h34–h42 keys run
+    * strictly sequentially (Bench/Verify/RunSeq are single-threaded and
+    * the test suites drive one stream at a time — the same documented
+    * contract as Components.lastRunNonEmptyRounds); a multi-tenant
+    * deployment would scope the unload to the drained query's providers
+    * instead.
     */
   private def drainToMemorySink(df: org.apache.spark.sql.DataFrame,
       keyName: String, mode: String): org.apache.spark.sql.DataFrame = {
@@ -1778,23 +1788,9 @@ object EventTime {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // same hygiene as Dedup's snapshot root: first use wipes OUR pid's
-  // stage dir (pid recycling) and GCs dead-pid siblings
-  private lazy val stageRoot: String = {
-    val pid = java.lang.ProcessHandle.current().pid()
-    val root = new java.io.File("/tmp/graft_stream_stage")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(root, pid.toString))
-    Option(root.listFiles()).toSeq.flatten.foreach { d =>
-      val dead = scala.util.Try(d.getName.toLong).toOption
-        .exists(p => !java.lang.ProcessHandle.of(p)
-          .map[java.lang.Boolean](h => h.isAlive).orElse(false))
-      if (dead) rmTree(d)
-    }
-    s"/tmp/graft_stream_stage/$pid"
-  }
+  // stage dir (pid recycling) and GCs dead-pid siblings — shared TmpDirs
+  private lazy val stageRoot: String =
+    graft.sources.TmpDirs.perPidRoot("graft_stream_stage")
 
   private def stagedEventsDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
@@ -1830,11 +1826,7 @@ object EventTime {
     val out = s"$stage-sink"
     // a fresh run must not inherit partitions from a previous invocation
     // whose batch split differed (the checkpoint is temp-scoped per run)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
     val stream = s.readStream
       .schema(s.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", "1")
@@ -1950,11 +1942,7 @@ object EventTime {
     val out = s"$stage-upsert"
     // fresh table per run: a leftover from a previous invocation holds
     // merged state this run's batches would be a no-op against
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
     val proj = (df: org.apache.spark.sql.DataFrame) => df
       .select($"event_id", $"user_id", $"ts_us",
         round($"value" * 100, 0).cast("bigint").as("cents"))

@@ -482,30 +482,13 @@ object Dedup {
   // written once per corpus build and read by every downstream audit,
   // not recomputed per report.
 
-  // First use in this JVM wipes OUR pid's snapshot root (a recycled pid
-  // must never serve a previous process's snapshots — the corpus at the
-  // same path could have been regenerated in between) and garbage-
-  // collects sibling roots whose owning process is gone (dirs otherwise
-  // accumulate in /tmp forever, one per JVM that ever ran a21).
-  private lazy val jvmTag: String = {
-    val pid = java.lang.ProcessHandle.current().pid()
-    val root = new java.io.File("/tmp/graft_snapshots")
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(root, pid.toString))
-    Option(root.listFiles()).toSeq.flatten.foreach { d =>
-      val dead = scala.util.Try(d.getName.toLong).toOption
-        .exists(p => !java.lang.ProcessHandle.of(p)
-          .map[java.lang.Boolean](h => h.isAlive).orElse(false))
-      if (dead) rmTree(d)
-    }
-    pid.toString
-  }
+  // First use in this JVM wipes OUR pid's snapshot root and GCs dead-pid
+  // siblings — the shared TmpDirs contract (pid recycling + /tmp hygiene).
+  private lazy val snapRoot: String =
+    graft.sources.TmpDirs.perPidRoot("graft_snapshots")
 
   private def snapDir(dir: String): String =
-    s"/tmp/graft_snapshots/$jvmTag/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    s"$snapRoot/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   /** A parquet snapshot, only if its write COMPLETED (_SUCCESS marker —
     * a half-written dir from a crashed run must never serve reads). */
@@ -1728,11 +1711,8 @@ object Dedup {
       |ORDER BY fp""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val cat = s"${snapDir(dir)}/catalog"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(cat)) // each invocation grades a fresh cycle
+    // each invocation grades a fresh cycle
+    graft.sources.TmpDirs.rmTree(new java.io.File(cat))
     val docs = Tables.documentsDist(spark, dir)
       .select($"doc_id", md5($"text").as("fp"))
     // one-row driver fetch to drive the split — control flow, not data
@@ -1751,12 +1731,16 @@ object Dedup {
       .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
       .withColumn("origin", lit("delta"))
       .write.mode("append").parquet(s"$cat/store")
-    // compaction: rewrite the accumulated base+delta files sorted by fp
-    // (coalesce(1) is this corpus's file-count target; production sizes
-    // it by maxRecordsPerFile and runs on a schedule, a6's discipline)
+    // compaction: rewrite the accumulated base+delta files clustered by
+    // fp. repartition(1) + sortWithinPartitions makes the per-FILE sort
+    // the write-path contract (sort+coalesce(1) would collapse the sort
+    // into one partition and lean on partition-concatenation order —
+    // implementation behavior, not a guarantee); one file is this
+    // corpus's file-count target, production sizes by maxRecordsPerFile
+    // and runs on a schedule, a6's discipline.
     spark.catalog.refreshByPath(s"$cat/store")
     spark.read.parquet(s"$cat/store")
-      .sort($"fp").coalesce(1)
+      .repartition(1).sortWithinPartitions($"fp")
       .write.mode("overwrite").parquet(s"$cat/compacted")
     spark.read.parquet(s"$cat/compacted")
       .select($"fp", $"first_doc", $"origin")

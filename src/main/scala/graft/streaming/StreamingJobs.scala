@@ -150,9 +150,14 @@ object StreamingJobs {
       .collect().map(_.getInt(0)).toSeq
     // dynamic partition overwrite does NOT leave a root _SUCCESS marker
     // (each commit stages into the touched partitions only), so table
-    // existence is probed by the partition directories themselves
-    val hasTable = Option(new java.io.File(tablePath).listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
+    // existence is probed by the partition directories themselves —
+    // through Hadoop's FileSystem, not java.io.File: on HDFS/S3 a local
+    // File probe is silently false and the merge would drop prior rows
+    // in the touched buckets (r9 ADVICE)
+    val tbl = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = tbl.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasTable = fs.exists(tbl) && fs.listStatus(tbl)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val existing =
       if (hasTable)
         Some(spark.read.parquet(tablePath)

@@ -233,12 +233,8 @@ class StreamingSpec extends SparkSpec {
     // StreamingJobs.idempotentAppend: replaying a batch leaves the table
     // byte-identical; a NEW batchId appends.
     import spark.implicits._
-    val out = s"/tmp/graft_stream_stage/${ProcessHandle.current().pid()}/law"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    val out = s"${graft.sources.TmpDirs.perPidRoot("graft_stream_stage")}/law"
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
     val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
     val b1 = Seq((3L, 30.0)).toDF("id", "v")
     StreamingJobs.idempotentAppend(b0, 0L, out)
@@ -266,11 +262,7 @@ class StreamingSpec extends SparkSpec {
     // no-op, and (2) the final state independent of batch arrival order —
     // the two properties a replayed/reordered micro-batch sequence needs.
     import spark.implicits._
-    val root = s"/tmp/graft_stream_stage/${ProcessHandle.current().pid()}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
+    val root = graft.sources.TmpDirs.perPidRoot("graft_stream_stage")
     def mk(rows: Seq[(Long, Long, Long, Long)]) = rows
       .toDF("event_id", "user_id", "us", "cents")
       .select($"event_id", $"user_id",
@@ -285,7 +277,7 @@ class StreamingSpec extends SparkSpec {
     def runOrder(name: String, batches: Seq[org.apache.spark.sql.DataFrame],
         replay: Option[org.apache.spark.sql.DataFrame]) = {
       val out = s"$root/upsert-law-$name"
-      rm(new java.io.File(out))
+      graft.sources.TmpDirs.rmTree(new java.io.File(out))
       batches.foreach(StreamingJobs.upsertLatest(_, out))
       replay.foreach(StreamingJobs.upsertLatest(_, out))
       spark.read.parquet(out)

@@ -1595,8 +1595,12 @@ object Dedup {
   // output (exact ppm), unique-key ordering. Oracle slides via
   // unnest(generate_series(..)) — the lateral table-function form is
   // unsupported for column bounds in DuckDB 1.0 (DialectNotes).
-  private val g87 = graded(
-    "g87_substring_dup_spans",
+  // The span oracle SHARED by g87 (digest-window detector) and g90
+  // (sharded suffix-array detector): both must produce the identical
+  // merged-coverage table, so the two keys grade as independent
+  // implementations of one contract — the agreement the r9 verdict asked
+  // for ("matches g87's span oracle", VERDICT §Next-round item 1).
+  private[pipeline] val substringSpanOracle =
     """WITH w0 AS (
       |  SELECT doc_id, n_chars,
       |    unnest(generate_series(1, n_chars - 23)) AS pos, text
@@ -1631,7 +1635,37 @@ object Dedup {
       |  sum(e - s + 24)::BIGINT AS covered_chars,
       |  ((sum(e - s + 24) * 1000000) // n_chars)::BIGINT AS dup_ppm
       |FROM u GROUP BY doc_id, n_chars
-      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |ORDER BY doc_id""".stripMargin
+
+  /** The h12 interval-union sweep shared by g87/g90: merge each doc's
+    * duplicated window positions (1-based, fixed length L) into maximal
+    * spans and aggregate to the span-oracle output schema. A gap is
+    * pos − prev > L (fixed window length makes the running max end
+    * lag(pos)+L), and each merged span covers e−s+L chars. */
+  private def mergeDupSpans(p: org.apache.spark.sql.DataFrame, L: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("prev", lag(col("pos"), 1).over(wl))
+      .withColumn("blk",
+        sum(when(col("prev").isNull || col("pos") - col("prev") > L, 1)
+          .otherwise(0)).over(run).cast("bigint"))
+      .groupBy(col("doc_id"), col("n_chars"), col("blk"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).cast("bigint").as("n_win"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(sum(col("n_win")).cast("bigint").as("dup_windows"),
+        count(lit(1)).cast("bigint").as("n_spans"),
+        sum(col("e") - col("s") + L).cast("bigint").as("covered_chars"))
+      .select(col("doc_id"), col("dup_windows"), col("n_spans"),
+        col("covered_chars"),
+        expr("(covered_chars * 1000000) div n_chars").cast("bigint")
+          .as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val g87 = graded(
+    "g87_substring_dup_spans", substringSpanOracle) { (spark, dir) =>
     import spark.implicits._
     val L = 24
     // the shuffle key is the 16-byte md5 of each window, never the raw
@@ -1655,23 +1689,78 @@ object Dedup {
       .withColumn("hi", max($"doc_id").over(wd))
       .where($"lo" =!= $"hi")
       .select($"doc_id", $"n_chars", $"pos")
-    val wl = Window.partitionBy($"doc_id").orderBy($"pos")
-    val run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.withColumn("prev", lag($"pos", 1).over(wl))
-      .withColumn("blk",
-        sum(when($"prev".isNull || $"pos" - $"prev" > L, 1).otherwise(0))
-          .over(run).cast("bigint"))
-      .groupBy($"doc_id", $"n_chars", $"blk")
-      .agg(min($"pos").as("s"), max($"pos").as("e"),
-        count(lit(1)).cast("bigint").as("n_win"))
-      .groupBy($"doc_id", $"n_chars")
-      .agg(sum($"n_win").cast("bigint").as("dup_windows"),
-        count(lit(1)).cast("bigint").as("n_spans"),
-        sum($"e" - $"s" + L).cast("bigint").as("covered_chars"))
-      .select($"doc_id", $"dup_windows", $"n_spans", $"covered_chars",
-        expr("(covered_chars * 1000000) div n_chars").cast("bigint")
-          .as("dup_ppm"))
-      .orderBy($"doc_id")
+    mergeDupSpans(p, L)
+  }
+
+  // g90 — EXACT-SUBSTRING SPANS VIA SHARDED SUFFIX ARRAY (ExactSubstr):
+  // the production-form twin of g87, graded against the SAME span oracle
+  // — two independent detectors, one contract. Where g87 shuffles a
+  // ~40-byte row per corpus CHARACTER (every window's digest+doc+pos
+  // into one corpus-wide digest partition), g90 builds a depth-truncated
+  // suffix array per shard ([[SuffixDup]]), collapses every within-shard
+  // repetition locally, and shuffles only (1) one 32-byte run-boundary
+  // tuple per DISTINCT window per shard into a partially-aggregating
+  // groupBy and (2) the positions of CONFIRMED duplicates into the
+  // per-doc interval merge. The confirmed-duplicate hash set comes back
+  // as a BROADCAST semi-join (dup content is a small fraction of any
+  // corpus), so the per-position re-derivation never shuffles — it dies
+  // in the scan stage unless duplicated. SCALE.md records the measured
+  // shuffle-volume drop vs g87 at sf0.1; the 100 TB sizing argument
+  // (shards sized to executor memory, maximal-repeat generalization)
+  // lives on the kernel's Scaladoc.
+  private val g90 = graded(
+    "g90_suffix_dup_spans", substringSpanOracle) { (spark, dir) =>
+    import spark.implicits._
+    val L = SuffixDup.L
+    // CONTENT-ADDRESSED sharding (not doc_id): identical and
+    // near-identical documents co-locate, so the copy-dominated
+    // duplication of a real crawl collapses INSIDE the per-shard suffix
+    // array — zero shuffle rows for the 2nd..nth copy of a document
+    // (SCALE.md measures this on the 8× copy corpus: g87's shuffle grows
+    // 8×, g90's stays ~1×). A pathologically viral single document makes
+    // one shard hot; the production salt is repartition(md5(text),
+    // doc_id % s) at the cost of s× weaker collapse.
+    val docs = Tables.documents(spark, dir)
+      .where($"n_chars" >= L)
+      .select($"doc_id", $"n_chars", $"text")
+      .repartition(spark.sparkContext.defaultParallelism, md5($"text"))
+    // stage 1: per-shard truncated suffix array → run-boundary tuples.
+    // Consumed by both stage-2 rounds; Spark's ReusedExchange dedupes
+    // the identical subtree, so the text shards once and the suffix
+    // arrays build once per action (verified with ShuffleAudit — an
+    // eager checkpoint here changes no shuffle byte, only adds cost).
+    val runs = docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(SuffixDup.shardRuns).toDF()
+    // stage 2, round 1 — SLIM PREFILTER: only the 8-byte h1 lane (plus a
+    // 1-byte local-cross flag) crosses the wire, a 4× byte cut on the
+    // dominant O(distinct windows) shuffle term. A window can be a
+    // cross-doc duplicate only if its content occurs as ≥2 run tuples
+    // (≥2 shards, or twice in one shard... which the SA collapsed, so
+    // that case carries lo≠hi) or is already cross-doc inside one shard.
+    // An h1 collision only INFLATES candidates — round 2 re-decides on
+    // the full 128 bits, so exactness is untouched.
+    val cand = runs
+      .select($"h1", ($"lo" =!= $"hi").cast("int").as("cross"))
+      .groupBy($"h1")
+      .agg(count(lit(1)).as("n"), max($"cross").as("anycross"))
+      .where($"n" > 1 || $"anycross" === 1)
+      .select($"h1")
+    // stage 2, round 2 — exact cross-shard range intersection over the
+    // candidate subset only: a window is a cross-doc duplicate iff the
+    // global doc-id range it spans is non-degenerate. The candidate set
+    // is ∝ true duplicates, so it broadcasts here; a corpus whose dup
+    // set outgrows broadcast shuffles this join on h1 instead.
+    val dup = runs.join(broadcast(cand), Seq("h1"))
+      .groupBy($"h1", $"h2")
+      .agg(min($"lo").as("glo"), max($"hi").as("ghi"))
+      .where($"glo" =!= $"ghi")
+      .select($"h1", $"h2")
+    // stage 3: occurrences of confirmed duplicates only
+    val p = docs.as[(Long, Long, String)]
+      .mapPartitions(SuffixDup.shardPositions).toDF()
+      .join(broadcast(dup), Seq("h1", "h2"))
+      .select($"doc_id", $"n_chars", $"pos")
+    mergeDupSpans(p, L)
   }
 
   // g88 — DEDUP-CATALOG UPDATE CYCLE, the maintenance write-path g36/g79
@@ -1853,5 +1942,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, g87, g88, g89, a21)
+    g84, g85, g87, g88, g89, g90, a21)
 }

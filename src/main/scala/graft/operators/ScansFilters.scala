@@ -303,6 +303,77 @@ object ScansFilters {
         .orderBy("o_orderkey")
   }
 
+  // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
+  // maintenance family's pieces compose under (a14 diffs snapshots, a17
+  // masks rows, a20 swaps partitions, g88 appends+compacts — none of
+  // them yet demonstrated the CONCURRENCY primitive: a reader holding a
+  // consistent view while a writer commits). The graded cycle, all
+  // inside the query body ([[graft.sources.TxLog]]):
+  //   1. base fingerprint catalog staged + committed as manifest v1,
+  //   2. a reader PINS v1 (captures the manifest's file list),
+  //   3. a concurrent append lands: the delta batch anti-joins the v1
+  //      snapshot AS READ FROM DISK and commits as manifest v2 (atomic
+  //      temp-write + rename — the commit point),
+  //   4. the pinned reader then constructs its DataFrame — AFTER v2 is
+  //      live — and must see exactly v1's content; the graded output is
+  //      BOTH reads (version 1 = pinned, version 2 = head), so a single
+  //      leaked delta row into the pinned read hash-mismatches.
+  // TxLogSpec carries the adversarial laws (conflicting writers, staged-
+  // but-uncommitted invisibility); this row grades the happy-path
+  // isolation content against the recomputing oracle. Scale: manifests
+  // are O(file count) paths, commits are O(1) renames, readers plan
+  // from one manifest read — table size never enters the protocol.
+  private val a23 = QueryDef.graded(
+    "a23_txlog_snapshot",
+    """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
+      |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS first_doc FROM fps, mx
+      |  WHERE doc_id <= mx.k GROUP BY fp),
+      |delta AS (
+      |  SELECT f.fp, min(f.doc_id) AS first_doc
+      |  FROM fps f, mx
+      |  WHERE f.doc_id > mx.k
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)
+      |  GROUP BY f.fp)
+      |SELECT version, fp, first_doc FROM (
+      |  SELECT 1 AS version, fp, first_doc FROM base
+      |  UNION ALL SELECT 2 AS version, fp, first_doc FROM base
+      |  UNION ALL SELECT 2 AS version, fp, first_doc FROM delta) u
+      |ORDER BY version, fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/catalog"
+    // each invocation grades a fresh commit cycle
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+    // one-row driver fetch driving the base/delta split — control flow,
+    // not data (the g88 precedent, restated identically in the oracle)
+    val k = Tables.documentsDist(spark, dir)
+      .agg(max($"doc_id").cast("bigint")).head().getLong(0) * 2 / 3
+    val base = docs.where($"doc_id" <= k)
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    // the reader pins v1 here: version → concrete immutable file list
+    val pinnedFiles = TxLog.files(table, v1)
+    // concurrent append: delta probes the v1 snapshot ON DISK, commits v2
+    val delta = docs.where($"doc_id" > k)
+      .join(TxLog.read(spark, table, v1).select($"fp"), Seq("fp"),
+        "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v2 = TxLog.commit(table, TxLog.stage(delta, table), v1)
+    require(v2 == v1 + 1)
+    // pinned read constructed AFTER v2 is live — isolation, graded
+    val pinned = spark.read.parquet(pinnedFiles: _*)
+    pinned.withColumn("version", lit(1))
+      .unionByName(TxLog.read(spark, table, v2).withColumn("version", lit(2)))
+      .select($"version", $"fp", $"first_doc")
+      .orderBy($"version", $"fp")
+  }
+
   // A11 — Hive-layout partitioned sink graded end-to-end: documents
   // written `lang=<value>/` and read back through partition discovery.
   // The round trip moves the partition column out of the data files and
@@ -939,5 +1010,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22)
+    a22, a23)
 }

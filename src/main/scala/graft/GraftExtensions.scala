@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minHashSigs)
     ext.injectFunction(GraftExtensions.bloomAgg)
     ext.injectFunction(GraftExtensions.bloomMightContain)
+    ext.injectFunction(graft.functions.GkSketch.sketchAgg)
+    ext.injectFunction(graft.functions.GkSketch.mergeAgg)
+    ext.injectFunction(graft.functions.GkSketch.quantile)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
   }
 }

@@ -2092,8 +2092,46 @@ object Aggregates {
       .orderBy($"scope")
   }
 
+  // d47 — GK SKETCHES INSIDE THE AGGREGATE TREE (bench-only): d44's
+  // driver-side merge made production-shaped via the custom
+  // TypedImperativeAggregate pair [[graft.functions.GkSketch]] —
+  // per-group builds plan as ONE two-phase ObjectHashAggregate (partial
+  // buffers per partition, merge in final; no collect anywhere), and the
+  // corpus rollup is a SECOND aggregate consuming the group sketches'
+  // binaries (`gk_merge`), i.e. rollups compose in SQL at any nesting
+  // (group → region → corpus) without re-scanning data. Same output
+  // shape and ε law as d44 (PropertySpec asserts the ±ε·N rank bound for
+  // BOTH); bench-only for d44's reason — retained samples are
+  // insertion-order-dependent, so no DuckDB twin exists. Golden-pinned
+  // bytes come from the same determinism discipline: group key
+  // repartition + within-partition sort fixes partial order, and the
+  // rollup merges the ≤32 group sketches in a single sorted partition.
+  private val d47 = benchOnly("d47_gk_sketch_agg") { (spark, dir) =>
+    import spark.implicits._
+    graft.functions.GkSketch.register(spark)
+    val qcols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+      0.95 -> "p95")
+    val li = Tables.lineitem(spark, dir)
+      .select(($"l_partkey" % 32).as("g"), $"l_extendedprice".as("v"))
+      .repartition(32, $"g")
+      .sortWithinPartitions($"g", $"v")
+    val perGroup = li.groupBy($"g")
+      .agg(expr("gk_sketch(v)").as("sk"),
+        count(lit(1)).cast("bigint").as("n"))
+    val groups = perGroup.select(
+      ($"g".cast("string").as("scope") +: $"n" +:
+        qcols.map { case (q, c) => expr(s"gk_quantile(sk, ${q}d)").as(c) }): _*)
+    // the rollup: merge the ≤32 group sketch binaries — never the data.
+    // Single sorted partition = deterministic merge order (d44's rule).
+    val merged = perGroup.repartition(1).sortWithinPartitions($"g")
+      .agg(expr("gk_merge(sk)").as("sk"), sum($"n").cast("bigint").as("n"))
+      .select((lit("MERGED").as("scope") +: $"n" +:
+        qcols.map { case (q, c) => expr(s"gk_quantile(sk, ${q}d)").as(c) }): _*)
+    groups.unionByName(merged).orderBy($"scope")
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42, d43, d44, d45, d46)
+    d39, d40, d41, d42, d43, d44, d45, d46, d47)
 }

@@ -1297,6 +1297,40 @@ class PropertySpec extends SparkSpec {
       === n.toLong)
   }
 
+  test("d47 aggregate-tree GK sketches reproduce d44's driver merge exactly") {
+    // the TypedImperativeAggregate pair (gk_sketch/gk_merge) must be the
+    // SAME algorithm as d44's QuantileSummaries driver loop — identical
+    // insertion and merge order by construction, so identical retained
+    // samples and identical quantile answers; equality here transfers
+    // d44's ±ε·N rank-bound law to d47 verbatim. Any divergence means
+    // the aggregate tree reordered updates or lost a buffer.
+    val d44 = SparkEntry.queries("d44_quantile_merge")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val d47 = SparkEntry.queries("d47_gk_sketch_agg")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(d47 === d44)
+  }
+
+  test("GkSketch serialization is a lossless round trip") {
+    val qs = (1 to 5000).foldLeft(graft.functions.GkSketch.fresh()) {
+      (s, i) => s.insert(math.sin(i) * 1000)
+    }
+    val rt = graft.functions.GkSketch.fromBytes(
+      graft.functions.GkSketch.toBytes(qs))
+    // compare against the COMPRESSED original: insert() buffers into the
+    // head and only compress() folds it into count/sampled
+    assert(rt.count === qs.compress().count)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      assert(rt.query(q) === qs.compress().query(q),
+        s"round-tripped sketch must answer q=$q identically")
+    }
+    // bytes are canonical: serialize(deserialize(b)) == b
+    val b = graft.functions.GkSketch.toBytes(qs)
+    assert(java.util.Arrays.equals(
+      graft.functions.GkSketch.toBytes(
+        graft.functions.GkSketch.fromBytes(b)), b))
+  }
+
   test("d45 bootstrap-CI laws: ordered bounds bracketing the point estimate") {
     // golden pins the exact values; this pins the STATISTICAL shape the
     // pin cannot express — the order-statistic bounds are ordered and the

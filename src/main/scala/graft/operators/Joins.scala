@@ -844,6 +844,92 @@ object Joins {
       .orderBy($"id_a", $"id_b")
   }
 
+  // C22 — AQE AUTOMATIC SKEW SPLIT, the "when is c13's manual salt
+  // unnecessary" row: the SAME kind of hot-key fact⋈fact join, left
+  // UNSALTED, with AQE's OptimizeSkewedJoin doing the mitigation at
+  // runtime — it splits the oversized shuffle partition into
+  // advisory-sized mapper-chunk ranges and replicates the matching
+  // build-side partition per chunk (salting's replicate-and-spread,
+  // derived from RUNTIME sizes instead of a hand histogram). The graded
+  // result equals the plain recompute (skew split is a physical rewrite,
+  // not a semantic one) and PlanQualitySpec pins that the executed
+  // adaptive plan actually carries a skew=true sort-merge join, so the
+  // row can't silently degrade into an ordinary join.
+  //
+  // The fixture derives a genuinely hot key (60% of lineitem collapses
+  // to key 0 — this corpus has no organic skew, r12's finding) and the
+  // session is SCOPED (Components.scopedSession): skew thresholds are
+  // lowered so the optimizer faces at test scale exactly what default
+  // thresholds face at 100 TB, broadcast is disabled so the join stays
+  // sort-merge (the skewed regime — a broadcastable build side would
+  // never skew in the first place), and none of it leaks to other keys.
+  // The decision rule for operators: AQE handles skew that becomes
+  // VISIBLE as one oversized shuffle partition of separable rows (this
+  // row); c13's salt remains necessary when a single key's build side
+  // must itself be split before the shuffle (explode-amplified or
+  // hot×hot joins) or when AQE is off the table (streaming, non-SMJ).
+  private val c22 = graded(
+    "c22_join_skew_aqe",
+    """WITH l AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+      |    ELSE l_orderkey END AS k, l_extendedprice AS v
+      |  FROM lineitem)
+      |SELECT (l.k = 0) AS is_hot, count(*) AS n_rows,
+      |  round(sum(CAST(l.v AS DECIMAL(30,10))), 2)::DOUBLE AS sum_v,
+      |  count(o.o_orderkey)::BIGINT AS n_matched
+      |FROM l LEFT JOIN orders o ON l.k = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = skewScopedSession(spark)
+    // the single-file corpus scans as ONE map task, and AQE can only
+    // split a skewed reduce partition at MAPPER-OUTPUT granularity — an
+    // indivisible single-mapper partition can never split. The round-
+    // robin repartition (the documentsDist single-file fixup) restores
+    // the multi-mapper layout any real table has.
+    val l = Tables.lineitem(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(when($"l_orderkey" % 10 < 6, 0L)
+        .otherwise($"l_orderkey").as("k"), $"l_extendedprice".as("v"))
+    // the build side stays a PLAIN projected scan: OptimizeSkewedJoin
+    // pattern-matches SMJ(Sort(shuffle), Sort(shuffle)) exactly, so an
+    // aggregate between the build shuffle and its sort would disable the
+    // rewrite (measured, not guessed — the groupBy variant never fired).
+    // LEFT OUTER keeps the hot rows (key 0 matches no o_orderkey) and is
+    // a left-splittable join type for the skew rule.
+    val r = Tables.orders(s, dir).select($"o_orderkey")
+    l.join(r, $"k" === $"o_orderkey", "left_outer")
+      .groupBy(($"k" === 0L).as("is_hot"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"v".cast("decimal(30,10)")), 2).cast("double")
+          .as("sum_v"),
+        count($"o_orderkey").cast("bigint").as("n_matched"))
+      .orderBy($"is_hot")
+  }
+
+  /** A conf-scoped child session for c22 (the a20 contamination rule):
+    * skew thresholds scaled to the test corpus, broadcast disabled so
+    * the join plans as sort-merge — the regime OptimizeSkewedJoin
+    * exists for. At 100 TB the DEFAULT thresholds (256 MB partition,
+    * 64 MB advisory) play this exact role and none of this scoping is
+    * needed; the scaled values keep the demonstrated mechanism
+    * identical, not the numbers. */
+  private def skewScopedSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s = graft.operators.Components.scopedSession(spark,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512b")
+    s
+  }
+
   val defs: Seq[QueryDef] = Seq(c1, c2, c3, c4, c5, c6, c7, c8, c9, c10,
-    c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21)
+    c11, c12, c13, c14, c15, c16, c17, c18, c19, c20, c21, c22)
 }

@@ -200,6 +200,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("salt"), p)
   }
 
+  test("c22: AQE OptimizeSkewedJoin fires — executed plan carries a skew SMJ") {
+    // the row's whole claim is that AQE did the mitigation c13 does by
+    // hand; that is only observable in the POST-EXECUTION adaptive plan
+    // (skew split is decided from runtime partition sizes), so run the
+    // query and then inspect the final plan for the skew-flagged
+    // sort-merge join
+    val df = SparkEntry.queries("c22_join_skew_aqe")(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("SortMergeJoin"), executed)
+    assert(executed.contains("skew=true"),
+      s"AQE skew split did not fire at $sfDir:\n$executed")
+  }
+
   test("g37 keywords: per-doc top-3 is WindowGroupLimit-pruned, not a full rank") {
     // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
     // each shuffle partition retains only k rows per doc before the sort

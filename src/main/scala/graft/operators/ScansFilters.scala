@@ -374,6 +374,69 @@ object ScansFilters {
       .orderBy($"version", $"fp")
   }
 
+  // A24 — MATERIALIZED-VIEW REWRITE, the CONSUMPTION half of a19's
+  // incremental view maintenance (a19 proves base+delta merge keeps the
+  // per-customer state correct; no key yet ANSWERED a report from that
+  // state): the cust-grain state table is built on disk (nightly base
+  // write, then an incremental refresh merging the on-disk base with
+  // the delta batch AT AGG CARDINALITY — customers, not orders), and
+  // r15's orders-side KPI header is answered FROM THE STATE TABLE:
+  // revenue/order totals are sums of maintained partials, and n_buyers
+  // — a countDistinct over the fact table in r15 — becomes a plain
+  // count(*) of state rows, because the view's key IS the distinct set.
+  // The oracle recomputes everything from the raw fact table, so a
+  // single lost or double-merged partial mismatches; PlanQualitySpec
+  // pins that the ANSWER's plan scans the state parquet and never the
+  // fact table. At 100 TB this is the whole point of IVM: the dashboard
+  // query touches |customers| maintained rows instead of |orders| facts,
+  // and the refresh cost is |delta| + |touched state|.
+  private val a24 = QueryDef.graded(
+    "a24_mview_rewrite",
+    """SELECT revenue_cents, n_orders, n_buyers,
+      |  (revenue_cents // n_orders)::BIGINT AS cents_per_order
+      |FROM (
+      |  SELECT
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+      |      AS revenue_cents,
+      |    count(*)::BIGINT AS n_orders,
+      |    count(DISTINCT o_custkey)::BIGINT AS n_buyers
+      |  FROM orders) t
+      |ORDER BY revenue_cents""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_mview")}/$sfTag/cust_state"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val split = "1998-01-01"
+    def states(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+          .cast("bigint").as("rev_cents"))
+    val orders = Tables.orders(spark, dir)
+    // nightly build: base state materialized
+    states(orders.where($"o_orderdate" < lit(split)))
+      .write.parquet(s"$table/v1")
+    // incremental refresh: merge the ON-DISK base with the delta batch
+    // at agg cardinality (a19's merge, landed as a new state version)
+    spark.read.parquet(s"$table/v1")
+      .unionByName(states(orders.where($"o_orderdate" >= lit(split))))
+      .groupBy($"o_custkey")
+      .agg(sum($"n_orders").cast("bigint").as("n_orders"),
+        sum($"rev_cents").cast("bigint").as("rev_cents"))
+      .write.parquet(s"$table/v2")
+    // the ANSWER: KPIs from maintained state — the fact table is never
+    // scanned here (PlanQualitySpec asserts it)
+    spark.read.parquet(s"$table/v2")
+      .agg(sum($"rev_cents").cast("bigint").as("revenue_cents"),
+        sum($"n_orders").cast("bigint").as("n_orders"),
+        count(lit(1)).cast("bigint").as("n_buyers"))
+      .select($"revenue_cents", $"n_orders", $"n_buyers",
+        expr("revenue_cents div n_orders").cast("bigint")
+          .as("cents_per_order"))
+      .orderBy($"revenue_cents")
+  }
+
   // A11 — Hive-layout partitioned sink graded end-to-end: documents
   // written `lang=<value>/` and read back through partition discovery.
   // The round trip moves the partition column out of the data files and
@@ -1010,5 +1073,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23)
+    a22, a23, a24)
 }

@@ -51,7 +51,8 @@ class GradedQuerySpec extends SparkSpec {
     Set("g38_zipf_fit", "c14_join_null_anti", "g49_dedup_eval",
       "d30_ks_test", "d31_mann_whitney", "d32_cramers_v", "d33_infogain",
       "d34_levene", "d37_median_of_means", "r15_kpi_snapshot",
-      "d39_runs_test", "g85_dup_transitivity", "d45_bootstrap_ci")
+      "d39_runs_test", "g85_dup_transitivity", "d45_bootstrap_ci",
+      "a24_mview_rewrite")
 
   test("every graded query is globally ordered (plan ends in a Sort)") {
     for ((d, df) <- results if d.oracle.nonEmpty && !singleRowOk(d.key)) {

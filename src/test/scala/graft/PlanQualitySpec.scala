@@ -214,6 +214,16 @@ class PlanQualitySpec extends SparkSpec {
       s"AQE skew split did not fire at $sfDir:\n$executed")
   }
 
+  test("a24: the MV answer scans the state table, never the fact table") {
+    // the consumption half of IVM — if the answer's plan ever rejoins
+    // the fact table, the key silently degrades into a full recompute
+    // with extra steps
+    val p = plans.toMap.apply("a24_mview_rewrite")
+    assert(p.contains("graft_mview"), p)
+    assert(!p.contains("orders.parquet"),
+      s"a24's ANSWER must read maintained state, not the fact table:\n$p")
+  }
+
   test("g37 keywords: per-doc top-3 is WindowGroupLimit-pruned, not a full rank") {
     // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
     // each shuffle partition retains only k rows per doc before the sort

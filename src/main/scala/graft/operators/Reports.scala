@@ -993,6 +993,89 @@ object Reports {
       .orderBy($"k")
   }
 
+  // ---- r18 machinery: deterministic truncated DISCRETE Laplace -------
+  // The geometric mechanism (Ghosh et al., "Universally utility-
+  // maximizing privacy mechanisms" — the standard DP mechanism for
+  // integer counts): P(Z = z) ∝ α^|z| with α = e^(-ε). Sampled by
+  // inverse CDF over the d45 hash-uniform, with the CDF cut points
+  // PRECOMPUTED OFFLINE and embedded as identical decimal literals on
+  // both engines — no ln()/exp() at query time, whose last ulp differs
+  // across engines (the g89 no-pow rule applied to DP). Truncation to
+  // |z| ≤ 8 (tail mass 0.9%, renormalized) keeps the CASE finite; the
+  // released mechanism is declared as truncated-discrete-Laplace(ε=0.5,
+  // K=8) — truncation slightly tightens, never loosens, the noise.
+  private val dlapCuts: Seq[(String, Int)] = Seq(
+    "0.004548750068250854" -> -8, "0.012048371060874695" -> -7,
+    "0.024413155713602832" -> -6, "0.04479923917818221" -> -5,
+    "0.07841020861250239" -> -4, "0.13382532884771792" -> -3,
+    "0.22518941629792286" -> -2, "0.37582333065518236" -> -1,
+    "0.6241766693448175" -> 0, "0.774810583702077" -> 1,
+    "0.866174671152282" -> 2, "0.9215897913874975" -> 3,
+    "0.9552007608218177" -> 4, "0.9755868442863971" -> 5,
+    "0.9879516289391252" -> 6, "0.995451249931749" -> 7)
+
+  /** Inverse-CDF discrete-Laplace noise from a uniform in [0, 1). */
+  private[graft] def dlapNoise(u: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    dlapCuts.foldRight(lit(8): org.apache.spark.sql.Column) {
+      case ((cut, z), rest) => when(u < lit(cut.toDouble), z).otherwise(rest)
+    }
+
+  /** The identical mapping as a DuckDB CASE over a uniform SQL term. */
+  private def dlapSqlCase(u: String): String =
+    dlapCuts.map { case (c, z) => s"WHEN ($u) < $c THEN ($z)" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** The d45 hash-uniform for a group key, Spark side. */
+  private[graft] def dlapUniform(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  // r18 — DETERMINISTIC DP EXPORT: the privacy ladder's release step
+  // (b7 masks direct identifiers, g27 redacts free text, r17 measures
+  // quasi-identifier re-identifiability; this row RELEASES a noised
+  // aggregate): per-(lang, source) document counts, k-anonymity
+  // pre-filter composed in (classes with n < 5 are suppressed — r17's
+  // gate applied, not just reported), then truncated-discrete-Laplace
+  // noise at declared ε = 0.5 added per class and floored at 0. The
+  // noise is keyed by the class identity through the d45 hash-RNG, so
+  // the release is BIT-REPRODUCIBLE cross-engine and auditable — the
+  // same export can be re-derived and checked, which is what makes a
+  // DP pipeline operable (an unreproducible noise draw cannot be
+  // distinguished from a data bug). PropertySpec pins the mechanism
+  // laws (zero mean, symmetry, correct mass at 0) over a wide synthetic
+  // key domain. Scale: one partial-agg groupBy on the class tuple
+  // (class count ≤ |langs|×|sources|, corpus-independent); noise is a
+  // per-class scalar expression.
+  private val r18 = graded(
+    "r18_dp_export", {
+      val u = "(" + graft.pipeline.Dedup.duckHex8At(
+        "md5(lang || ':' || source || ':dlap')", 1) + ") / 4294967296.0"
+      s"""WITH g AS (
+      |  SELECT lang, source, count(*)::BIGINT AS n
+      |  FROM documents GROUP BY lang, source),
+      |k AS (SELECT * FROM g WHERE n >= 5),
+      |z AS (
+      |  SELECT lang, source, n, ${dlapSqlCase(u)} AS z FROM k)
+      |SELECT lang, source,
+      |  greatest(n + z, 0)::BIGINT AS n_noised,
+      |  0.5::DOUBLE AS eps
+      |FROM z ORDER BY lang, source""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val u = dlapUniform(concat($"lang", lit(":"), $"source", lit(":dlap")))
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .where($"n" >= 5)
+      .withColumn("z", dlapNoise(u))
+      .select($"lang", $"source",
+        greatest($"n" + $"z", lit(0L)).cast("bigint").as("n_noised"),
+        lit(0.5).as("eps"))
+      .orderBy($"lang", $"source")
+  }
+
   val defs: Seq[QueryDef] = Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11,
-    r12, r13, r14, r15, r16, r17)
+    r12, r13, r14, r15, r16, r17, r18)
 }

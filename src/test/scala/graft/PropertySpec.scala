@@ -1331,6 +1331,32 @@ class PropertySpec extends SparkSpec {
         graft.functions.GkSketch.fromBytes(b)), b))
   }
 
+  test("r18 discrete-Laplace mechanism: zero mean, symmetric, correct zero mass") {
+    // the mechanism laws the bit-pinned release cannot express: across a
+    // wide key domain the keyed noise must average to ~0 (unbiased
+    // release), split evenly between signs, and put the theoretical
+    // (1−α)/(1+α) ≈ 0.2484 mass on zero (ε = 0.5, truncated K=8). All
+    // deterministic — the hash RNG makes this a fixed property of the
+    // mapping, not a flaky statistical test.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val z = spark.range(20000)
+      .select(graft.operators.Reports.dlapNoise(
+        graft.operators.Reports.dlapUniform(
+          concat($"id".cast("string"), lit(":dlap")))).as("z"))
+      .groupBy($"z").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = z.values.sum.toDouble
+    val mean = z.map { case (k, c) => k * c }.sum / n
+    assert(math.abs(mean) < 0.05, s"noise mean $mean not ~0")
+    assert(math.abs(z.getOrElse(0, 0L) / n - 0.2484) < 0.02,
+      s"P(z=0) = ${z.getOrElse(0, 0L) / n}")
+    val pos = z.collect { case (k, c) if k > 0 => c }.sum / n
+    val neg = z.collect { case (k, c) if k < 0 => c }.sum / n
+    assert(math.abs(pos - neg) < 0.02, s"asymmetric: +$pos vs -$neg")
+    assert(z.keys.forall(k => k >= -8 && k <= 8), "truncation violated")
+  }
+
   test("d45 bootstrap-CI laws: ordered bounds bracketing the point estimate") {
     // golden pins the exact values; this pins the STATISTICAL shape the
     // pin cannot express — the order-statistic bounds are ordered and the

@@ -374,6 +374,67 @@ object ScansFilters {
       .orderBy($"version", $"fp")
   }
 
+  // A25 — TRANSACTION-LOG VACUUM, the retention/GC step that closes
+  // a23's table-format lifecycle (commit → snapshot-isolated read →
+  // compaction-rewrite → GC): base committed as v1, delta appended as
+  // v2, an a6-style compaction REWRITES the accumulated files sorted by
+  // fp and commits as v3 (a rewrite manifest — exactly the staged
+  // files, not an append), then VACUUM with keepLast=1 deletes every
+  // data file only v1/v2 referenced and drops their manifests. The
+  // graded row is the post-vacuum read of v3: if the sweep deleted a
+  // live file the read throws; if compaction dropped or duplicated a
+  // row the hash mismatches. TxLogSpec carries the retention laws
+  // (readers inside the window never break, expired reads fail LOUDLY,
+  // crashed-writer garbage is reclaimed by the same liveness rule). At
+  // 100 TB vacuum is the scheduled job bounding storage at
+  // O(live data × retained versions) — without it a rewrite-heavy
+  // table grows without bound even though every query sees one version.
+  private val a25 = QueryDef.graded(
+    "a25_txlog_vacuum",
+    """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
+      |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS first_doc FROM fps, mx
+      |  WHERE doc_id <= mx.k GROUP BY fp),
+      |delta AS (
+      |  SELECT f.fp, min(f.doc_id) AS first_doc
+      |  FROM fps f, mx
+      |  WHERE f.doc_id > mx.k
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)
+      |  GROUP BY f.fp)
+      |SELECT fp, first_doc FROM (
+      |  SELECT fp, first_doc FROM base
+      |  UNION ALL SELECT fp, first_doc FROM delta) u
+      |ORDER BY fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/vacuum"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+    val k = Tables.documentsDist(spark, dir)
+      .agg(max($"doc_id").cast("bigint")).head().getLong(0) * 2 / 3
+    val base = docs.where($"doc_id" <= k)
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    val delta = docs.where($"doc_id" > k)
+      .join(TxLog.read(spark, table, v1).select($"fp"), Seq("fp"),
+        "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v2 = TxLog.commit(table, TxLog.stage(delta, table), v1)
+    // compaction-rewrite: the g88 clustering discipline as a COMMIT
+    val compacted = TxLog.read(spark, table, v2)
+      .repartition(1).sortWithinPartitions($"fp")
+    val v3 = TxLog.commitRewrite(table, TxLog.stage(compacted, table), v2)
+    // GC: retire everything v3 does not reference
+    TxLog.vacuum(table, keepLast = 1)
+    TxLog.read(spark, table, v3)
+      .select($"fp", $"first_doc")
+      .orderBy($"fp")
+  }
+
   // A24 — MATERIALIZED-VIEW REWRITE, the CONSUMPTION half of a19's
   // incremental view maintenance (a19 proves base+delta merge keeps the
   // per-customer state correct; no key yet ANSWERED a report from that
@@ -1073,5 +1134,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24)
+    a22, a23, a24, a25)
 }

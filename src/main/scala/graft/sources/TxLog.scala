@@ -81,9 +81,26 @@ object TxLog {
     * signal. A losing writer throws (FileAlreadyExistsException) and
     * commits NOTHING. Returns the new version; `base = 0` creates the
     * table. */
-  def commit(table: String, staged: Seq[String], base: Int): Int = {
+  def commit(table: String, staged: Seq[String], base: Int): Int =
+    commitManifest(table,
+      (if (base == 0) Nil else files(table, base)) ++ staged, base)
+
+  /** Snapshot-isolated read of a pinned version: exactly that manifest's
+    * files, whatever has committed since. */
+  def read(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(files(table, v): _*)
+
+  /** Publish version `base + 1` whose manifest is EXACTLY `staged` — a
+    * REWRITE commit (compaction, sorted clustering, full snapshot
+    * replace), vs [[commit]]'s append semantics. Same atomic-exclusive
+    * link as the commit point. The replaced files stay on disk, still
+    * referenced by older manifests, until [[vacuum]] retires them. */
+  def commitRewrite(table: String, staged: Seq[String], base: Int): Int =
+    commitManifest(table, staged, base)
+
+  private def commitManifest(table: String, all: Seq[String],
+      base: Int): Int = {
     val next = base + 1
-    val all = (if (base == 0) Nil else files(table, base)) ++ staged
     val md = manifestDir(table)
     md.mkdirs()
     val tmp = java.io.File.createTempFile(s"v$next-", ".tmp", md)
@@ -96,8 +113,39 @@ object TxLog {
     next
   }
 
-  /** Snapshot-isolated read of a pinned version: exactly that manifest's
-    * files, whatever has committed since. */
-  def read(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(files(table, v): _*)
+  /** Garbage-collect: delete every data file not referenced by one of
+    * the `keepLast` most recent manifests, and drop the expired
+    * manifests themselves. Returns the deleted data-file paths.
+    *
+    * This is the retention contract of every table format: a reader
+    * pinned INSIDE the retention window is never broken (its manifest
+    * and files survive untouched); a reader pinned beyond it fails
+    * LOUDLY on its next file open (the manifest is gone) rather than
+    * silently seeing partial data. Crashed-writer garbage — staged
+    * files no manifest ever referenced — is reclaimed by the same
+    * sweep, since "referenced by a retained manifest" is the only
+    * liveness criterion. */
+  def vacuum(table: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val versions = Option(manifestDir(table).listFiles()).toSeq.flatten
+      .flatMap(f => "^v(\\d+)\\.manifest$".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted
+    val retained = versions.takeRight(keepLast)
+    val live = retained.flatMap(files(table, _)).toSet
+    val dataRoot = new java.io.File(table, "data")
+    val dead = Option(dataRoot.listFiles()).toSeq.flatten.flatMap { d =>
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !live.contains(f.toString))
+    }
+    dead.foreach(_.delete())
+    // prune now-empty staging dirs and expired manifests
+    Option(dataRoot.listFiles()).toSeq.flatten
+      .filter(d => Option(d.listFiles()).exists(_.isEmpty))
+      .foreach(_.delete())
+    versions.dropRight(keepLast)
+      .foreach(v => manifestFile(table, v).delete())
+    dead.map(_.toString).sorted
+  }
 }

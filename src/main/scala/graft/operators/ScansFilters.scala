@@ -312,8 +312,8 @@ object ScansFilters {
   //   1. base fingerprint catalog staged + committed as manifest v1,
   //   2. a reader PINS v1 (captures the manifest's file list),
   //   3. a concurrent append lands: the delta batch anti-joins the v1
-  //      snapshot AS READ FROM DISK and commits as manifest v2 (atomic
-  //      temp-write + rename — the commit point),
+  //      snapshot AS READ FROM DISK and commits as manifest v2 (temp
+  //      write + EXCLUSIVE rename — the commit point),
   //   4. the pinned reader then constructs its DataFrame — AFTER v2 is
   //      live — and must see exactly v1's content; the graded output is
   //      BOTH reads (version 1 = pinned, version 2 = head), so a single
@@ -321,8 +321,9 @@ object ScansFilters {
   // TxLogSpec carries the adversarial laws (conflicting writers, staged-
   // but-uncommitted invisibility); this row grades the happy-path
   // isolation content against the recomputing oracle. Scale: manifests
-  // are O(file count) paths, commits are O(1) renames, readers plan
-  // from one manifest read — table size never enters the protocol.
+  // are O(file count) paths, commits are O(1) manifest publishes,
+  // readers plan from one manifest read — table size never enters the
+  // protocol.
   private val a23 = QueryDef.graded(
     "a23_txlog_snapshot",
     """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
@@ -435,6 +436,70 @@ object ScansFilters {
       .orderBy($"fp")
   }
 
+  // A26 — CDC THROUGH THE TRANSACTION LOG: "what changed from manifest
+  // N to N+1", a14's snapshot-diff semantics computed from the log's
+  // own file lists instead of bare directories — the composition the
+  // r10 verdict named as the lakehouse read path a real user runs
+  // daily. Two transitions are graded in one output: (1) v1→v2, an
+  // APPEND — the manifests say exactly which files are new, so the CDC
+  // is a parquet read of O(|delta|) files and the two snapshots are
+  // never diffed (TxLogSpec pins via inputFiles that ONLY the added
+  // files are scanned); (2) v2→v3, a pure COMPACTION REWRITE — file
+  // lists are incomparable, so CDC falls back to a bag-semantics
+  // content diff (exceptAll both ways), which must certify the rewrite
+  // as a logical no-op by contributing ZERO rows. The oracle recomputes
+  // transition 1's delta from the raw table and states transition 2's
+  // emptiness implicitly (any compaction-leaked row appears with
+  // to_version=3 and hash-mismatches). At 100 TB this is incremental
+  // consumption: a downstream job catches up on a day of commits by
+  // reading the day's delta files, never rescanning the table.
+  private val a26 = QueryDef.graded(
+    "a26_txlog_cdc",
+    """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
+      |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS first_doc FROM fps, mx
+      |  WHERE doc_id <= mx.k GROUP BY fp),
+      |delta AS (
+      |  SELECT f.fp, min(f.doc_id) AS first_doc
+      |  FROM fps f, mx
+      |  WHERE f.doc_id > mx.k
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)
+      |  GROUP BY f.fp)
+      |SELECT 2 AS to_version, 'insert' AS change, fp, first_doc
+      |FROM delta
+      |ORDER BY fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/cdc"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+    val k = Tables.documentsDist(spark, dir)
+      .agg(max($"doc_id").cast("bigint")).head().getLong(0) * 2 / 3
+    val base = docs.where($"doc_id" <= k)
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    val delta = docs.where($"doc_id" > k)
+      .join(TxLog.read(spark, table, v1).select($"fp"), Seq("fp"),
+        "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v2 = TxLog.commit(table, TxLog.stage(delta, table), v1)
+    // pure compaction rewrite: same rows, new physical layout
+    val compacted = TxLog.read(spark, table, v2)
+      .repartition(1).sortWithinPartitions($"fp")
+    val v3 = TxLog.commitRewrite(table, TxLog.stage(compacted, table), v2)
+    // the graded read: file-level CDC for the append, content-diff CDC
+    // certifying the compaction as a logical no-op (zero rows)
+    TxLog.cdc(spark, table, v1, v2).withColumn("to_version", lit(2))
+      .unionByName(
+        TxLog.cdc(spark, table, v2, v3).withColumn("to_version", lit(3)))
+      .select($"to_version", $"change", $"fp", $"first_doc")
+      .orderBy($"fp")
+  }
+
   // A24 — MATERIALIZED-VIEW REWRITE, the CONSUMPTION half of a19's
   // incremental view maintenance (a19 proves base+delta merge keeps the
   // per-customer state correct; no key yet ANSWERED a report from that
@@ -448,9 +513,14 @@ object ScansFilters {
   // The oracle recomputes everything from the raw fact table, so a
   // single lost or double-merged partial mismatches; PlanQualitySpec
   // pins that the ANSWER's plan scans the state parquet and never the
-  // fact table. At 100 TB this is the whole point of IVM: the dashboard
-  // query touches |customers| maintained rows instead of |orders| facts,
-  // and the refresh cost is |delta| + |touched state|.
+  // fact table. The state table is BUCKETED on pmod(o_custkey, B)
+  // ([[Mview]]) and the refresh dynamic-partition-overwrites ONLY the
+  // buckets the delta lands in, reading only those buckets of the base
+  // (partition-pruned — PlanQualitySpec pins the PartitionFilters and
+  // that untouched bucket files are never rewritten). At 100 TB this is
+  // the whole point of IVM: the dashboard query touches |customers|
+  // maintained rows instead of |orders| facts, and the refresh cost is
+  // |delta| + |touched buckets' state| — not the whole view.
   private val a24 = QueryDef.graded(
     "a24_mview_rewrite",
     """SELECT revenue_cents, n_orders, n_buyers,
@@ -475,20 +545,17 @@ object ScansFilters {
         sum(round($"o_totalprice" * 100, 0).cast("bigint"))
           .cast("bigint").as("rev_cents"))
     val orders = Tables.orders(spark, dir)
-    // nightly build: base state materialized
-    states(orders.where($"o_orderdate" < lit(split)))
-      .write.parquet(s"$table/v1")
+    // nightly build: base state materialized, bucketed on the view key
+    Mview.withBucket(states(orders.where($"o_orderdate" < lit(split))))
+      .write.partitionBy("bucket").parquet(table)
     // incremental refresh: merge the ON-DISK base with the delta batch
-    // at agg cardinality (a19's merge, landed as a new state version)
-    spark.read.parquet(s"$table/v1")
-      .unionByName(states(orders.where($"o_orderdate" >= lit(split))))
-      .groupBy($"o_custkey")
-      .agg(sum($"n_orders").cast("bigint").as("n_orders"),
-        sum($"rev_cents").cast("bigint").as("rev_cents"))
-      .write.parquet(s"$table/v2")
+    // at agg cardinality (a19's merge), touching ONLY the delta's
+    // buckets — a partition-pruned read + dynamic partition overwrite
+    Mview.refresh(table,
+      states(orders.where($"o_orderdate" >= lit(split))))
     // the ANSWER: KPIs from maintained state — the fact table is never
     // scanned here (PlanQualitySpec asserts it)
-    spark.read.parquet(s"$table/v2")
+    spark.read.parquet(table)
       .agg(sum($"rev_cents").cast("bigint").as("revenue_cents"),
         sum($"n_orders").cast("bigint").as("n_orders"),
         count(lit(1)).cast("bigint").as("n_buyers"))
@@ -1134,5 +1201,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24, a25)
+    a22, a23, a24, a25, a26)
 }

@@ -1708,8 +1708,12 @@ object Dedup {
   // shuffle-volume drop vs g87 at sf0.1; the 100 TB sizing argument
   // (shards sized to executor memory, maximal-repeat generalization)
   // lives on the kernel's Scaladoc.
-  private val g90 = graded(
-    "g90_suffix_dup_spans", substringSpanOracle) { (spark, dir) =>
+  /** g90/g91's shared detector: the sharded-suffix-array pipeline up to
+    * the confirmed cross-doc duplicate window positions
+    * (doc_id, n_chars, pos). g90 aggregates them to the span-coverage
+    * report; g91 emits the maximal merged spans themselves. */
+  private def suffixDupPositions(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val L = SuffixDup.L
     // CONTENT-ADDRESSED sharding (not doc_id): identical and
@@ -1756,11 +1760,84 @@ object Dedup {
       .where($"glo" =!= $"ghi")
       .select($"h1", $"h2")
     // stage 3: occurrences of confirmed duplicates only
-    val p = docs.as[(Long, Long, String)]
+    docs.as[(Long, Long, String)]
       .mapPartitions(SuffixDup.shardPositions).toDF()
       .join(broadcast(dup), Seq("h1", "h2"))
       .select($"doc_id", $"n_chars", $"pos")
-    mergeDupSpans(p, L)
+  }
+
+  private val g90 = graded(
+    "g90_suffix_dup_spans", substringSpanOracle) { (spark, dir) =>
+    mergeDupSpans(suffixDupPositions(spark, dir), SuffixDup.L)
+  }
+
+  // g91 — MAXIMAL DUPLICATED SPANS, the ExactSubstr CUT LIST: where
+  // g87/g90 grade the per-doc coverage REPORT, this key emits the spans
+  // themselves — (doc_id, span_start, span_len), each a MAXIMAL run of
+  // CONSECUTIVE cross-doc-duplicated L-windows, covering chars
+  // [span_start, span_start+span_len). A duplicated substring of any
+  // length M ≥ L appears as exactly its M−L+1 consecutive duplicated
+  // windows, so every maximal duplicated substring lies inside one
+  // span, every span position starts a duplicated window, and
+  // extending either endpoint adds a non-duplicated window — the
+  // "maximal repeats of any length ≥ L" generalization of the
+  // fixed-window report, and the byte ranges a substring-dedup pass
+  // deletes. (The break is gap > 1, NOT g87/g90's coverage merge with
+  // gap ≤ L: coverage-merged intervals conflate repeats up to L apart
+  // and contain positions that are not duplicated windows, which would
+  // make the cut list over-delete and the recoverability law false.)
+  // Detector = g90's sharded suffix array unchanged (within-shard
+  // collapse, slim h1 prefilter, broadcast-confirmed positions); only
+  // the final walk differs, so SuffixDupSpec's recoverability law
+  // (expanding the spans back to window positions reproduces the
+  // confirmed-duplicate window set exactly) ties g91 to g87/g90's
+  // contract. Oracle: the span-oracle chain emitting the consecutive
+  // runs instead of their per-doc coverage rollup.
+  private val g91 = graded(
+    "g91_maximal_dup_spans",
+    """WITH w0 AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(generate_series(1, n_chars - 23)) AS pos, text
+      |  FROM documents WHERE n_chars >= 24),
+      |w AS (
+      |  SELECT doc_id, n_chars, pos, md5(substr(text, pos::INT, 24)) AS dig
+      |  FROM w0),
+      |p AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      min(doc_id) OVER (PARTITION BY dig) AS lo,
+      |      max(doc_id) OVER (PARTITION BY dig) AS hi
+      |    FROM w) t
+      |  WHERE lo <> hi),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM p),
+      |g AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS blk
+      |  FROM m),
+      |u AS (
+      |  SELECT doc_id, blk, min(pos) AS s, max(pos) AS e
+      |  FROM g GROUP BY doc_id, blk)
+      |SELECT doc_id, s::BIGINT AS span_start,
+      |  (e - s + 24)::BIGINT AS span_len
+      |FROM u ORDER BY doc_id, span_start""".stripMargin) { (spark, dir) =>
+    val L = SuffixDup.L
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    suffixDupPositions(spark, dir)
+      .withColumn("prev", lag(col("pos"), 1).over(wl))
+      .withColumn("blk",
+        sum(when(col("prev").isNull || col("pos") - col("prev") > 1, 1)
+          .otherwise(0)).over(run).cast("bigint"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id"), col("s").cast("bigint").as("span_start"),
+        (col("e") - col("s") + L).cast("bigint").as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   // g88 — DEDUP-CATALOG UPDATE CYCLE, the maintenance write-path g36/g79
@@ -1942,5 +2019,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, g87, g88, g89, g90, a21)
+    g84, g85, g87, g88, g89, g90, g91, a21)
 }

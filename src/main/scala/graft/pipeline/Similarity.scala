@@ -234,6 +234,58 @@ object Similarity {
       .limit(10)
   }
 
+  // g92 — bench-only: BATCHED IVF top-k, g17 extended from one query to
+  // EVERY vector — the all-docs ANN pass corpus-scale semantic dedup
+  // actually runs (g21 answers the batched question exhaustively; this
+  // is its scale path). One scan projection over the broadcast codebook
+  // computes BOTH index sides: each vector's inverted-list assignment
+  // (argmax over the 16 centroid scores) and its own nprobe=2 probe
+  // list (top-2 of the same scores — no second scoring pass). Search is
+  // ONE equi-join of (query, probe_cid) against the lists on cid — at
+  // 100 TB the lists are bucket-partitioned on cid so the join is
+  // co-located, and candidate volume is Σ_lists |probers(l)|·|list(l)|
+  // ≈ n²·nprobe/C, never brute force's n² (C grows ~√n in a real
+  // deployment, making the pass n^1.5) — followed by per-query
+  // row_number ≤ k, which WindowGroupLimit prunes to k rows per query
+  // per shuffle partition BEFORE the sort (the g37/g61/g67 discipline;
+  // PlanQualitySpec pins it). No all-pairs stage anywhere.
+  // AnnRecallSpec holds the mean-recall@5 floor vs g21-style exact kNN.
+  private val g92 = QueryDef.benchOnly("g92_ann_ivf_batch") { (spark, dir) =>
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val cents = e.where($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val codebook = broadcast(cents
+      .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
+    val scored = e.crossJoin(codebook)
+      .withColumn("cscores",
+        expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
+    val assigned = scored
+      .withColumn("cid", expr(
+        "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
+      .select($"vec_id", $"cid", $"embedding")
+    // probe list: top-2 centroids per query, derived from the SAME
+    // cscores array — (-score, cid) structs sort to (score DESC, cid
+    // ASC), g17's exact tiebreak
+    val probes = scored
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        explode(expr(
+          """transform(
+            |  slice(array_sort(zip_with(cscores, cbook,
+            |    (s, c) -> named_struct('ns', -s, 'cid', c.cid))), 1, 2),
+            |  p -> p.cid)""".stripMargin)).as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    probes.join(assigned, "cid")
+      .where($"vec_id" =!= $"qid")
+      .withColumn("cs", cos("embedding", "qe"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id".as("neighbor"),
+        round($"cs", 6).as("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
   // g21 — kNN JOIN: top-3 cosine neighbors for EACH query in a query set
   // (vec_id < 10), in one batched plan — broadcast the query set, score
   // every (query, candidate) pair, rank per query with a window. Ranking
@@ -819,5 +871,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80,
-      g86)
+      g86, g92)
 }

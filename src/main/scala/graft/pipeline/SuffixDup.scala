@@ -25,11 +25,15 @@ package graft.pipeline
   *     network byte moves, and the cross-shard merge is a min/max
   *     range-intersection over doc-id boundaries.
   *
-  * At 100 TB, shards are sized to executor memory (the concatenation is
-  * 2 bytes/char + 4 bytes/window for the SA, so a 4 GiB shard holds
-  * ~600 MB of text), and the same walk emits maximal repeats of ANY
-  * length ≥ L — the ExactSubstr generalization g87's fixed-window shape
-  * cannot express.
+  * At 100 TB, shards are sized to executor memory — the concatenation
+  * is 2 bytes/char + 4 bytes/window for the SA (a primitive int[] of
+  * offsets, sorted in place by [[sortTruncated]] — see its note on why
+  * boxing would void this budget), so a 4 GiB shard holds ~600 MB of
+  * text. Downstream, the confirmed-duplicate window positions merge
+  * into MAXIMAL duplicated spans of any length ≥ L (g91's cut list —
+  * a duplicated substring of length M ≥ L appears as exactly its
+  * M−L+1 consecutive duplicated windows, so the maximal
+  * consecutive-window runs are the maximal duplicated regions).
   *
   * Content identity travels as a 128-bit hash (two independent 64-bit
   * polynomial hashes with murmur finalizers): collision probability over
@@ -73,6 +77,74 @@ object SuffixDup {
     (fmix(h1), fmix(h2))
   }
 
+  /** Depth-truncated suffix sort over PRIMITIVE int offsets — MSD 3-way
+    * radix quicksort (Bentley–Sedgewick) on the chars of buf, cutting
+    * off at depth L. This is what makes the kernel's sizing contract
+    * (4 bytes per window for the SA) literally true: a boxed
+    * Integer[] + comparator sort costs ~20 B/window plus per-compare
+    * boxing, a ~5× blowout that would burst the stated 4 GiB shard
+    * budget. The work list is an explicit int stack (no recursion → no
+    * stack-depth hazard on adversarial runs); ranges ≤ 24 fall through
+    * to insertion sort on the remaining depth; equal-at-depth-d middles
+    * re-enter at d+1, so total work is O(n · L) worst case and
+    * O(n · avg distinguishing prefix) on real text. */
+  private[graft] def sortTruncated(sa: Array[Int], buf: Array[Char])
+      : Unit = {
+    // less-than comparing chars from depth d, truncated at L
+    def less(a: Int, b: Int, d0: Int): Boolean = {
+      var d = d0
+      while (d < L) {
+        if (buf(a + d) != buf(b + d)) return buf(a + d) < buf(b + d)
+        d += 1
+      }
+      false
+    }
+    def insertion(lo: Int, hi: Int, d: Int): Unit = {
+      var i = lo + 1
+      while (i <= hi) {
+        val t = sa(i)
+        var j = i - 1
+        while (j >= lo && less(t, sa(j), d)) { sa(j + 1) = sa(j); j -= 1 }
+        sa(j + 1) = t
+        i += 1
+      }
+    }
+    var stack = new Array[Int](96) // (lo, hi, d) triples
+    var top = 0
+    def push(lo: Int, hi: Int, d: Int): Unit = {
+      if (lo >= hi || d >= L) return
+      if (hi - lo < 24) { insertion(lo, hi, d); return }
+      if (top + 3 > stack.length)
+        stack = java.util.Arrays.copyOf(stack, stack.length * 2)
+      stack(top) = lo; stack(top + 1) = hi; stack(top + 2) = d
+      top += 3
+    }
+    push(0, sa.length - 1, 0)
+    while (top > 0) {
+      top -= 3
+      val lo = stack(top); val hi = stack(top + 1); val d = stack(top + 2)
+      // median-of-3 pivot CHARACTER at depth d
+      val ca = buf(sa(lo) + d); val cb = buf(sa(lo + (hi - lo) / 2) + d)
+      val cc = buf(sa(hi) + d)
+      val pv: Char =
+        if (ca < cb) { if (cb < cc) cb else if (ca < cc) cc else ca }
+        else { if (ca < cc) ca else if (cb < cc) cc else cb }
+      // 3-way partition on the char at depth d
+      var lt = lo; var gt = hi; var i2 = lo
+      while (i2 <= gt) {
+        val c = buf(sa(i2) + d)
+        if (c < pv) {
+          val t = sa(lt); sa(lt) = sa(i2); sa(i2) = t; lt += 1; i2 += 1
+        } else if (c > pv) {
+          val t = sa(gt); sa(gt) = sa(i2); sa(i2) = t; gt -= 1
+        } else i2 += 1
+      }
+      push(lo, lt - 1, d)
+      push(lt, gt, d + 1)
+      push(gt + 1, hi, d)
+    }
+  }
+
   /** Truncated-suffix-array build + run walk over one shard.
     * Input: (doc_id, text) with text.length ≥ L guaranteed by the caller.
     * Output: one [[Run]] per distinct L-window content in the shard. */
@@ -98,27 +170,16 @@ object SuffixDup {
     // suffix offsets, sorted by their first L chars (depth-truncated SA)
     var nWin = 0
     ds.foreach(d => nWin += d._2.length - L + 1)
-    val sa = new Array[Integer](nWin)
+    val sa = new Array[Int](nWin)
     var k = 0
     i = 0
     while (i < ds.length) {
       var p = starts(i)
       val e = starts(i) + ds(i)._2.length - L
-      while (p <= e) { sa(k) = Integer.valueOf(p); k += 1; p += 1 }
+      while (p <= e) { sa(k) = p; k += 1; p += 1 }
       i += 1
     }
-    java.util.Arrays.sort(sa, new java.util.Comparator[Integer] {
-      def compare(a: Integer, b: Integer): Int = {
-        val x = a.intValue; val y = b.intValue
-        var j = 0
-        while (j < L) {
-          val c = java.lang.Character.compare(buf(x + j), buf(y + j))
-          if (c != 0) return c
-          j += 1
-        }
-        0
-      }
-    })
+    sortTruncated(sa, buf)
     def sameWin(x: Int, y: Int): Boolean = {
       var j = 0
       while (j < L) {
@@ -140,11 +201,11 @@ object SuffixDup {
     val out = Vector.newBuilder[Run]
     var r = 0
     while (r < nWin) {
-      val first = sa(r).intValue
+      val first = sa(r)
       var lo = Long.MaxValue; var hi = Long.MinValue
       var j = r
-      while (j < nWin && (j == r || sameWin(first, sa(j).intValue))) {
-        val d = ds(docOf(sa(j).intValue))._1
+      while (j < nWin && (j == r || sameWin(first, sa(j)))) {
+        val d = ds(docOf(sa(j)))._1
         if (d < lo) lo = d
         if (d > hi) hi = d
         j += 1

@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Mini transaction log: manifest-based ATOMIC multi-file commit +
@@ -18,69 +22,101 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a WRITER stages new part files under data/ (unique directory per
   *    commit attempt — never visible to any reader until committed),
   *    then publishes manifest v(N+1) = manifest(N) ++ staged files by
-  *    WRITE-TEMP-THEN-ATOMIC-RENAME. The rename is the commit point.
-  *  - OPTIMISTIC CONCURRENCY: the rename refuses to replace an existing
-  *    target, so of two writers racing to v(N+1) exactly one wins; the
-  *    loser sees the conflict exception, re-reads the new head, and
-  *    retries against it (or gives up — caller's policy).
+  *    WRITE-TEMP-THEN-EXCLUSIVE-RENAME: the manifest body is written to
+  *    a hidden temp name, then renamed to `v(N+1).manifest` with
+  *    `Options.Rename.NONE` — the rename FAILS if the target exists.
+  *    That exclusive rename is the commit point, and because the target
+  *    appears fully formed, no reader can ever observe a half-written
+  *    manifest (a plain `create(path, overwrite=false)` commit point
+  *    would be exclusive but not all-or-nothing: the body is streamed
+  *    into the live name).
+  *  - OPTIMISTIC CONCURRENCY: the exclusive rename refuses to replace
+  *    an existing target, so of two writers racing to v(N+1) exactly
+  *    one wins; the loser sees FileAlreadyExistsException, re-reads the
+  *    new head, and retries against it (or gives up — caller's policy).
   *  - a READER pins a manifest version at open and reads EXACTLY that
   *    file list; later commits add files it never sees. Uncommitted
   *    staged files are invisible by construction (readers only learn of
   *    files through manifests), so a crashed writer leaves garbage, not
-  *    corruption — compaction's GC sweep reclaims unreferenced files.
+  *    corruption — [[vacuum]]'s GC sweep reclaims unreferenced files.
+  *
+  * Everything goes through the Hadoop FileSystem/FileContext API (the
+  * r9 StreamingJobs lesson): the table path's own scheme picks the
+  * filesystem, so the same code runs on HDFS, where the namenode makes
+  * the Rename.NONE commit point genuinely atomic-exclusive — this is
+  * the exact primitive Delta's HDFS log store commits through. On the
+  * local-FS stand-in the rename is check-then-act inside one process
+  * (adequate for the single-JVM tests; the laws still hold under
+  * sequential contention). On object stores with no exclusive rename
+  * at all (S3), the commit point moves into a CAS on a catalog entry —
+  * same invariant, different primitive (documented, not simulated).
   *
   * Scale notes: the manifest carries file PATHS (O(files), kept bounded
-  * by a6-style compaction), never data; commits are O(1) renames, so
-  * writer throughput is independent of table size; readers plan from a
-  * single manifest read. On object stores without atomic rename, the
-  * commit point moves into a CAS on a catalog entry — same invariant,
-  * different primitive (documented, not simulated, here: the local-FS
-  * rename is the honest single-node stand-in).
+  * by a6-style compaction), never data; commits are O(1) manifest
+  * publishes, so writer throughput is independent of table size;
+  * readers plan from a single manifest read.
   */
 object TxLog {
 
-  private def manifestDir(table: String) =
-    new java.io.File(table, "_manifests")
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
-  private def manifestFile(table: String, v: Int) =
-    new java.io.File(manifestDir(table), s"v$v.manifest")
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+
+  private def manifestPath(table: String, v: Int) =
+    new Path(manifestDir(table), s"v$v.manifest")
+
+  private val ManifestName = "^v(\\d+)\\.manifest$".r
+
+  private def listVersions(table: String): Seq[Int] = {
+    val md = manifestDir(table)
+    val fs = fsOf(md)
+    if (!fs.exists(md)) Nil
+    else fs.listStatus(md).toSeq
+      .flatMap(s => ManifestName.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .sorted
+  }
 
   /** Highest committed version, if any commit has ever succeeded. */
   def currentVersion(table: String): Option[Int] =
-    Option(manifestDir(table).listFiles()).toSeq.flatten
-      .flatMap(f => "^v(\\d+)\\.manifest$".r
-        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .maxOption
+    listVersions(table).lastOption
 
   /** The exact file list of a committed version. */
   def files(table: String, v: Int): Seq[String] = {
-    val f = manifestFile(table, v)
-    require(f.exists(), s"no manifest v$v under $table")
-    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val mf = manifestPath(table, v)
+    val fs = fsOf(mf)
+    require(fs.exists(mf), s"no manifest v$v under $table")
+    val in = fs.open(mf)
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
   }
 
   /** Stage a DataFrame as new immutable part files; returns their paths.
     * Staged files are invisible until a commit references them. */
   def stage(df: DataFrame, table: String): Seq[String] = {
-    val dir = new java.io.File(new java.io.File(table, "data"),
+    val dir = new Path(new Path(table, "data"),
       java.util.UUID.randomUUID().toString)
     df.write.parquet(dir.toString)
-    Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .map(_.toString).sorted
+    fsOf(dir).listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .map(_.getPath.toString).sorted
   }
 
-  /** Publish version `base + 1` = files(base) ++ staged. The atomic
-    * CREATE of the manifest name is the commit point — a hard link, not
-    * a rename: POSIX rename(2) silently REPLACES an existing target
-    * (atomic but not exclusive — it would let the second of two racing
-    * writers clobber the first), while link(2) is atomic AND fails with
-    * EEXIST, which is exactly the optimistic-concurrency conflict
-    * signal. A losing writer throws (FileAlreadyExistsException) and
-    * commits NOTHING. Returns the new version; `base = 0` creates the
-    * table. */
+  /** Publish version `base + 1` = files(base) ++ staged. The EXCLUSIVE
+    * rename of the temp manifest onto the versioned name is the commit
+    * point: `Options.Rename.NONE` fails with FileAlreadyExistsException
+    * if the target exists, which is exactly the optimistic-concurrency
+    * conflict signal (a plain POSIX rename would silently REPLACE the
+    * racing winner's manifest). A losing writer throws and commits
+    * NOTHING. Returns the new version; `base = 0` creates the table. */
   def commit(table: String, staged: Seq[String], base: Int): Int =
     commitManifest(table,
       (if (base == 0) Nil else files(table, base)) ++ staged, base)
@@ -92,9 +128,9 @@ object TxLog {
 
   /** Publish version `base + 1` whose manifest is EXACTLY `staged` — a
     * REWRITE commit (compaction, sorted clustering, full snapshot
-    * replace), vs [[commit]]'s append semantics. Same atomic-exclusive
-    * link as the commit point. The replaced files stay on disk, still
-    * referenced by older manifests, until [[vacuum]] retires them. */
+    * replace), vs [[commit]]'s append semantics. Same exclusive-rename
+    * commit point. The replaced files stay on disk, still referenced by
+    * older manifests, until [[vacuum]] retires them. */
   def commitRewrite(table: String, staged: Seq[String], base: Int): Int =
     commitManifest(table, staged, base)
 
@@ -102,15 +138,64 @@ object TxLog {
       base: Int): Int = {
     val next = base + 1
     val md = manifestDir(table)
-    md.mkdirs()
-    val tmp = java.io.File.createTempFile(s"v$next-", ".tmp", md)
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try all.foreach(w.println) finally w.close()
+    val fs = fsOf(md)
+    fs.mkdirs(md)
+    val tmp = new Path(md,
+      s".v$next-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try all.foreach(p => out.write((p + "\n").getBytes(UTF_8)))
+    finally out.close()
+    val target = manifestPath(table, next)
     try
-      java.nio.file.Files.createLink(
-        manifestFile(table, next).toPath, tmp.toPath)
-    finally tmp.delete()
+      FileContext.getFileContext(target.toUri, hadoopConf)
+        .rename(tmp, target, Options.Rename.NONE)
+    catch {
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
     next
+  }
+
+  /** Change-data capture between two committed versions — a14's
+    * snapshot-diff semantics computed THROUGH the log instead of over
+    * bare directories. The manifests themselves say how the transition
+    * happened, and that picks the read path:
+    *
+    *  - APPEND transition (vTo's file list ⊇ vFrom's): the changed rows
+    *    are exactly the added files' rows — CDC is a parquet read of
+    *    O(|delta|) files, never a diff of two full snapshots. This is
+    *    the lakehouse incremental-consumption path: at 100 TB a
+    *    downstream job catches up on a day of commits by reading the
+    *    day's delta files only (TxLogSpec pins via inputFiles that
+    *    nothing else is scanned).
+    *  - REWRITE transition (some of vFrom's files are gone): file lists
+    *    are incomparable, so fall back to a content diff — bag-semantics
+    *    `exceptAll` in both directions (inserts = after ∖ before,
+    *    deletes = before ∖ after). A pure compaction therefore yields
+    *    ZERO rows — the log records a physical rewrite, CDC certifies
+    *    it was logically a no-op (TxLogSpec law).
+    *
+    * Output: the data columns plus a `change` column ('insert' /
+    * 'delete'). */
+  def cdc(spark: SparkSession, table: String, vFrom: Int, vTo: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(vFrom < vTo, s"cdc needs vFrom < vTo, got $vFrom → $vTo")
+    val fromSet = files(table, vFrom).toSet
+    val to = files(table, vTo)
+    val added = to.filterNot(fromSet)
+    val removed = fromSet -- to.toSet
+    if (removed.isEmpty) {
+      val df =
+        if (added.isEmpty) read(spark, table, vTo).limit(0)
+        else spark.read.parquet(added: _*)
+      df.withColumn("change", lit("insert"))
+    } else {
+      val before = read(spark, table, vFrom)
+      val after = read(spark, table, vTo)
+      after.exceptAll(before).withColumn("change", lit("insert"))
+        .unionByName(
+          before.exceptAll(after).withColumn("change", lit("delete")))
+    }
   }
 
   /** Garbage-collect: delete every data file not referenced by one of
@@ -124,28 +209,36 @@ object TxLog {
     * silently seeing partial data. Crashed-writer garbage — staged
     * files no manifest ever referenced — is reclaimed by the same
     * sweep, since "referenced by a retained manifest" is the only
-    * liveness criterion. */
+    * liveness criterion. A staging directory whose parquet files are
+    * ALL dead is removed recursively (taking _SUCCESS and any other
+    * marker siblings with it — each staging dir is one commit attempt,
+    * so its files live and die together); the sweep lists O(files)
+    * names and never reads data. */
   def vacuum(table: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must retain at least the current version")
-    val versions = Option(manifestDir(table).listFiles()).toSeq.flatten
-      .flatMap(f => "^v(\\d+)\\.manifest$".r
-        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .sorted
+    val versions = listVersions(table)
     val retained = versions.takeRight(keepLast)
     val live = retained.flatMap(files(table, _)).toSet
-    val dataRoot = new java.io.File(table, "data")
-    val dead = Option(dataRoot.listFiles()).toSeq.flatten.flatMap { d =>
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !live.contains(f.toString))
+    val dataRoot = new Path(table, "data")
+    val fs = fsOf(dataRoot)
+    val deleted = Seq.newBuilder[String]
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { d =>
+        val parts = fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val (liveParts, deadParts) =
+          parts.partition(s => live.contains(s.getPath.toString))
+        if (liveParts.isEmpty) {
+          deadParts.foreach(s => deleted += s.getPath.toString)
+          fs.delete(d.getPath, true)
+        } else deadParts.foreach { s =>
+          deleted += s.getPath.toString
+          fs.delete(s.getPath, false)
+        }
+      }
     }
-    dead.foreach(_.delete())
-    // prune now-empty staging dirs and expired manifests
-    Option(dataRoot.listFiles()).toSeq.flatten
-      .filter(d => Option(d.listFiles()).exists(_.isEmpty))
-      .foreach(_.delete())
     versions.dropRight(keepLast)
-      .foreach(v => manifestFile(table, v).delete())
-    dead.map(_.toString).sorted
+      .foreach(v => fs.delete(manifestPath(table, v), false))
+    deleted.result().sorted
   }
 }

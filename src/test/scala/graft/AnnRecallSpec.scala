@@ -37,6 +37,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.4, f"LSH recall@5 collapsed: $recall%.2f")
   }
 
+  test("g92 batched IVF (2 probes of 16 lists, ALL queries): mean recall@5 " +
+      "vs exact brute force") {
+    import spark.implicits._
+    graft.functions.VecCosine.register(spark)
+    // exact ground truth: per-query top-5 over every pair (the g21 shape
+    // without the query-set restriction) — affordable at sf0.01, which is
+    // the point of having the approximate operator at all beyond it
+    val e = Tables.embeddings(spark, sf01)
+    val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"qid").orderBy($"cs".desc, $"vec_id")
+    val exact = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("cs", expr("vec_cosine(embedding, qe)"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5)
+      .select($"qid", $"vec_id")
+    val approx = SparkEntry.queries("g92_ann_ivf_batch")(spark, sf01)
+      .select($"qid", $"neighbor".as("vec_id"))
+    val n = e.count().toDouble
+    val hits = approx.join(exact, Seq("qid", "vec_id")).count()
+    val recall = hits / (5.0 * n)
+    info(f"g92 mean recall@5 over ${n.toLong} queries = $recall%.3f")
+    assert(recall >= 0.3, f"batched IVF recall@5 collapsed: $recall%.3f")
+  }
+
   test("bucketed kNN over the g21 query set: mean recall@3") {
     import spark.implicits._
     graft.functions.VecCosine.register(spark)

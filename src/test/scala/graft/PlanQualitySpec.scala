@@ -57,7 +57,8 @@ class PlanQualitySpec extends SparkSpec {
     "g81_dup_degree_dist", // 1-row total × 1-row covered for the 0-degree row
     "c21_join_spatial_grid", // two 3-row neighbor-offset dims crossed
     "g82_quality_dup_matrix", // 6-cell crosstab crossing the 1-row total
-    "r17_k_anonymity") // 4-row k-list × bounded class table × 1-row total
+    "r17_k_anonymity", // 4-row k-list × bounded class table × 1-row total
+    "g92_ann_ivf_batch") // crosses the 1-row broadcast codebook (g17's shape)
 
   // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
   // full streaming query; a21 writes three parquet snapshots) and whose
@@ -224,6 +225,50 @@ class PlanQualitySpec extends SparkSpec {
       s"a24's ANSWER must read maintained state, not the fact table:\n$p")
   }
 
+  test("a24 refresh: merge read is bucket-pruned; untouched buckets are " +
+      "not rewritten") {
+    // the refresh bound the a24 comment claims — |delta| + |touched
+    // buckets' state| — demonstrated on a delta landing in ONE bucket:
+    // the merge's base read must carry partition filters (only that
+    // bucket's files are scanned) and every other bucket's files must
+    // survive the refresh byte-identical (same names — dynamic
+    // overwrite never stages into them)
+    import spark.implicits._
+    import graft.operators.Mview
+    val t = s"${graft.sources.TmpDirs.perPidRoot("graft_mview")}/spec/prune"
+    graft.sources.TmpDirs.rmTree(new java.io.File(t))
+    def st(rows: (Long, Long, Long)*) =
+      rows.toDF("o_custkey", "n_orders", "rev_cents")
+    // base: one customer per bucket (pmod(custkey, 8) = 0..7)
+    Mview.withBucket(st((0L until 8L).map(c => (c, 1L, 100L * c)): _*))
+      .write.partitionBy("bucket").parquet(t)
+    def bucketFiles(b: Int): Set[String] =
+      Option(new java.io.File(t, s"bucket=$b").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = (0 until 8).map(bucketFiles)
+    // delta: two updates, both landing in bucket 3 (custkeys 3 and 11)
+    val touched = Mview.refresh(t, st((3L, 2L, 50L), (11L, 1L, 70L)))
+    assert(touched === Seq(3), s"delta touches exactly bucket 3: $touched")
+    // plan law: the merge's base read is partition-pruned to bucket 3
+    val mergePlan = Mview.prunedState(spark, t, touched)
+      .queryExecution.executedPlan.toString
+    assert(mergePlan.contains("PartitionFilters") &&
+      "bucket.*(IN|isnotnull)".r.findFirstIn(mergePlan).nonEmpty,
+      s"merge read must prune on the bucket partition column:\n$mergePlan")
+    // file law: untouched buckets keep exactly their files
+    (0 until 8).filter(_ != 3).foreach { b =>
+      assert(bucketFiles(b) === before(b),
+        s"bucket $b was rewritten by a refresh that never touched it")
+    }
+    assert(bucketFiles(3) !== before(3), "bucket 3 was rewritten")
+    // content law: the merge is correct (3 merged, 11 inserted, rest kept)
+    val rows = spark.read.parquet(t)
+      .select($"o_custkey", $"n_orders", $"rev_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === ((0L until 8L).filter(_ != 3L)
+      .map(c => (c, 1L, 100L * c)).toSet + ((3L, 3L, 350L)) + ((11L, 1L, 70L))))
+  }
+
   test("g37 keywords: per-doc top-3 is WindowGroupLimit-pruned, not a full rank") {
     // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
     // each shuffle partition retains only k rows per doc before the sort
@@ -244,6 +289,21 @@ class PlanQualitySpec extends SparkSpec {
     // top-k candidates before the sort — g37's rank-limit contract
     val p = plans.toMap.apply("g67_bm25")
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("g92 batched IVF: candidates join the lists on cid, per-query " +
+      "top-k is WindowGroupLimit-pruned, no all-pairs stage") {
+    // the batched-ANN scale contract: ONE equi-join on the list id (at
+    // 100 TB: co-located on the cid bucketing), rank-limit pushdown
+    // keeps k rows per query per shuffle partition before the sort, and
+    // the only nested-loop join is the 1-row codebook broadcast — a
+    // brute-force all-pairs stage would plan a second BNLJ over the
+    // corpus-sized query set
+    val p = plans.toMap.apply("g92_ann_ivf_batch")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).nonEmpty, s"list probe must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("i5 SQL UDF inlines into the plan — no black-box ScalaUDF node") {

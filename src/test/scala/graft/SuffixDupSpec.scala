@@ -72,6 +72,58 @@ class SuffixDupSpec extends SparkSpec {
     assert(ps.map(p => (p.h1, p.h2)).toSet === runHashes)
   }
 
+  test("sortTruncated: primitive offset sort matches a reference sort " +
+      "(order + equal-window grouping)") {
+    // the de-boxed MSD 3-way radix quicksort must order offsets exactly
+    // as the boxed comparator it replaced: lexicographic on the first L
+    // chars, equal windows contiguous — on adversarial input (repeats,
+    // runs, near-equal prefixes), not just happy-path text
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abAB"
+    val text = (block * 40) +
+      Seq.fill(3000)(alphabet(rnd.nextInt(alphabet.length))).mkString +
+      ("z" * 200) + (block.reverse * 30)
+    val buf = text.toCharArray
+    val sa = Array.range(0, buf.length - L + 1)
+    SuffixDup.sortTruncated(sa, buf)
+    def key(off: Int) = new String(buf, off, L)
+    // pairwise non-descending in truncated order = fully sorted
+    (1 until sa.length).foreach { i =>
+      assert(key(sa(i - 1)) <= key(sa(i)),
+        s"order violated at $i: ${key(sa(i - 1))} > ${key(sa(i))}")
+    }
+    // and it is a permutation (no offset lost or duplicated)
+    assert(sa.toSet === (0 until sa.length).toSet)
+  }
+
+  test("g91: expanding the maximal spans recovers the duplicated-window " +
+      "set exactly (the fixed-L recoverability law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // windows recovered from the spans: each span [s, s+len) contains
+    // exactly the duplicated windows at positions s .. s+len-L
+    val fromSpans = SparkEntry.queries("g91_maximal_dup_spans")(spark, sfDir)
+      .select($"doc_id",
+        explode(sequence($"span_start",
+          $"span_start" + $"span_len" - L)).as("pos"))
+      .as[(Long, Long)].collect().toSet
+    // ground truth: g87's digest-window detector, stopped BEFORE the merge
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .where($"n_chars" >= L)
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy($"dig")
+    val truth = docs
+      .select($"doc_id",
+        explode(sequence(lit(1L), $"n_chars" - (L - 1))).as("pos"), $"text")
+      .select($"doc_id", $"pos",
+        md5(expr(s"substring(text, pos, $L)")).as("dig"))
+      .withColumn("lo", min($"doc_id").over(wd))
+      .withColumn("hi", max($"doc_id").over(wd))
+      .where($"lo" =!= $"hi")
+      .select($"doc_id", $"pos").as[(Long, Long)].collect().toSet
+    assert(fromSpans === truth)
+    assert(fromSpans.nonEmpty, "fixture must actually contain duplicates")
+  }
+
   test("g90 (suffix array) and g87 (digest windows) agree span-for-span") {
     // the round-10 contract: two independent detectors, one span oracle —
     // pinned engine-side so a drift in either implementation fails here

@@ -44,7 +44,7 @@ class TxLogSpec extends SparkSpec {
     assert(outcomes.count(_.isSuccess) === 1,
       s"exactly one of two conflicting commits must win, got $outcomes")
     assert(outcomes.exists(_.failed.toOption.exists(
-      _.isInstanceOf[java.nio.file.FileSystemException])),
+      _.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])),
       "the loser must see the conflict as an exception, not silence")
     // the winner's rows — and ONLY the winner's — are in v2
     val v2rows = TxLog.read(spark, t, 2).select($"id").as[Long]
@@ -69,5 +69,93 @@ class TxLogSpec extends SparkSpec {
     val t = freshTable("empty")
     assert(TxLog.currentVersion(t) === None)
     intercept[IllegalArgumentException](TxLog.files(t, 1))
+  }
+
+  test("vacuum: readers inside the retention window are never broken") {
+    val t = freshTable("vac_retained")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val v2 = TxLog.commit(t, TxLog.stage(df(2L -> "b"), t), v1)
+    val v3 = TxLog.commitRewrite(t, TxLog.stage(
+      TxLog.read(spark, t, v2).repartition(1), t), v2)
+    val deleted = TxLog.vacuum(t, keepLast = 2)
+    // v2 and v3 retained: both fully readable, byte-identical content
+    assert(TxLog.read(spark, t, v2).collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    assert(TxLog.read(spark, t, v3).collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // v1's manifest is gone but its FILES survive — v2 still references
+    // them (append semantics), so the liveness rule keeps them
+    assert(deleted.isEmpty,
+      "append-chain files are live through the retained manifests")
+    intercept[IllegalArgumentException](TxLog.files(t, v1))
+  }
+
+  test("vacuum: expired-version reads fail loudly, not partially") {
+    val t = freshTable("vac_expired")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val v2 = TxLog.commitRewrite(t, TxLog.stage(df(9L -> "z"), t), v1)
+    val deleted = TxLog.vacuum(t, keepLast = 1)
+    assert(deleted.nonEmpty, "the rewrite retired v1's only file")
+    intercept[IllegalArgumentException](TxLog.files(t, v1))
+    intercept[IllegalArgumentException](TxLog.read(spark, t, v1))
+    assert(TxLog.read(spark, t, v2).collect().map(_.toSeq).toSet ===
+      Set(Seq(9L, "z")))
+  }
+
+  test("vacuum: crashed-writer staging dirs are reclaimed WHOLE " +
+      "(markers included), referenced dirs untouched") {
+    val t = freshTable("vac_garbage")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val ghost = TxLog.stage(df(99L -> "ghost"), t) // crash before commit
+    val ghostDir = new java.io.File(ghost.head
+      .stripPrefix("file:")).getParentFile
+    assert(ghostDir.exists(), "staged garbage exists pre-vacuum")
+    val deleted = TxLog.vacuum(t, keepLast = 1)
+    assert(deleted.map(_.stripPrefix("file:")) ===
+      ghost.map(_.stripPrefix("file:")),
+      "exactly the unreferenced parquet files are reported deleted")
+    assert(!ghostDir.exists(),
+      "the dead staging dir is removed recursively — _SUCCESS and " +
+        "marker siblings must not keep garbage dirs alive forever")
+    assert(TxLog.read(spark, t, v1).count() === 1)
+  }
+
+  test("cdc over an append equals the committed delta and reads ONLY " +
+      "the added files") {
+    val t = freshTable("cdc_append")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a", 2L -> "b"), t), 0)
+    val staged = TxLog.stage(df(3L -> "c", 4L -> "d"), t)
+    val v2 = TxLog.commit(t, staged, v1)
+    val cdc = TxLog.cdc(spark, t, v1, v2)
+    // the diff of (N, N+1) IS the committed delta
+    assert(cdc.collect().map(_.toSeq).toSet ===
+      Set(Seq(3L, "c", "insert"), Seq(4L, "d", "insert")))
+    // and the plan scanned nothing but the added files — the O(|delta|)
+    // incremental-consumption contract
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    val scanned = cdc.inputFiles.map(norm).toSet
+    assert(scanned === staged.map(norm).toSet,
+      s"append CDC must read only the delta files, read: $scanned")
+  }
+
+  test("cdc over a pure compaction rewrite is empty; over a mutating " +
+      "rewrite it carries both directions") {
+    val t = freshTable("cdc_rewrite")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a", 2L -> "b"), t), 0)
+    // pure compaction: same rows, new layout → logical no-op
+    val v2 = TxLog.commitRewrite(t, TxLog.stage(
+      TxLog.read(spark, t, v1).repartition(1), t), v1)
+    assert(TxLog.cdc(spark, t, v1, v2).count() === 0,
+      "a compaction rewrite must certify as a logical no-op")
+    // mutating rewrite: row 2 dropped, row 9 added → one delete, one insert
+    val v3 = TxLog.commitRewrite(t, TxLog.stage(df(1L -> "a", 9L -> "z"), t), v2)
+    assert(TxLog.cdc(spark, t, v2, v3).collect().map(_.toSeq).toSet ===
+      Set(Seq(9L, "z", "insert"), Seq(2L, "b", "delete")))
+  }
+
+  test("vacuum: keepLast=0 is rejected — the head must survive") {
+    val t = freshTable("vac_zero")
+    TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    intercept[IllegalArgumentException](TxLog.vacuum(t, keepLast = 0))
   }
 }

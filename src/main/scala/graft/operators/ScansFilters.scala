@@ -500,6 +500,63 @@ object ScansFilters {
       .orderBy($"fp")
   }
 
+  // A27 — COPY-ON-WRITE DELETE THROUGH THE LOG, closing the remaining
+  // maintenance-family composition (a17 demonstrates MERGE-ON-READ
+  // deletes — a positional sidecar the reader subtracts — against bare
+  // directories; this key runs the OTHER lakehouse delete path, and
+  // runs it through a23's commit protocol): a predicate DELETE lands as
+  // a REWRITE commit whose staged files are exactly the surviving rows,
+  // and a26's CDC between the two versions must certify the transition
+  // as pure deletion — the content diff yields the deleted rows with
+  // change='delete' and ZERO 'insert' rows (TxLogSpec law). The graded
+  // output rolls up BOTH sides per priority class — the deleted rows
+  // from the CDC read and the live rows from the post-delete snapshot —
+  // so a survivor dropped by the rewrite, a deleted row leaking into
+  // v2, or a CDC misclassification all hash-mismatch against the
+  // oracle's recompute. Scale: COW rewrites cost O(touched files) at
+  // write time and keep reads sidecar-free (the scan is a plain file
+  // list); MoR (a17) is the write-cheap/read-taxed dual — a real table
+  // format schedules COW compaction to retire MoR sidecars, which is
+  // exactly the a25 vacuum + this rewrite composed.
+  private val a27 = QueryDef.graded(
+    "a27_txlog_delete",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |u AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 3 THEN 'delete' ELSE 'live' END
+      |    AS change, o_orderpriority, o_totalprice
+      |  FROM base)
+      |SELECT change, o_orderpriority, count(*)::BIGINT AS n,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE AS rev
+      |FROM u
+      |GROUP BY change, o_orderpriority
+      |ORDER BY change, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/delete"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    // the DELETE: survivors re-staged, published as a rewrite commit
+    val survivors = TxLog.read(spark, table, v1)
+      .where($"o_orderkey" % 7 =!= 3)
+    val v2 = TxLog.commitRewrite(table, TxLog.stage(survivors, table), v1)
+    // CDC certifies the deletion; the snapshot carries the live side
+    TxLog.cdc(spark, table, v1, v2)
+      .select($"change", $"o_orderpriority", $"o_totalprice")
+      .unionByName(TxLog.read(spark, table, v2)
+        .select(lit("live").as("change"), $"o_orderpriority",
+          $"o_totalprice"))
+      .groupBy($"change", $"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum($"o_totalprice".cast("decimal(30,10)")), 2)
+          .cast("double").as("rev"))
+      .orderBy("change", "o_orderpriority")
+  }
+
   // A24 — MATERIALIZED-VIEW REWRITE, the CONSUMPTION half of a19's
   // incremental view maintenance (a19 proves base+delta merge keeps the
   // per-customer state correct; no key yet ANSWERED a report from that
@@ -1201,5 +1258,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24, a25, a26)
+    a22, a23, a24, a25, a26, a27)
 }

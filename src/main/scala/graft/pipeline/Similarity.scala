@@ -234,6 +234,57 @@ object Similarity {
       .limit(10)
   }
 
+  // g93 — bench-only: IVF WITH THE INVERTED LISTS ON DISK, partition-
+  // pruned — the claim g17 makes in prose ("at 100 TB the list id is a
+  // partition key, so probing is partition pruning and the scan never
+  // touches the other 14/16 of the data") made DEMONSTRABLE: the build
+  // stage WRITES the assignment as a cid-partitioned parquet index, and
+  // the search stage reads it back with the probe list as a partition
+  // filter — PlanQualitySpec pins PartitionFilters on cid in the
+  // executed scan, and AnnRecallSpec pins the answer EQUAL to g17's
+  // (same math, different storage — a storage change must never move a
+  // result). The 2-row probe-id fetch is control flow steering which
+  // partitions the scan plans (the h41 touched-bucket discipline).
+  // At 100 TB this is the difference between an ANN query costing
+  // nprobe/C of the corpus and costing a full scan; the index build is
+  // scan → project → partitioned write, nothing crossing the wire but
+  // the output files.
+  private val g93 = QueryDef.benchOnly("g93_ann_ivf_pruned") { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_ivf")}/$sfTag/index"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val e = embeddings(spark, dir)
+    val cents = e.where($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val codebook = broadcast(cents
+      .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
+    // build: g17's argmax assignment, persisted as the partitioned index
+    e.crossJoin(codebook)
+      .withColumn("cscores",
+        expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
+      .withColumn("cid", expr(
+        "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
+      .select($"vec_id", $"embedding", $"cid")
+      .write.partitionBy("cid").parquet(table)
+    // search: the query's 2 probe ids — a 2-row driver fetch steering
+    // partition pruning, not data flow
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
+    val probeIds = cents.crossJoin(broadcast(q))
+      .withColumn("cscore", cos("ce", "qe"))
+      .orderBy($"cscore".desc, $"cid").limit(2)
+      .select($"cid").as[Long].collect().toSeq
+    spark.read.parquet(table)
+      .where($"cid".isin(probeIds: _*))
+      .crossJoin(broadcast(q))
+      .where($"vec_id" =!= 0)
+      .select($"vec_id", $"cid".cast("bigint").as("cid"),
+        round(cos("embedding", "qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   // g92 — bench-only: BATCHED IVF top-k, g17 extended from one query to
   // EVERY vector — the all-docs ANN pass corpus-scale semantic dedup
   // actually runs (g21 answers the batched question exhaustively; this
@@ -871,5 +922,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80,
-      g86, g92)
+      g86, g92, g93)
 }

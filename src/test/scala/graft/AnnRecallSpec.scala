@@ -61,6 +61,15 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.3, f"batched IVF recall@5 collapsed: $recall%.3f")
   }
 
+  test("g93 (lists on disk, pruned read) equals g17 (in-plan lists) " +
+      "row-for-row — storage must never move a result") {
+    val g17 = SparkEntry.queries("g17_ann_ivf")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    val g93 = SparkEntry.queries("g93_ann_ivf_pruned")(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    assert(g93 === g17)
+  }
+
   test("bucketed kNN over the g21 query set: mean recall@3") {
     import spark.implicits._
     graft.functions.VecCosine.register(spark)

@@ -58,7 +58,8 @@ class PlanQualitySpec extends SparkSpec {
     "c21_join_spatial_grid", // two 3-row neighbor-offset dims crossed
     "g82_quality_dup_matrix", // 6-cell crosstab crossing the 1-row total
     "r17_k_anonymity", // 4-row k-list × bounded class table × 1-row total
-    "g92_ann_ivf_batch") // crosses the 1-row broadcast codebook (g17's shape)
+    "g92_ann_ivf_batch", // crosses the 1-row broadcast codebook (g17's shape)
+    "g93_ann_ivf_pruned") // 1-row query vector crossed into the pruned lists
 
   // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
   // full streaming query; a21 writes three parquet snapshots) and whose
@@ -289,6 +290,16 @@ class PlanQualitySpec extends SparkSpec {
     // top-k candidates before the sort — g37's rank-limit contract
     val p = plans.toMap.apply("g67_bm25")
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("g93 IVF on disk: the probe read is partition-pruned on cid") {
+    // g17's "list id is a partition key" claim, asserted: the search
+    // scan must carry the probe ids as PartitionFilters — at 100 TB
+    // this is nprobe/C of the corpus vs a full scan
+    val p = plans.toMap.apply("g93_ann_ivf_pruned")
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).nonEmpty,
+      s"probe read must prune on the cid partition column:\n$p")
   }
 
   test("g92 batched IVF: candidates join the lists on cid, per-query " +

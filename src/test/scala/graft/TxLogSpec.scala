@@ -153,6 +153,20 @@ class TxLogSpec extends SparkSpec {
       Set(Seq(9L, "z", "insert"), Seq(2L, "b", "delete")))
   }
 
+  test("a COW delete rewrite certifies as PURE deletion — cdc yields " +
+      "the deleted rows and zero inserts") {
+    val t = freshTable("cdc_cow_delete")
+    val v1 = TxLog.commit(t,
+      TxLog.stage(df(1L -> "a", 2L -> "b", 3L -> "c"), t), 0)
+    val survivors = TxLog.read(spark, t, v1).where("id <> 2")
+    val v2 = TxLog.commitRewrite(t, TxLog.stage(survivors, t), v1)
+    val cdc = TxLog.cdc(spark, t, v1, v2).collect().map(_.toSeq)
+    assert(cdc.toSet === Set(Seq(2L, "b", "delete")),
+      "the diff must be exactly the deleted rows")
+    assert(!cdc.exists(_.last == "insert"),
+      "a delete rewrite must not manufacture inserts")
+  }
+
   test("vacuum: keepLast=0 is rejected — the head must survive") {
     val t = freshTable("vac_zero")
     TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)

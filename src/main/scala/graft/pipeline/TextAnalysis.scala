@@ -876,6 +876,98 @@ object TextAnalysis {
       .orderBy("word", "rnk")
   }
 
+  // g94 — RECIPROCAL-RANK FUSION over two retrieval lenses (the hybrid-
+  // retrieval primitive every RAG/eval pipeline runs: no score
+  // calibration across heterogeneous retrievers — fuse on RANKS, the
+  // only commensurate quantity): for each query document, candidates
+  // are ranked by (A) distinct shared WORDS (token-level lens) and (B)
+  // distinct shared char TRIGRAMS (subword lens robust to tokenization),
+  // each list cut to top-20, then fused as rrf = Σ 1/(60+rank) over the
+  // lists the doc appears in (Cormack et al.'s k=60), top-5 per query
+  // emitted. Every score is an integer overlap count and every fused
+  // term 1/(60+int) — IEEE-identical across engines, no calibration
+  // constants to drift. Shape at scale: both retrievals are equi-joins
+  // of the query token/gram sets against the corpus postings (shuffle
+  // keyed on the token — candidates ∝ postings of the query's terms,
+  // never all pairs), per-query top-20 is WindowGroupLimit-pruned
+  // (plan-pinned), and the fusion is a ≤40-row-per-query outer join.
+  private val g94 = graded(
+    "g94_rrf_fusion",
+    """WITH q AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id < 5),
+      |dw AS (SELECT DISTINCT doc_id, w FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |qw AS (SELECT DISTINCT qid, w FROM (
+      |  SELECT qid, unnest(string_split(text, ' ')) AS w FROM q)),
+      |aw AS (SELECT qid, doc_id, count(*)::BIGINT AS ov
+      |  FROM qw JOIN dw USING (w) WHERE doc_id <> qid GROUP BY qid, doc_id),
+      |ta AS (SELECT qid, doc_id, r FROM (
+      |  SELECT qid, doc_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ov DESC, doc_id) AS r
+      |  FROM aw) t WHERE r <= 20),
+      |dg AS (SELECT DISTINCT doc_id, g FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(text) - 2),
+      |    i -> substring(text, i, 3))) AS g
+      |  FROM documents WHERE length(text) >= 3)),
+      |qg AS (SELECT DISTINCT qid, g FROM (
+      |  SELECT qid, unnest(list_transform(
+      |    generate_series(1, length(text) - 2),
+      |    i -> substring(text, i, 3))) AS g
+      |  FROM q WHERE length(text) >= 3)),
+      |ag AS (SELECT qid, doc_id, count(*)::BIGINT AS ov
+      |  FROM qg JOIN dg USING (g) WHERE doc_id <> qid GROUP BY qid, doc_id),
+      |tb AS (SELECT qid, doc_id, r FROM (
+      |  SELECT qid, doc_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ov DESC, doc_id) AS r
+      |  FROM ag) t WHERE r <= 20),
+      |f AS (SELECT coalesce(ta.qid, tb.qid) AS qid,
+      |        coalesce(ta.doc_id, tb.doc_id) AS doc_id,
+      |        coalesce(1.0 / (60 + ta.r), 0.0)
+      |          + coalesce(1.0 / (60 + tb.r), 0.0) AS rrf
+      |      FROM ta FULL JOIN tb
+      |        ON ta.qid = tb.qid AND ta.doc_id = tb.doc_id)
+      |SELECT qid, rk, doc_id AS retrieved, round(rrf, 6) AS rrf
+      |FROM (SELECT qid, doc_id, rrf,
+      |        row_number() OVER (PARTITION BY qid
+      |          ORDER BY rrf DESC, doc_id) AS rk
+      |      FROM f) z
+      |WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documentsDist(spark, dir)
+    val q = docs.where($"doc_id" < 5).select($"doc_id".as("qid"), $"text")
+    def words(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.select(col(id), explode(split($"text", " ")).as("w")).distinct()
+    def grams(df: org.apache.spark.sql.DataFrame, id: String) =
+      df.where(length($"text") >= 3)
+        .select(col(id), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g")).distinct()
+    def ranked(qSet: org.apache.spark.sql.DataFrame,
+        dSet: org.apache.spark.sql.DataFrame, key: String) = {
+      val w = Window.partitionBy($"qid").orderBy($"ov".desc, $"doc_id")
+      qSet.join(dSet, key).where($"doc_id" =!= $"qid")
+        .groupBy($"qid", $"doc_id")
+        .agg(count(lit(1)).cast("bigint").as("ov"))
+        .withColumn("r", row_number().over(w))
+        .where($"r" <= 20)
+        .select($"qid", $"doc_id", $"r")
+    }
+    val ta = ranked(words(q, "qid"), words(docs, "doc_id"), "w")
+    val tb = ranked(grams(q, "qid"), grams(docs, "doc_id"), "g")
+    val fused = ta.withColumnRenamed("r", "ra")
+      .join(tb.withColumnRenamed("r", "rb"), Seq("qid", "doc_id"), "full")
+      .select($"qid", $"doc_id",
+        (coalesce(lit(1.0) / (lit(60) + $"ra"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rk", row_number().over(wf))
+      .where($"rk" <= 5)
+      .select($"qid", $"rk", $"doc_id".as("retrieved"),
+        round($"rrf", 6).as("rrf"))
+      .orderBy("qid", "rk")
+  }
+
   // g68 — DSIR-style importance weights (Xie et al. 2023's data-selection
   // recipe, the hashed-unigram form): each document scored by its mean
   // per-token log-likelihood ratio between a TARGET unigram LM (the
@@ -1382,5 +1474,5 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76, g77)
+    g70, g71, g72, g73, g74, g76, g77, g94)
 }

@@ -292,6 +292,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("g94 RRF: both per-query retrieval top-20s are WindowGroupLimit-" +
+      "pruned and the posting joins are equi-joins") {
+    // hybrid retrieval at scale = two posting equi-joins + rank-limit
+    // pushdown; a missing group limit would sort every candidate list
+    // in full before cutting to 20
+    val p = plans.toMap.apply("g94_rrf_fusion")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("g93 IVF on disk: the probe read is partition-pruned on cid") {
     // g17's "list id is a partition key" claim, asserted: the search
     // scan must carry the probe ids as PartitionFilters — at 100 TB

@@ -500,6 +500,65 @@ object ScansFilters {
       .orderBy($"fp")
   }
 
+  // A28 — SCHEMA EVOLUTION THROUGH THE LOG (a8's mergeSchema evolution
+  // discipline composed through a23's commit protocol — the last
+  // maintenance primitive still demonstrated only against bare
+  // directories): the base catalog commits as v1 with two columns, the
+  // delta append commits as v2 WITH A THIRD (src_len) — a
+  // schema-widening commit, the routine upstream-added-a-field event —
+  // and the graded read is the MERGED head snapshot: union schema, the
+  // new column null for every pre-widening row, populated for the
+  // delta's. A pinned v1 reader is untouched by the widening (its
+  // manifest lists only old-schema files — TxLogSpec law). Scale: the
+  // merged read pays one footer read per file for schema union — fine
+  // at a6-compaction-bounded file counts; production formats persist
+  // the schema IN the log (noted at TxLog.readEvolved), which is the
+  // O(1) form of exactly this read.
+  private val a28 = QueryDef.graded(
+    "a28_txlog_schema_evolve",
+    """WITH mx AS (SELECT (max(doc_id) * 2) // 3 AS k FROM documents),
+      |fps AS (SELECT doc_id, md5(text) AS fp,
+      |  length(text)::BIGINT AS src_len FROM documents),
+      |base AS (
+      |  SELECT fp, min(doc_id) AS first_doc FROM fps, mx
+      |  WHERE doc_id <= mx.k GROUP BY fp),
+      |delta AS (
+      |  SELECT f.fp, min(f.doc_id) AS first_doc,
+      |    min(f.src_len)::BIGINT AS src_len
+      |  FROM fps f, mx
+      |  WHERE f.doc_id > mx.k
+      |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)
+      |  GROUP BY f.fp)
+      |SELECT fp, first_doc, src_len FROM (
+      |  SELECT fp, first_doc, NULL::BIGINT AS src_len FROM base
+      |  UNION ALL SELECT fp, first_doc, src_len FROM delta) u
+      |ORDER BY fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/evolve"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"),
+        length($"text").cast("bigint").as("src_len"))
+    val k = Tables.documentsDist(spark, dir)
+      .agg(max($"doc_id").cast("bigint")).head().getLong(0) * 2 / 3
+    val base = docs.where($"doc_id" <= k)
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    // the widening append: delta files carry the NEW src_len column
+    val delta = docs.where($"doc_id" > k)
+      .join(TxLog.read(spark, table, v1).select($"fp"), Seq("fp"),
+        "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"),
+        min($"src_len").cast("bigint").as("src_len"))
+    val v2 = TxLog.commit(table, TxLog.stage(delta, table), v1)
+    TxLog.readEvolved(spark, table, v2)
+      .select($"fp", $"first_doc", $"src_len")
+      .orderBy($"fp")
+  }
+
   // A27 — COPY-ON-WRITE DELETE THROUGH THE LOG, closing the remaining
   // maintenance-family composition (a17 demonstrates MERGE-ON-READ
   // deletes — a positional sidecar the reader subtracts — against bare
@@ -1258,5 +1317,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24, a25, a26, a27)
+    a22, a23, a24, a25, a26, a27, a28)
 }

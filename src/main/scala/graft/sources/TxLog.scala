@@ -126,6 +126,19 @@ object TxLog {
   def read(spark: SparkSession, table: String, v: Int): DataFrame =
     spark.read.parquet(files(table, v): _*)
 
+  /** Snapshot read with PARQUET SCHEMA MERGING across the manifest's
+    * files — the read path a schema-widening append needs: a commit may
+    * stage files carrying MORE columns than history (the a8 evolution
+    * discipline composed through the log), and the union schema must
+    * surface with nulls for pre-widening rows. [[read]] deliberately
+    * stays merge-free (schema from footer sampling — cheaper, correct
+    * for homogeneous tables); production formats persist the schema IN
+    * the log so neither footer sampling nor an O(files) merge pass is
+    * needed — documented, not simulated, here. */
+  def readEvolved(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(files(table, v): _*)
+
   /** Publish version `base + 1` whose manifest is EXACTLY `staged` — a
     * REWRITE commit (compaction, sorted clustering, full snapshot
     * replace), vs [[commit]]'s append semantics. Same exclusive-rename

@@ -167,6 +167,22 @@ class TxLogSpec extends SparkSpec {
       "a delete rewrite must not manufacture inserts")
   }
 
+  test("a schema-widening append: the pinned old version keeps its " +
+      "schema, the merged head carries nulls for pre-widening rows") {
+    import org.apache.spark.sql.functions.lit
+    val t = freshTable("evolve")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val wide = df(2L -> "b").withColumn("extra", lit(7L))
+    val v2 = TxLog.commit(t, TxLog.stage(wide, t), v1)
+    // old reader: untouched by the widening (its files are old-schema)
+    assert(TxLog.read(spark, t, v1).columns.toSeq === Seq("id", "v"))
+    // merged head: union schema, null where history predates the column
+    val head = TxLog.readEvolved(spark, t, v2)
+    assert(head.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    assert(head.collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7L)))
+  }
+
   test("vacuum: keepLast=0 is rejected — the head must survive") {
     val t = freshTable("vac_zero")
     TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)

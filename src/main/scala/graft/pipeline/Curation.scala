@@ -150,6 +150,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // g95 — PACKING-EFFICIENCY REPORT, the sizing read that decides g28's
+  // window-length knob BEFORE the packing job runs: for each candidate
+  // context length W ∈ {128, 512, 2048}, the cost of document-level
+  // packing (each doc padded up to its own ⌈n_tok/W⌉ windows — the
+  // no-cross-doc-contamination regime many pretraining recipes mandate)
+  // stated as total windows, padded-token mass, and waste ppm. Entirely
+  // exact integer arithmetic ((n+W−1) div W windows, windows·W − n
+  // padding, integer-ppm quotient), so the report is bit-stable at any
+  // scale. Shape at scale: one scan computes every W's terms in the
+  // same projection (the W list is a 3-row literal dimension crossed
+  // in), one 3-group partial aggregate — map-side combine does all the
+  // work, nothing wide shuffles.
+  private val g95 = graded(
+    "g95_pack_efficiency",
+    """WITH tok AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+      |  FROM documents),
+      |ws AS (SELECT unnest([128, 512, 2048])::BIGINT AS w),
+      |per AS (
+      |  SELECT w, (n + w - 1) // w AS wins, ((n + w - 1) // w) * w - n
+      |    AS pad, n
+      |  FROM tok, ws)
+      |SELECT w, sum(wins)::BIGINT AS n_windows,
+      |  sum(pad)::BIGINT AS padded_tokens,
+      |  ((sum(pad) * 1000000) // (sum(wins) * w))::BIGINT AS waste_ppm
+      |FROM per GROUP BY w
+      |ORDER BY w""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tok = Tables.documentsDist(spark, dir)
+      .select(size(split($"text", " ")).cast("bigint").as("n"))
+    val ws = Seq(128L, 512L, 2048L).toDF("w")
+    tok.crossJoin(broadcast(ws))
+      .withColumn("wins", expr("(n + w - 1) div w"))
+      .withColumn("pad", $"wins" * $"w" - $"n")
+      .groupBy($"w")
+      .agg(sum($"wins").cast("bigint").as("n_windows"),
+        sum($"pad").cast("bigint").as("padded_tokens"))
+      .select($"w", $"n_windows", $"padded_tokens",
+        expr("(padded_tokens * 1000000) div (n_windows * w)")
+          .cast("bigint").as("waste_ppm"))
+      .orderBy("w")
+  }
+
   // g28 — context-window packing by offset binning: lay documents end to
   // end in doc_id order and cut fixed 512-token windows; a doc's bin is
   // its start offset div 512 (the fixed-stride chunking a distributed
@@ -832,5 +875,5 @@ object Curation {
 
   val defs: Seq[QueryDef] =
     Seq(g25, g26, g27, g28, g29, g36, g39, g45, g48, g50, g51, g58, g59,
-      g61, g78, g82)
+      g61, g78, g82, g95)
 }

@@ -303,6 +303,66 @@ object ScansFilters {
         .orderBy("o_orderkey")
   }
 
+  // A29 — XML ROUND TRIP, graded: the FIFTH interchange format next to
+  // A9 ORC / A10 CSV / A22 JSONL / A3 parquet, through Spark 4's
+  // BUILT-IN xml source (the spark-xml package merged into spark-sql).
+  // Same content-equality gate, same two text-boundary hazards as
+  // A10/A22 — the NTZ timestamp rides an explicit µs format (the
+  // default would truncate o_orderdate's sub-second digits silently)
+  // and the read passes the schema explicitly (XML inference is an
+  // extra full scan at 100 TB and would widen types by sampling).
+  // XML-specific: the writer needs rowTag (every record one element);
+  // values land as element TEXT, so round-tripping is a parse, not a
+  // cast — which is exactly why it must be graded, not assumed.
+  private val a29 = QueryDef.graded("a29_xml_roundtrip", maintenanceOracle) {
+    (spark, dir) =>
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_xmlrt/$jvmTag/$sfTag/orders"
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val src = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate", $"o_orderpriority")
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("rowTag", "order")
+        .option("timestampNTZFormat", fmt)
+        .format("xml").save(out)
+      spark.read.option("rowTag", "order")
+        .option("timestampNTZFormat", fmt)
+        .schema(src.schema).format("xml").load(out)
+        .orderBy("o_orderkey")
+  }
+
+  // A30 — RAW TEXT-LINE ROUND TRIP, graded: the SIXTH interchange
+  // format and the rawest one an LLM pipeline meets — newline-delimited
+  // plain text, one document per line, no schema, no ids (what a crawl
+  // dump or a tokenizer-training corpus actually looks like on disk).
+  // The text sink takes exactly one string column and the source yields
+  // one `value` column, so identity is CONTENT: the graded row is the
+  // md5-fingerprint MULTISET of the read-back lines vs the source table
+  // — which doubles as the format's one integrity hazard made
+  // falsifiable: an embedded newline would silently split a document
+  // into two lines, and the fingerprint multiset (not just the count)
+  // mismatches. That content-addressed identity is not a workaround —
+  // fingerprinting IS the first stage every raw-text ingest runs (g1/g8)
+  // before ids exist. At 100 TB: write and read are full scans with no
+  // shuffle; the groupBy collapses map-side to the distinct-doc count.
+  private val a30 = QueryDef.graded(
+    "a30_text_roundtrip",
+    """SELECT md5(text) AS fp, count(*)::BIGINT AS n
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"/tmp/graft_textrt/$jvmTag/$sfTag/documents"
+      Tables.documents(spark, dir).select($"text")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+      spark.read.text(out)
+        .select(md5($"value").as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).cast("bigint").as("n"))
+        .orderBy("fp")
+  }
+
   // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
   // maintenance family's pieces compose under (a14 diffs snapshots, a17
   // masks rows, a20 swaps partitions, g88 appends+compacts — none of
@@ -1317,5 +1377,5 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
     a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24, a25, a26, a27, a28)
+    a22, a23, a24, a25, a26, a27, a28, a29, a30)
 }

@@ -2130,8 +2130,36 @@ object Aggregates {
     groups.unionByName(merged).orderBy($"scope")
   }
 
+  // d48 — EXACT DISTINCT VIA MERGEABLE BITMAPS (Spark 4's bitmap
+  // function family): count(DISTINCT) is exact but its state — the
+  // value set itself — is unmergeable and must shuffle every distinct
+  // value; HLL (d9/d20) is mergeable but approximate. Bitmaps are the
+  // third point of the triangle: EXACT and MERGEABLE — each key maps to
+  // (bucket = key div 32768, bit = key mod 32768), per-bucket bitmaps
+  // OR-merge map-side in constant 4 KB state, and NDV = Σ bitmap_count.
+  // This is the incremental-NDV catalog pattern at 100 TB: an a19-style
+  // maintained table keeps one bitmap row per bucket, each ingest ORs
+  // its delta bitmaps in (no re-scan of history — the merge d2's plain
+  // countDistinct fundamentally cannot do), and the dashboard sums
+  // popcounts. Dense-id domains (FKs, dictionary codes) fit exactly;
+  // sparse/wide domains take a dictionary pass first or fall back to
+  // HLL. Oracle: plain COUNT(DISTINCT) — the bitmap path must agree
+  // EXACTLY, which is the whole claim.
+  private val d48 = QueryDef.graded(
+    "d48_bitmap_distinct",
+    """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy($"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_distinct"))
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42, d43, d44, d45, d46, d47)
+    d39, d40, d41, d42, d43, d44, d45, d46, d47, d48)
 }

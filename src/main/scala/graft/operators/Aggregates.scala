@@ -2158,8 +2158,56 @@ object Aggregates {
       .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_distinct"))
   }
 
+  // d49 — INCREMENTAL NDV MAINTENANCE over the d48 bitmaps, made real
+  // (the composition d48's comment promises, built the way a24 built
+  // a19's consumption half): the per-bucket bitmap state table is
+  // materialized from the nightly base, the delta batch's bitmaps are
+  // OR-merged INTO it — |buckets| rows touched, history NEVER
+  // re-scanned — and the exact corpus-lifetime distinct-buyer count is
+  // answered FROM THE STATE TABLE as Σ popcount. The property that
+  // makes this work where a19's additive merge could not: bitmap OR is
+  // IDEMPOTENT, so a customer appearing in both base and delta (or in a
+  // replayed batch) counts once — exactly-once NDV without dedup
+  // machinery. Oracle recomputes COUNT(DISTINCT) over the whole fact
+  // table, so a lost bucket, a double-count, or a merge dropping bits
+  // all mismatch; PlanQualitySpec pins that the ANSWER scans the state
+  // parquet and never the fact table. At 100 TB this is how a catalog
+  // keeps exact NDV per column under continuous ingest: 4 KB per 32k-id
+  // bucket of state, O(|delta buckets|) per refresh, O(|buckets|) per
+  // read.
+  private val d49 = QueryDef.graded(
+    "d49_bitmap_ndv_maintain",
+    """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_ndv")}/$sfTag/bitmaps"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val split = "1998-01-01"
+    def bitmaps(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy($"bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    val orders = Tables.orders(spark, dir)
+    // nightly base: the bitmap state table
+    bitmaps(orders.where($"o_orderdate" < lit(split)))
+      .write.parquet(s"$table/v1")
+    // ingest: OR the delta's bitmaps into the ON-DISK state — the
+    // idempotent merge plain countDistinct has no mergeable state for
+    spark.read.parquet(s"$table/v1")
+      .unionByName(bitmaps(orders.where($"o_orderdate" >= lit(split))))
+      .groupBy($"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .write.parquet(s"$table/v2")
+    // the ANSWER: exact NDV from maintained state, fact table unread
+    spark.read.parquet(s"$table/v2")
+      .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_distinct"))
+  }
+
   val defs: Seq[QueryDef] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
     d25, d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37, d38,
-    d39, d40, d41, d42, d43, d44, d45, d46, d47, d48)
+    d39, d40, d41, d42, d43, d44, d45, d46, d47, d48, d49)
 }

@@ -52,7 +52,7 @@ class GradedQuerySpec extends SparkSpec {
       "d30_ks_test", "d31_mann_whitney", "d32_cramers_v", "d33_infogain",
       "d34_levene", "d37_median_of_means", "r15_kpi_snapshot",
       "d39_runs_test", "g85_dup_transitivity", "d45_bootstrap_ci",
-      "a24_mview_rewrite", "d48_bitmap_distinct")
+      "a24_mview_rewrite", "d48_bitmap_distinct", "d49_bitmap_ndv_maintain")
 
   test("every graded query is globally ordered (plan ends in a Sort)") {
     for ((d, df) <- results if d.oracle.nonEmpty && !singleRowOk(d.key)) {

@@ -271,6 +271,17 @@ class PlanQualitySpec extends SparkSpec {
       .map(c => (c, 1L, 100L * c)).toSet + ((3L, 3L, 350L)) + ((11L, 1L, 70L))))
   }
 
+  test("d49: the maintained-NDV answer scans bitmap state, never the " +
+      "fact table") {
+    // the a24 consumption contract applied to NDV: if the answer ever
+    // rejoins orders, the key degrades into d2's full countDistinct
+    // with extra steps
+    val p = plans.toMap.apply("d49_bitmap_ndv_maintain")
+    assert(p.contains("graft_ndv"), p)
+    assert(!p.contains("orders.parquet"),
+      s"d49's ANSWER must read maintained bitmap state:\n$p")
+  }
+
   test("g37 keywords: per-doc top-3 is WindowGroupLimit-pruned, not a full rank") {
     // the e5 shape: row_number ≤ k must plan the group-limit pushdown so
     // each shuffle partition retains only k rows per doc before the sort

@@ -1901,7 +1901,23 @@ object EventTime {
         // against the same base and the commit point rejects it
         try { TxLog.commit(table, staged, id.toInt); () }
         catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // a rejected commit proves only that the version number
+            // exists — certify the committed version's delta IS this
+            // batch before treating the conflict as "already committed"
+            // (a checkpoint/table mismatch would otherwise silently
+            // DISCARD a batch with different data; r11 advice item).
+            // Conflict-path-only cost: two small counts, never run in a
+            // clean drain.
+            val prior = if (id > 0) TxLog.files(table, id.toInt).toSet
+                        else Set.empty[String]
+            val delta = (TxLog.files(table, id.toInt + 1).toSet -- prior)
+              .toSeq.sorted
+            val have = b.sparkSession.read.parquet(delta: _*).count()
+            val want = b.sparkSession.read.parquet(staged: _*).count()
+            require(have == want,
+              s"batch $id retry conflicts with a DIFFERENT committed " +
+                s"version: $have committed vs $want retried rows")
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -49,6 +49,11 @@ object Mview {
     val delta = withBucket(deltaStates)
     val touched = delta.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // an empty delta touches nothing: return before the pruned read —
+    // otherwise the refresh degenerates into an isin() over zero values
+    // and relies on the dynamic overwrite of an empty frame being a
+    // no-op (the r11 advice item)
+    if (touched.isEmpty) return touched
     val merged = prunedState(spark, tablePath, touched)
       .unionByName(delta)
       .groupBy(col("o_custkey"), col("bucket"))

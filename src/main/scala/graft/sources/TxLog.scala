@@ -22,15 +22,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a WRITER stages new part files under data/ (unique directory per
   *    commit attempt — never visible to any reader until committed),
   *    then publishes manifest v(N+1) = manifest(N) ++ staged files by
-  *    WRITE-TEMP-THEN-EXCLUSIVE-RENAME: the manifest body is written to
-  *    a hidden temp name, then renamed to `v(N+1).manifest` with
-  *    `Options.Rename.NONE` — the rename FAILS if the target exists.
-  *    That exclusive rename is the commit point, and because the target
-  *    appears fully formed, no reader can ever observe a half-written
-  *    manifest (a plain `create(path, overwrite=false)` commit point
-  *    would be exclusive but not all-or-nothing: the body is streamed
-  *    into the live name).
-  *  - OPTIMISTIC CONCURRENCY: the exclusive rename refuses to replace
+  *    WRITE-TEMP-THEN-EXCLUSIVE-PUBLISH: the manifest body is written
+  *    to a hidden temp name, then published under `v(N+1).manifest` by
+  *    an atomic-exclusive primitive ([[publishExclusive]]) that FAILS
+  *    if the target exists. Because the target appears fully formed,
+  *    no reader can ever observe a half-written manifest (a plain
+  *    `create(path, overwrite=false)` commit point would be exclusive
+  *    but not all-or-nothing: the body is streamed into the live name).
+  *  - OPTIMISTIC CONCURRENCY: the exclusive publish refuses to replace
   *    an existing target, so of two writers racing to v(N+1) exactly
   *    one wins; the loser sees FileAlreadyExistsException, re-reads the
   *    new head, and retries against it (or gives up — caller's policy).
@@ -45,9 +44,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filesystem, so the same code runs on HDFS, where the namenode makes
   * the Rename.NONE commit point genuinely atomic-exclusive — this is
   * the exact primitive Delta's HDFS log store commits through. On the
-  * local-FS stand-in the rename is check-then-act inside one process
-  * (adequate for the single-JVM tests; the laws still hold under
-  * sequential contention). On object stores with no exclusive rename
+  * `file:` scheme RawLocalFileSystem implements Rename.NONE as
+  * exists-check + POSIX rename — check-then-act, and POSIX rename
+  * silently REPLACES an existing target, so two truly concurrent
+  * writers could both pass the check and the second would clobber the
+  * first manifest (a lost commit with no exception). The local commit
+  * point is therefore `link(2)` via `Files.createLink`: hard-link
+  * creation is atomic AND exclusive at the kernel level — the loser
+  * gets EEXIST no matter how the two syscalls interleave (the r11
+  * advice item; TxLogSpec's race test runs the two commits on a
+  * barrier to prove it). On object stores with no exclusive rename
   * at all (S3), the commit point moves into a CAS on a catalog entry —
   * same invariant, different primitive (documented, not simulated).
   *
@@ -58,10 +64,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
+  // One Configuration per session, built lazily and reused: files/stage/
+  // commit/vacuum each resolve the filesystem several times, and
+  // newHadoopConf() copies the full conf map on every call (the r11
+  // advice item). Keyed by session so a session with different Hadoop
+  // settings never inherits another's; bounded by the handful of
+  // sessions a JVM ever holds.
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+
   private def hadoopConf: Configuration =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf())
+      case None    => new Configuration()
+    }
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
@@ -111,12 +127,12 @@ object TxLog {
   }
 
   /** Publish version `base + 1` = files(base) ++ staged. The EXCLUSIVE
-    * rename of the temp manifest onto the versioned name is the commit
-    * point: `Options.Rename.NONE` fails with FileAlreadyExistsException
-    * if the target exists, which is exactly the optimistic-concurrency
-    * conflict signal (a plain POSIX rename would silently REPLACE the
-    * racing winner's manifest). A losing writer throws and commits
-    * NOTHING. Returns the new version; `base = 0` creates the table. */
+    * publish of the temp manifest under the versioned name is the commit
+    * point ([[publishExclusive]]): it fails with
+    * FileAlreadyExistsException if the target exists, which is exactly
+    * the optimistic-concurrency conflict signal. A losing writer throws
+    * and commits NOTHING. Returns the new version; `base = 0` creates
+    * the table. */
   def commit(table: String, staged: Seq[String], base: Int): Int =
     commitManifest(table,
       (if (base == 0) Nil else files(table, base)) ++ staged, base)
@@ -159,14 +175,41 @@ object TxLog {
     try all.foreach(p => out.write((p + "\n").getBytes(UTF_8)))
     finally out.close()
     val target = manifestPath(table, next)
-    try
-      FileContext.getFileContext(target.toUri, hadoopConf)
-        .rename(tmp, target, Options.Rename.NONE)
+    try publishExclusive(fs, tmp, target)
     catch {
       case e: Throwable => fs.delete(tmp, false); throw e
     }
     next
   }
+
+  /** The commit point: publish `tmp` under the versioned name atomically
+    * AND exclusively, so of two racing writers exactly one wins and the
+    * loser sees [[org.apache.hadoop.fs.FileAlreadyExistsException]].
+    *  - `file:` scheme: `link(2)` (`Files.createLink`) — atomic-exclusive
+    *    at the kernel level. RawLocalFileSystem's Rename.NONE is an
+    *    exists-check followed by a plain POSIX rename, which silently
+    *    REPLACES the racing winner's manifest — a lost commit.
+    *  - every other scheme: `FileContext.rename(Rename.NONE)`, which the
+    *    HDFS namenode makes atomic-exclusive (Delta's HDFS log store
+    *    primitive).
+    */
+  private def publishExclusive(fs: FileSystem, tmp: Path,
+      target: Path): Unit =
+    if (fs.getUri.getScheme == "file") {
+      try
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        // uniform conflict signal across schemes
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"commit conflict: $target already exists")
+      }
+      fs.delete(tmp, false)
+    } else
+      FileContext.getFileContext(target.toUri, hadoopConf)
+        .rename(tmp, target, Options.Rename.NONE)
 
   /** Change-data capture between two committed versions — a14's
     * snapshot-diff semantics computed THROUGH the log instead of over

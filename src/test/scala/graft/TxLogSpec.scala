@@ -38,9 +38,22 @@ class TxLogSpec extends SparkSpec {
     val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
     val sA = TxLog.stage(df(10L -> "A"), t)
     val sB = TxLog.stage(df(20L -> "B"), t)
-    // both observed head v1; both try to publish v2
-    val outcomes = Seq(sA, sB).map(s =>
-      scala.util.Try(TxLog.commit(t, s, v1)))
+    // both observed head v1; both try to publish v2 TRULY CONCURRENTLY
+    // (the r11 advice item: a sequential "race" exercises only the
+    // exists-check, never the atomicity of the publish primitive itself;
+    // the barrier lines both threads up on the commit point)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(Seq(sA, sB).map { s =>
+          new java.util.concurrent.Callable[scala.util.Try[Int]] {
+            def call(): scala.util.Try[Int] =
+              { barrier.await(); scala.util.Try(TxLog.commit(t, s, v1)) }
+          }
+        }.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
     assert(outcomes.count(_.isSuccess) === 1,
       s"exactly one of two conflicting commits must win, got $outcomes")
     assert(outcomes.exists(_.failed.toOption.exists(

@@ -17,14 +17,17 @@ class AnnRecallSpec extends SparkSpec {
 
   private val sf01 = "/root/testdata/sf0.01"
 
-  test("g17 IVF (2 probes of 16 lists) recall@10 vs exact g4") {
+  test("g17 IVF (trained √n codebook, 4 probes) recall@10 vs exact g4") {
     val exact = SparkEntry.queries("g4_cosine_topk")(spark, sf01)
       .collect().map(_.getLong(0)).toSet
     val approx = SparkEntry.queries("g17_ann_ivf")(spark, sf01)
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size / 10.0
     info(f"g17 recall@10 = $recall%.2f")
-    assert(recall >= 0.5, f"IVF recall@10 collapsed: $recall%.2f")
+    // measured 0.90 with the k-means-trained codebook (C=22, nprobe=4
+    // at sf0.01); the floor is the r11 fixture codebook's level — a
+    // regression back to untrained quality fails here
+    assert(recall >= 0.7, f"IVF recall@10 collapsed: $recall%.2f")
   }
 
   test("g12 LSH bucket recall@5 vs exact g4 top-5") {
@@ -37,8 +40,8 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.4, f"LSH recall@5 collapsed: $recall%.2f")
   }
 
-  test("g92 batched IVF (2 probes of 16 lists, ALL queries): mean recall@5 " +
-      "vs exact brute force") {
+  test("g92 batched IVF (trained √n codebook, 4 probes, ALL queries): " +
+      "mean recall@5 vs exact brute force") {
     import spark.implicits._
     graft.functions.VecCosine.register(spark)
     // exact ground truth: per-query top-5 over every pair (the g21 shape
@@ -58,7 +61,10 @@ class AnnRecallSpec extends SparkSpec {
     val hits = approx.join(exact, Seq("qid", "vec_id")).count()
     val recall = hits / (5.0 * n)
     info(f"g92 mean recall@5 over ${n.toLong} queries = $recall%.3f")
-    assert(recall >= 0.3, f"batched IVF recall@5 collapsed: $recall%.3f")
+    // measured 0.519 with the k-means-trained codebook (the r11 fixture
+    // codebook scraped 0.31 — the floor is raised past it, as the r11
+    // verdict demanded)
+    assert(recall >= 0.5, f"batched IVF recall@5 collapsed: $recall%.3f")
   }
 
   test("g93 (lists on disk, pruned read) equals g17 (in-plan lists) " +

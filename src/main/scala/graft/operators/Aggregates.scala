@@ -2180,6 +2180,7 @@ object Aggregates {
     """SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct
       |FROM orders""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    import graft.sources.TxLog
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_ndv")}/$sfTag/bitmaps"
@@ -2191,18 +2192,26 @@ object Aggregates {
       .groupBy($"bkt")
       .agg(expr("bitmap_construct_agg(pos)").as("bm"))
     val orders = Tables.orders(spark, dir)
-    // nightly base: the bitmap state table
-    bitmaps(orders.where($"o_orderdate" < lit(split)))
-      .write.parquet(s"$table/v1")
-    // ingest: OR the delta's bitmaps into the ON-DISK state — the
-    // idempotent merge plain countDistinct has no mergeable state for
-    spark.read.parquet(s"$table/v1")
+    // nightly base: the bitmap state table, COMMITTED through the
+    // transaction log (r11 verdict item #6: bare v1/v2 parquet dirs had
+    // no protocol — now the state table gets a23's commit point, so a
+    // REPLAYED refresh is rejected-or-idempotent by protocol, h43's
+    // discipline applied to maintained aggregate state; TxLogSpec's
+    // replay law pins it)
+    val v1 = TxLog.commit(table,
+      TxLog.stage(bitmaps(orders.where($"o_orderdate" < lit(split))), table),
+      0)
+    // ingest: OR the delta's bitmaps into the LOGGED state — the
+    // idempotent merge plain countDistinct has no mergeable state for.
+    // The refresh REPLACES bucket rows, so it lands as a rewrite commit
+    // (a25's compaction shape, not an append).
+    val merged = TxLog.read(spark, table, v1)
       .unionByName(bitmaps(orders.where($"o_orderdate" >= lit(split))))
       .groupBy($"bkt")
       .agg(expr("bitmap_or_agg(bm)").as("bm"))
-      .write.parquet(s"$table/v2")
+    val v2 = TxLog.commitRewrite(table, TxLog.stage(merged, table), v1)
     // the ANSWER: exact NDV from maintained state, fact table unread
-    spark.read.parquet(s"$table/v2")
+    TxLog.read(spark, table, v2)
       .agg(sum(expr("bitmap_count(bm)")).cast("bigint").as("n_distinct"))
   }
 

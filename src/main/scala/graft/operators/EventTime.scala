@@ -1954,6 +1954,127 @@ object EventTime {
       .orderBy("day_start")
   }
 
+  // Staged WATERMARK landing dir for h44 (built once per JVM per corpus):
+  // the corpus re-staged so a file stream delivers it with REAL
+  // out-of-orderness — on-time rows as two time-range files arriving in
+  // time order, then the injected LATE set (rows from the corpus's first
+  // two days, event_id % 3 = 0) as the LAST file. Arrival order is
+  // pinned by explicit mtimes (the file source orders unseen files by
+  // modification time; maxFilesPerTrigger=1 makes each file one batch).
+  // Determinism of the drop set: the first batch runs at watermark 0 (no
+  // drops), every later ON-TIME batch only carries rows ≥ the previous
+  // files' max (range-partitioned arrival), and the LATE batch — the
+  // third — executes under a watermark that has already absorbed the
+  // FIRST file's max (measured: Spark executes batch N with the
+  // watermark committed from batch N−1's stats, a one-batch lag the
+  // three-file layout absorbs — StreamingSpec pins the lag itself).
+  // That watermark ≥ (older-half max − delay) ≈ mid-corpus − 1 day,
+  // which sits WEEKS past every late row's window — so exactly the
+  // injected set drops, regardless of range-boundary sampling.
+  private val h44Stage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedWatermarkDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    h44Stage.computeIfAbsent(dir, d => {
+      val path = s"$stageRoot/wm_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      graft.sources.TmpDirs.rmTree(new java.io.File(path))
+      val ev = Tables.eventsUs(spark, d)
+        .select(col("event_id"), col("ts_us"), col("value"))
+      val cutoff = ev
+        .agg(expr("date_trunc('DAY', min(ts_us)) + INTERVAL 2 DAYS"))
+        .head().getTimestamp(0)
+      val isLate = col("ts_us") < lit(cutoff) && col("event_id") % 3 === 0
+      ev.where(!isLate).repartitionByRange(2, col("ts_us"))
+        .write.parquet(path)
+      val dirF = new java.io.File(path)
+      def parts = dirF.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      // range-part file NAMES order by partition index = time order
+      val onTime = parts.sortBy(_.getName)
+      val base = System.currentTimeMillis()
+      onTime.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 60000L) }
+      val lateRows = ev.where(isLate)
+      require(lateRows.count() > 0,
+        "h44 needs injected late rows — the corpus lost its first days?")
+      lateRows.repartition(1).write.mode("append").parquet(path)
+      val seen = onTime.map(_.getName).toSet
+      parts.filterNot(f => seen(f.getName))
+        .foreach(_.setLastModified(base + 3600000L))
+      path
+    })
+
+  // h44 — TRUE-WATERMARK STREAMING, graded (the r11 verdict's item #4:
+  // h34–h43 grade batch-replay parity and StreamingSpec holds standalone
+  // laws, but no graded key ran `withWatermark` LATE-DATA DROP inside a
+  // real micro-batch drain): the staged landing dir above delivers the
+  // corpus over three micro-batches with the injected late set arriving
+  // last, the tumbling-cents aggregate runs UNDER `withWatermark(ts_us,
+  // 1 day)` in UPDATE mode, and every update batch lands through
+  // h39's idempotentAppend — the final report takes each window's row
+  // from its LATEST update batch (the materialization rule of an
+  // update-mode keyed sink). The watermark at the late batch stands at
+  // max(on-time) − 1 day, weeks past the late rows' windows, so the
+  // state for those windows is long evicted and Spark MUST drop them:
+  // the oracle aggregates the corpus EXCLUDING exactly the injected
+  // set, so a single retained late row (watermark not enforced) or a
+  // wrongly dropped on-time row hash-mismatches. StreamingSpec holds
+  // the counter-law: the SAME drain WITHOUT the watermark retains the
+  // late rows. Scale: watermark-bounded state is THE property that
+  // makes a 100 TB stream's memory finite — state lives one delay
+  // window, not forever; the update sink writes O(changed windows) per
+  // batch.
+  private val h44 = graded(
+    "h44_stream_watermark_drop",
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, min(ts)) AS d0 FROM events)
+      |SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
+      |  count(*) AS n_events,
+      |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_cents
+      |FROM events, b
+      |WHERE NOT (ts < b.d0 + INTERVAL 2 DAY AND event_id % 3 = 0)
+      |GROUP BY day_start
+      |ORDER BY day_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val stage = stagedWatermarkDir(s, dir)
+    val out = s"$stage-sink"
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
+    val report = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .withWatermark("ts_us", "1 day")
+      .groupBy(window($"ts_us", "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100, 0).cast("bigint")).cast("bigint")
+          .as("sum_cents"))
+      .select($"window.start".as("day_start"), $"n_events", $"sum_cents")
+    val q = report.writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingJobs.idempotentAppend(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h44 stream did not drain within 300 s")
+    } finally q.stop()
+    // stateful drain hygiene (drainToMemorySink's rule): unload the
+    // state-store providers before whatever runs next in this JVM
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.catalog.refreshByPath(out)
+    val t = s.read.parquet(out)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day_start").orderBy($"batch_id".desc)
+    t.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"day_start", $"n_events", $"sum_cents")
+      .orderBy("day_start")
+  }
+
   // h40 — QUANTIFIED-PATTERN CEP (the MATCH_RECOGNIZE-shaped extension of
   // h9's adjacent-pair lite form): each user's event history becomes an
   // ordered SYMBOL STRING (event-type initials are distinct on this
@@ -2113,5 +2234,5 @@ object EventTime {
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40, h41, h42, h43)
+    h40, h41, h42, h43, h44)
 }

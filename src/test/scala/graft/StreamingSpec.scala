@@ -226,6 +226,66 @@ class StreamingSpec extends SparkSpec {
       "a gap one microsecond past the timeout must split")
   }
 
+  test("withWatermark drops provably-late rows; the same drain without " +
+      "it retains them (h44's counter-law)") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_wm").toString + "/in"
+    import spark.implicits._
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:$i%02d")
+    // arrival order (mtime-pinned): day-10 rows, then day-11 rows, then
+    // the LATE day-1 rows. The late file must be the SECOND batch after
+    // the watermark-advancing data: Spark executes batch N with the
+    // watermark committed from batch N−1's stats (measured: a late file
+    // arriving as batch 1 is still processed at the initial watermark —
+    // the exact one-batch lag h44's three-file staging absorbs by
+    // construction).
+    val onTime = (0 until 10).map(i => (i.toLong, ts(10, i), 1.0))
+      .toDF("event_id", "ts_us", "value")
+    val onTime2 = (20 until 25).map(i => (i.toLong, ts(11, i - 20), 1.0))
+      .toDF("event_id", "ts_us", "value")
+    val late = (0 until 5).map(i => (100L + i, ts(1, i), 1.0))
+      .toDF("event_id", "ts_us", "value")
+    onTime.repartition(1).write.parquet(dir)
+    def parquets = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val first = parquets
+    val base = System.currentTimeMillis()
+    first.foreach(_.setLastModified(base))
+    onTime2.repartition(1).write.mode("append").parquet(dir)
+    val firstNames = first.map(_.getName).toSet
+    val second = parquets.filterNot(f => firstNames(f.getName))
+    second.foreach(_.setLastModified(base + 300000L))
+    late.repartition(1).write.mode("append").parquet(dir)
+    val secondNames = firstNames ++ second.map(_.getName)
+    parquets.filterNot(f => secondNames(f.getName))
+      .foreach(_.setLastModified(base + 600000L))
+    def drain(withWm: Boolean, name: String): Map[Long, Long] = {
+      val src = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val in = if (withWm) src.withWatermark("ts_us", "1 day") else src
+      val agg = in.groupBy(window(col("ts_us"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("day"), col("n"))
+      runToMemory(agg, name, if (withWm) "update" else "complete")
+      // update-mode memory sink appends each update; latest = max n
+      spark.table(name).groupBy("day").agg(max("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val raw = drain(withWm = false, "h44law_raw")
+    val wm = drain(withWm = true, "h44law_wm")
+    // without a watermark the drain retains the late day
+    assert(raw.values.toSeq.sorted === Seq(5L, 5L, 10L),
+      s"raw drain must hold all three days: $raw")
+    // with the watermark (advanced to day 9 by the first batch, in
+    // force by the late batch) the late day's rows DROP
+    assert(wm.values.toSeq.sorted === Seq(5L, 10L),
+      s"watermarked drain must retain exactly the on-time days: $wm")
+    val lateDay = raw.keySet.min // day 1 has the smallest window start
+    assert(!wm.contains(lateDay), s"late day survived the watermark: $wm")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("idempotentAppend exactly-once law: a replayed batch does not duplicate") {
     // Structured Streaming's failure contract is "batchId N may run
     // MORE THAN ONCE with identical data" — exactly-once holds iff the

@@ -196,6 +196,144 @@ class TxLogSpec extends SparkSpec {
       Set(Seq(1L, "a", null), Seq(2L, "b", 7L)))
   }
 
+  test("the commit persists the union schema IN the manifest; evolved " +
+      "reads plan from it, legacy manifests fall back to footer merge") {
+    import org.apache.spark.sql.functions.lit
+    val t = freshTable("schema_line")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    assert(TxLog.schemaOf(t, v1).map(_.fieldNames.toSeq) ===
+      Some(Seq("id", "v")), "every commit records its schema")
+    val wide = df(2L -> "b").withColumn("extra", lit(7L))
+    val v2 = TxLog.commit(t, TxLog.stage(wide, t), v1)
+    assert(TxLog.schemaOf(t, v2).map(_.fieldNames.toSeq) ===
+      Some(Seq("id", "v", "extra")),
+      "a widening append widens the PERSISTED schema (base ++ new)")
+    val head = TxLog.readEvolved(spark, t, v2)
+    assert(head.schema.fieldNames.toSeq === Seq("id", "v", "extra"),
+      "the evolved read's schema is the manifest's, in manifest order")
+    assert(head.collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7L)))
+    // legacy (pre-schema, bare path list) manifest: schemaOf is None and
+    // readEvolved falls back to the O(files) mergeSchema footer pass
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_manifests/v3.manifest"),
+      (TxLog.files(t, v2).mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(TxLog.schemaOf(t, 3) === None)
+    assert(TxLog.readEvolved(spark, t, 3).columns.sorted.toSeq ===
+      Seq("extra", "id", "v"),
+      "legacy manifests must still read evolved via footer merging")
+  }
+
+  test("per-file [min,max] stats in the manifest prune a predicate read " +
+      "to surviving files only; stats-less files are never pruned") {
+    val t = freshTable("stats_prune")
+    // three range-clustered files: ids ~[1,100], [101,200], [201,300]
+    val data = (1L to 300L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartitionByRange(3, $"id")
+    val v1 = TxLog.commit(t, TxLog.stage(data, t), 0,
+      statsCols = Seq("id"))
+    val all = TxLog.files(t, v1)
+    assert(all.size === 3)
+    assert(TxLog.statsOf(t, v1).size === 3,
+      "every staged file carries its stats")
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    // the pruned read: correct AND narrow
+    val pruned = TxLog.readWhere(spark, t, v1, "id", "5", "20")
+    assert(pruned.select($"id").as[Long].collect().toSet ===
+      (5L to 20L).toSet, "pruning must never change the answer")
+    assert(pruned.inputFiles.map(norm).toSet.size < all.size,
+      "a selective predicate must plan strictly fewer files")
+    // numeric comparison rule: id 5..20 lives in the first range file —
+    // lexicographic "5" > "100" would wrongly prune it
+    assert(pruned.count() === 16)
+    // nothing survives: the empty-prune path yields an empty, correctly
+    // typed frame
+    assert(TxLog.readWhere(spark, t, v1, "id", "9000", "9999").count() === 0)
+    // a file committed WITHOUT stats joins every readWhere's file list
+    // (pruning is only ever allowed to use stats that exist)
+    val v2 = TxLog.commit(t,
+      TxLog.stage(Seq((1000L, "x")).toDF("id", "v"), t), v1)
+    val p2 = TxLog.readWhere(spark, t, v2, "id", "5", "20")
+    assert(p2.select($"id").as[Long].collect().toSet === (5L to 20L).toSet)
+    val v2only = (TxLog.files(t, v2).toSet -- all.toSet).map(norm)
+    assert(v2only.subsetOf(p2.inputFiles.map(norm).toSet),
+      "stats-less files must be scanned, not skipped")
+  }
+
+  test("a replayed refresh at the same base is rejected by the commit " +
+      "point and leaves the committed state byte-identical") {
+    // the d49 discipline: maintained aggregate state (bitmap-NDV, mview
+    // partials) refreshes as a rewrite commit; a job retry that re-runs
+    // the refresh re-commits against the SAME base and must lose —
+    // exactly-once maintenance by protocol, not by overwrite luck
+    val t = freshTable("replay")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val refresh = df(1L -> "a", 2L -> "b")
+    val v2 = TxLog.commitRewrite(t, TxLog.stage(refresh, t), v1)
+    val before = TxLog.read(spark, t, v2).collect().map(_.toSeq).toSet
+    val beforeFiles = TxLog.files(t, v2)
+    val orphans = TxLog.stage(refresh, t) // the retry's staging
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException](
+      TxLog.commitRewrite(t, orphans, v1))
+    assert(TxLog.currentVersion(t) === Some(v2),
+      "a rejected replay must not advance the log")
+    assert(TxLog.files(t, v2) === beforeFiles,
+      "the committed manifest is untouched by the replay")
+    assert(TxLog.read(spark, t, v2).collect().map(_.toSeq).toSet === before)
+    // and the retry's orphans are reclaimable garbage, not state
+    val swept = TxLog.vacuum(t, keepLast = 2)
+    assert(swept.map(_.stripPrefix("file:")) ===
+      orphans.map(_.stripPrefix("file:")))
+  }
+
+  test("CAS commit point (the object-store form): racing writers from " +
+      "one base — exactly one wins, pinned readers stable, head monotone") {
+    import graft.sources.CasLog
+    val t = freshTable("cas")
+    CasLog.reset(t)
+    val v1 = CasLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    assert(v1 === 1)
+    val pinned = CasLog.head(t).get
+    val pinnedFiles = CasLog.files(pinned)
+    // two writers both observed head v1; truly concurrent CAS attempts
+    val sA = TxLog.stage(df(10L -> "A"), t)
+    val sB = TxLog.stage(df(20L -> "B"), t)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(Seq(sA, sB).map { s =>
+          new java.util.concurrent.Callable[scala.util.Try[Int]] {
+            def call(): scala.util.Try[Int] =
+              { barrier.await(); scala.util.Try(CasLog.commit(t, s, v1)) }
+          }
+        }.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    assert(outcomes.count(_.isSuccess) === 1,
+      s"exactly one CAS must win, got $outcomes")
+    assert(outcomes.exists(_.failed.toOption.exists(
+      _.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException])),
+      "the CAS loser must see the conflict as an exception, not silence")
+    assert(CasLog.head(t).get.version === 2, "head advances exactly once")
+    // a stale writer (base already surpassed) conflicts immediately
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException](
+      CasLog.commit(t, TxLog.stage(df(9L -> "z"), t), v1))
+    // the loser retries against the NEW head and lands as v3 (no loss)
+    val v2rows = CasLog.read(spark, CasLog.head(t).get)
+      .select($"id").as[Long].collect().toSet
+    val loser = if (v2rows.contains(10L)) sB else sA
+    assert(CasLog.commit(t, loser, 2) === 3)
+    assert(CasLog.read(spark, CasLog.head(t).get).count() === 3)
+    // the reader pinned at v1 resolves through its immutable Head:
+    // nothing any later commit did can move what it sees
+    assert(CasLog.files(pinned) === pinnedFiles)
+    assert(CasLog.read(spark, pinned).collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, "a")))
+    assert(CasLog.files(t, 1) === pinnedFiles,
+      "version-pinned resolution matches the pinned Head")
+  }
+
   test("vacuum: keepLast=0 is rejected — the head must survive") {
     val t = freshTable("vac_zero")
     TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)

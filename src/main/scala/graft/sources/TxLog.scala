@@ -64,10 +64,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * commit's union SCHEMA (`#schema` line: evolved reads plan from one
   * manifest read, never an O(files) footer pass) and optional per-file
   * column [min, max] STATS (data skipping: [[readWhere]] prunes the
-  * file list before Spark plans the scan) — never data. The list stays
-  * O(files), kept bounded by a6-style compaction; commits are O(1)
-  * manifest publishes, so writer throughput is independent of table
-  * size.
+  * file list before Spark plans the scan) — never data.
+  *
+  * DELTA MANIFESTS + CHECKPOINTS (the Delta-log write discipline): an
+  * append commit writes a manifest holding ONLY the staged files
+  * (`#delta` marker + `+path` lines) — O(|delta|) lines, not an
+  * O(table-files) snapshot rewrite, so at 100 TB a stream of small
+  * appends costs O(append) each instead of re-listing a million files
+  * per commit. Readers reconstruct a version's file list by replaying
+  * the delta chain down to the nearest FULL manifest; the chain is
+  * bounded because (a) every [[checkpointInterval]]-th version is
+  * written full, and (b) rewrite commits (compaction, COW delete,
+  * state refresh) are full by nature — a rewrite replaces the list
+  * anyway, so it IS a checkpoint. [[vacuum]] writes a `v<N>.checkpoint`
+  * sidecar (same full format, same exclusive publish) for the oldest
+  * retained version before dropping the expired manifests its delta
+  * chain passed through, so retention never breaks reconstruction;
+  * resolution prefers a checkpoint when one exists. Legacy manifests
+  * (bare path lists, or `#schema`+paths) parse as full snapshots.
   */
 object TxLog {
 
@@ -93,6 +107,14 @@ object TxLog {
   private def manifestPath(table: String, v: Int) =
     new Path(manifestDir(table), s"v$v.manifest")
 
+  private def checkpointPath(table: String, v: Int) =
+    new Path(manifestDir(table), s"v$v.checkpoint")
+
+  /** Every Nth version is written as a FULL manifest even when the
+    * commit is an append, bounding the reader's delta-replay chain to
+    * < N manifest reads (Delta's checkpoint cadence). */
+  val checkpointInterval = 10
+
   private val ManifestName = "^v(\\d+)\\.manifest$".r
 
   private def listVersions(table: String): Seq[Int] = {
@@ -109,30 +131,79 @@ object TxLog {
   def currentVersion(table: String): Option[Int] =
     listVersions(table).lastOption
 
-  /** Manifest line format (v2, backward-compatible):
+  /** Manifest line format (v3, backward-compatible):
     * {{{
     *   #schema\t<StructType json>        -- metadata line(s), '#'-prefixed
-    *   <path>                            -- data line
+    *   #delta                            -- marks a DELTA manifest (below)
+    *   <path>                            -- full-manifest data line
     *   <path>\t<per-file stats json>     -- data line with column stats
+    *   +<path>[\t<stats>]                -- delta-manifest ADDED file
     * }}}
-    * Readers that only want the file list ([[files]]) skip '#' lines and
-    * truncate at the first tab, so a v1 manifest (bare path list) parses
-    * identically.
+    * A FULL manifest lists the version's complete file set; a DELTA
+    * manifest (append commit) lists only the staged files, and readers
+    * replay it over version v-1's resolution. A v1 manifest (bare path
+    * list) parses as full.
     */
   private def manifestLines(table: String, v: Int): Seq[String] = {
     val mf = manifestPath(table, v)
     val fs = fsOf(mf)
     require(fs.exists(mf), s"no manifest v$v under $table")
-    val in = fs.open(mf)
+    linesOf(fs, mf)
+  }
+
+  private def linesOf(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).toList finally src.close()
   }
 
-  /** Data lines of a committed version, verbatim (path + optional stats)
-    * — what an append commit carries forward so earlier files keep their
-    * stats. */
+  /** The full-format lines of version v's checkpoint sidecar, if vacuum
+    * (or a future compactor) has written one. */
+  private def checkpointLines(table: String, v: Int): Option[Seq[String]] = {
+    val cp = checkpointPath(table, v)
+    val fs = fsOf(cp)
+    if (fs.exists(cp)) Some(linesOf(fs, cp)) else None
+  }
+
+  /** Metadata source for version v: its own manifest when present, else
+    * its checkpoint (the manifest may be gone when v sits at a vacuum
+    * retention cut — the checkpoint carries the same `#schema`). */
+  private def metaLines(table: String, v: Int): Seq[String] = {
+    val mf = manifestPath(table, v)
+    if (fsOf(mf).exists(mf)) manifestLines(table, v)
+    else checkpointLines(table, v).getOrElse(
+      throw new IllegalArgumentException(s"no manifest v$v under $table"))
+  }
+
+  /** True when version v committed as a DELTA manifest (append-only
+    * lines replayed over v-1) — the write-cost audit hook. */
+  def isDeltaManifest(table: String, v: Int): Boolean =
+    manifestLines(table, v).exists(_.startsWith("#delta"))
+
+  /** Raw line count of version v's manifest file — what the commit
+    * actually WROTE (the O(|delta|) vs O(table-files) distinction). */
+  def manifestLineCount(table: String, v: Int): Int =
+    manifestLines(table, v).size
+
+  /** True when version v has a checkpoint sidecar. */
+  def hasCheckpoint(table: String, v: Int): Boolean =
+    checkpointLines(table, v).nonEmpty
+
+  /** Resolved data lines of a committed version (path + optional stats):
+    * a checkpoint short-circuits; a full manifest answers directly; a
+    * delta manifest replays over v-1. The replay chain is bounded by
+    * [[checkpointInterval]] (every Nth version commits full) and by
+    * rewrite commits, which are full by nature. */
   private def dataLines(table: String, v: Int): Seq[String] =
-    manifestLines(table, v).filterNot(_.startsWith("#"))
+    checkpointLines(table, v) match {
+      case Some(ls) => ls.filterNot(_.startsWith("#"))
+      case None =>
+        val ls = manifestLines(table, v)
+        val body = ls.filterNot(_.startsWith("#"))
+        if (ls.exists(_.startsWith("#delta")))
+          dataLines(table, v - 1) ++ body.map(_.stripPrefix("+"))
+        else body
+    }
 
   /** The exact file list of a committed version. */
   def files(table: String, v: Int): Seq[String] =
@@ -144,7 +215,7 @@ object TxLog {
     * manifests. */
   def schemaOf(table: String, v: Int)
       : Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(table, v).collectFirst {
+    metaLines(table, v).collectFirst {
       case l if l.startsWith("#schema\t") =>
         org.apache.spark.sql.types.DataType
           .fromJson(l.substring("#schema\t".length))
@@ -189,11 +260,20 @@ object TxLog {
     * the table. */
   def commit(table: String, staged: Seq[String], base: Int,
       statsCols: Seq[String] = Nil): Int = {
-    val baseLines = if (base == 0) Nil else dataLines(table, base)
     val baseSchema = if (base == 0) None else schemaOf(table, base)
     val schema = mergedSchemaJson(baseSchema, staged)
-    commitManifest(table, baseLines ++ renderDataLines(staged, statsCols),
-      schema, base)
+    val newLines = renderDataLines(staged, statsCols)
+    val next = base + 1
+    if (base == 0 || next % checkpointInterval == 0)
+      // creation, or the checkpoint cadence: write the FULL resolution
+      // so no replay chain ever exceeds checkpointInterval manifests
+      commitManifest(table,
+        (if (base == 0) Nil else dataLines(table, base)) ++ newLines,
+        schema, base)
+    else
+      // steady-state append: O(|staged|) lines, never O(table-files)
+      commitManifest(table, "#delta" +: newLines.map("+" + _),
+        schema, base)
   }
 
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
@@ -511,6 +591,15 @@ object TxLog {
     require(keepLast >= 1, "must retain at least the current version")
     val versions = listVersions(table)
     val retained = versions.takeRight(keepLast)
+    // Retention must not break reconstruction: if the oldest retained
+    // version is a DELTA manifest, its replay chain passes through the
+    // versions about to expire — materialize its full resolution as a
+    // `v<N>.checkpoint` sidecar FIRST (same exclusive publish; content
+    // is deterministic, so losing a checkpoint race is a no-op).
+    for (cut <- retained.headOption
+         if versions.size > keepLast && isDeltaManifest(table, cut) &&
+           !hasCheckpoint(table, cut))
+      writeCheckpoint(table, cut)
     val live = retained.flatMap(files(table, _)).toSet
     val dataRoot = new Path(table, "data")
     val fs = fsOf(dataRoot)
@@ -530,8 +619,35 @@ object TxLog {
         }
       }
     }
-    versions.dropRight(keepLast)
-      .foreach(v => fs.delete(manifestPath(table, v), false))
+    versions.dropRight(keepLast).foreach { v =>
+      fs.delete(manifestPath(table, v), false)
+      fs.delete(checkpointPath(table, v), false)
+    }
     deleted.result().sorted
+  }
+
+  /** Materialize version v's full resolution (schema + resolved data
+    * lines) as its checkpoint sidecar. Idempotent: the content is a
+    * pure function of v, so a concurrent writer landing first is
+    * indistinguishable from us landing first. */
+  private def writeCheckpoint(table: String, v: Int): Unit = {
+    val body = dataLines(table, v)
+    val schemaJson = metaLines(table, v).collectFirst {
+      case l if l.startsWith("#schema\t") => l.substring("#schema\t".length)
+    }
+    val md = manifestDir(table)
+    val fs = fsOf(md)
+    val tmp = new Path(md, s".v$v-cp-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try {
+      schemaJson.foreach(j => out.write(s"#schema\t$j\n".getBytes(UTF_8)))
+      body.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
+    } finally out.close()
+    try publishExclusive(fs, tmp, checkpointPath(table, v))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false) // raced: identical content already published
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
   }
 }

@@ -334,6 +334,63 @@ class TxLogSpec extends SparkSpec {
       "version-pinned resolution matches the pinned Head")
   }
 
+  test("append commits write O(delta) manifest lines; the checkpoint " +
+      "cadence bounds replay; resolution equals the accumulated list") {
+    val t = freshTable("delta_log")
+    var v = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    assert(!TxLog.isDeltaManifest(t, v), "creation is a full manifest")
+    val expect = scala.collection.mutable.ArrayBuffer(TxLog.files(t, v): _*)
+    for (i <- 2 to (TxLog.checkpointInterval + 2)) {
+      val staged = TxLog.stage(df(i.toLong -> s"r$i"), t)
+      v = TxLog.commit(t, staged, v)
+      if (v % TxLog.checkpointInterval == 0)
+        assert(!TxLog.isDeltaManifest(t, v),
+          s"v$v sits on the checkpoint cadence — must commit full")
+      else {
+        assert(TxLog.isDeltaManifest(t, v),
+          s"v$v is a steady-state append — must commit as a delta")
+        assert(TxLog.manifestLineCount(t, v) <= staged.size + 2,
+          "an append must write O(|staged|) lines, not O(table-files)")
+      }
+      expect ++= staged
+      assert(TxLog.files(t, v) === expect.toList,
+        s"replayed resolution at v$v must equal the accumulated list")
+    }
+    assert(TxLog.read(spark, t, v).count() ===
+      (TxLog.checkpointInterval + 2).toLong)
+    // a rewrite is a natural checkpoint: full by construction
+    val vr = TxLog.commitRewrite(t, TxLog.stage(
+      TxLog.read(spark, t, v).repartition(1), t), v)
+    assert(!TxLog.isDeltaManifest(t, vr))
+  }
+
+  test("vacuum at a delta-manifest retention cut: the cut is " +
+      "checkpointed before its ancestors drop; retained reads stable; " +
+      "expired reads fail loudly") {
+    val t = freshTable("vac_delta_cut")
+    var v = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    for (i <- 2 to 5)
+      v = TxLog.commit(t, TxLog.stage(df(i.toLong -> s"r$i"), t), v)
+    // retained = {v4, v5}; v4 is a delta whose replay chain passes
+    // through v3..v1 — exactly the manifests vacuum is about to drop
+    val before4 = TxLog.read(spark, t, 4).collect().map(_.toSeq).toSet
+    val files5 = TxLog.files(t, 5)
+    val deleted = TxLog.vacuum(t, keepLast = 2)
+    assert(deleted.isEmpty, "append-chain files stay live through v5")
+    assert(TxLog.hasCheckpoint(t, 4),
+      "the retention cut must be checkpointed before its chain drops")
+    assert(TxLog.read(spark, t, 4).collect().map(_.toSeq).toSet === before4,
+      "the cut version reads identically through its checkpoint")
+    assert(TxLog.files(t, 5) === files5,
+      "a retained delta above the cut replays through the checkpoint")
+    intercept[IllegalArgumentException](TxLog.files(t, 3))
+    assert(TxLog.schemaOf(t, 4).map(_.fieldNames.toSeq) ===
+      Some(Seq("id", "v")))
+    // vacuum is idempotent at the same cut
+    TxLog.vacuum(t, keepLast = 2)
+    assert(TxLog.read(spark, t, 5).count() === 5)
+  }
+
   test("vacuum: keepLast=0 is rejected — the head must survive") {
     val t = freshTable("vac_zero")
     TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)

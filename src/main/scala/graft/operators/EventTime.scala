@@ -2075,6 +2075,143 @@ object EventTime {
       .orderBy("day_start")
   }
 
+  // Staged TWO-SIDED landing dirs for h45 (built once per JVM per
+  // corpus): clicks and purchases re-staged as separate mtime-ordered
+  // landing dirs so a stream-stream join consumes both sides with real
+  // out-of-orderness. Each side's on-time rows land as two time-range
+  // files in time order; the CLICK side additionally gets h44's injected
+  // LATE set (first-two-days clicks, event_id % 3 = 0) as its LAST file.
+  // The drop-set determinism argument is h44's, extended across sources:
+  // the GLOBAL watermark is the MIN over both sources' per-source
+  // watermarks, both sides' batch-2 files end near the corpus max, so at
+  // the late batch the watermark stands ≈ corpus-max − 1 day — weeks
+  // past every late click — regardless of which source's range boundary
+  // sits lower.
+  private val h45Stage =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def stagedJoinDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    h45Stage.computeIfAbsent(dir, d => {
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val cPath = s"$stageRoot/wmj_c_$tag"
+      val pPath = s"$stageRoot/wmj_p_$tag"
+      graft.sources.TmpDirs.rmTree(new java.io.File(cPath))
+      graft.sources.TmpDirs.rmTree(new java.io.File(pPath))
+      val ev = Tables.eventsUs(spark, d)
+      val cutoff = ev
+        .agg(expr("date_trunc('DAY', min(ts_us)) + INTERVAL 2 DAYS"))
+        .head().getTimestamp(0)
+      val base = System.currentTimeMillis()
+      def stageSide(df: org.apache.spark.sql.DataFrame, tsCol: String,
+          path: String, late: Option[org.apache.spark.sql.DataFrame])
+          : Unit = {
+        df.repartitionByRange(2, col(tsCol)).write.parquet(path)
+        val dirF = new java.io.File(path)
+        def parts = dirF.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        val onTime = parts.sortBy(_.getName)
+        onTime.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(base + i * 60000L) }
+        late.foreach { l =>
+          require(l.count() > 0, "h45 needs injected late clicks")
+          l.repartition(1).write.mode("append").parquet(path)
+          val seen = onTime.map(_.getName).toSet
+          parts.filterNot(f => seen(f.getName))
+            .foreach(_.setLastModified(base + 3600000L))
+        }
+      }
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts_us").as("c_ts"), col("value").as("c_val"))
+      val isLate = col("c_ts") < lit(cutoff) && col("c_id") % 3 === 0
+      stageSide(clicks.where(!isLate), "c_ts", cPath,
+        late = Some(clicks.where(isLate)))
+      stageSide(ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts_us").as("p_ts")),
+        "p_ts", pPath, late = None)
+      (cPath, pPath)
+    })
+
+  // h45 — TRUE-WATERMARK STREAM-STREAM JOIN (h44 graded watermark
+  // AGGREGATION state; this key grades watermark JOIN state — the other
+  // stateful regime a 100 TB stream cannot run unbounded): purchases
+  // join the clicks that preceded them by ≤ 1 hour for the same user,
+  // both sides under `withWatermark(…, 1 day)`, consumed from the
+  // two-sided landing dirs above. The event-time range condition is
+  // what lets Spark BOUND both join states: click state evicts once the
+  // watermark passes c_ts + 1 h (no future purchase can reach back to
+  // it), purchase state once it passes p_ts — and the SAME predicates
+  // filter late input, so the injected late clicks (arriving at a
+  // watermark weeks past their match window) are provably dropped. The
+  // oracle computes the interval join EXCLUDING exactly the injected
+  // set: one late click leaking into the join (watermark not enforced)
+  // or one on-time boundary pair lost (state evicted too early — the
+  // cross-batch matches around the file boundary are the hard part)
+  // hash-mismatches. Inner join in append mode emits each pair exactly
+  // once, in the batch its later side arrives; every batch lands
+  // through h39's idempotentAppend. StreamingSpec holds the
+  // counter-law: the same drain with an effectively-infinite watermark
+  // delay retains the late clicks. Scale: join state is one delay
+  // window per side — the property that makes a stream-stream join's
+  // memory finite at 100 TB; candidates shuffle on user_id, never
+  // all-pairs.
+  private val h45 = graded(
+    "h45_stream_watermark_join",
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, min(ts)) AS d0 FROM events),
+      |c AS (
+      |  SELECT event_id, user_id, ts, value FROM events, b
+      |  WHERE event_type = 'click'
+      |    AND NOT (ts < b.d0 + INTERVAL 2 DAY AND event_id % 3 = 0)),
+      |p AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT time_bucket(INTERVAL 1 DAY, p.ts) AS day_start,
+      |  count(*)::BIGINT AS n_pairs,
+      |  sum(CAST(round(c.value * 100, 0) AS BIGINT))::BIGINT
+      |    AS click_cents
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY day_start
+      |ORDER BY day_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val (cPath, pPath) = stagedJoinDirs(s, dir)
+    val out = s"$cPath-sink"
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
+    def side(path: String, tsCol: String) = s.readStream
+      .schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+      .withWatermark(tsCol, "1 day")
+    val pairs = side(pPath, "p_ts").join(side(cPath, "c_ts"),
+      $"p_user" === $"user_id" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingJobs.idempotentAppend(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h45 stream did not drain within 300 s")
+    } finally q.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+      .groupBy(window($"p_ts", "1 day"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(round($"c_val" * 100, 0).cast("bigint")).cast("bigint")
+          .as("click_cents"))
+      .select($"window.start".as("day_start"), $"n_pairs", $"click_cents")
+      .orderBy("day_start")
+  }
+
   // h40 — QUANTIFIED-PATTERN CEP (the MATCH_RECOGNIZE-shaped extension of
   // h9's adjacent-pair lite form): each user's event history becomes an
   // ordered SYMBOL STRING (event-type initials are distinct on this
@@ -2234,5 +2371,5 @@ object EventTime {
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40, h41, h42, h43, h44)
+    h40, h41, h42, h43, h44, h45)
 }

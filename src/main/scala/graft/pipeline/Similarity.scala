@@ -418,6 +418,174 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** PQ geometry: M=8 subspaces × 8 dims, K=16 codes per subspace — one
+    * 4-bit code per subspace, 8 codes per vector. 64 floats (256 bytes)
+    * compress 32× to 8 small ints; at 100 TB of embeddings that is the
+    * difference between an ANN scoring pass reading 100 TB and reading
+    * ~3 TB of codes. */
+  private[graft] val pqM = 8
+  private[graft] val pqSub = 8 // 64 dims / pqM
+  private[graft] val pqK = 16
+
+  /** Lloyd rounds per subspace. Fixed like [[ivfIters]] (bounded cost,
+    * deterministic codebook); subspace quantizers converge faster than
+    * the full-space coarse quantizer — 8-dim cells, 16 centroids. */
+  private[graft] val pqIters = 2
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, Int, Array[Double])]]()
+
+  /** PRODUCT-QUANTIZATION codebook (Jégou et al.'s PQ, the compression
+    * half of IVFADC): per subspace m ∈ [0, M), K k-means centroids over
+    * the corpus's m-th 8-dim subvectors, under L2 (the PQ metric — the
+    * quantizer minimizes reconstruction error, not similarity). Same
+    * determinism discipline as [[trainedCodebook]]: lowest-vec_id seeds
+    * (seed code = vec_id), fixed Lloyd rounds, per-dim means rounded to
+    * 6dp (partition-order ulps swallowed — bit-stable across
+    * parallelism), a code that loses all members keeps its previous
+    * centroid. All M subspaces train in ONE pass per round: the corpus
+    * explodes to (vec_id, m, subvector) rows, the E-step is an argmin
+    * over the broadcast (M·K)-row codebook, the M-step a mean on an
+    * (M·K·8)-cell key space regardless of corpus size. Returns
+    * (m, code, ce: array<double>), cached per corpus dir like the IVF
+    * codebook so one training serves the key and its recall spec. */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val subExpr = expr(
+      s"""explode(transform(sequence(0, ${pqM - 1}), m ->
+         |  struct(m,
+         |    transform(slice(embedding, m * $pqSub + 1, $pqSub),
+         |      x -> cast(x as double)) as sv)))""".stripMargin)
+    val rows = pqCache.computeIfAbsent(dir, _ => {
+      val subs = Tables.embeddingsDist(spark, dir)
+        .select($"vec_id", subExpr.as("s"))
+        .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+      var cb: Array[(Int, Int, Array[Double])] =
+        Tables.embeddings(spark, dir).where($"vec_id" < pqK)
+          .select($"vec_id", subExpr.as("s"))
+          .select($"s.m".as("m"), $"vec_id".cast("int").as("code"),
+            $"s.sv".as("sv"))
+          .as[(Int, Int, Array[Double])].collect().sortBy(t => (t._1, t._2))
+      for (_ <- 1 to pqIters) {
+        val cbDf = broadcast(cb.toSeq.toDF("m", "code", "ce")
+          .groupBy($"m")
+          .agg(expr("sort_array(collect_list(struct(code, ce)))")
+            .as("cents")))
+        // E-step: nearest centroid within the row's own subspace —
+        // struct(dist, code) array_min gives the (L2 ASC, code ASC)
+        // argmin deterministically; M-step: 6dp-rounded per-dim means
+        val trained = subs.join(cbDf, "m")
+          .withColumn("code", expr(
+            """array_min(transform(cents, c -> struct(
+              |  aggregate(zip_with(sv, c.ce, (a, b) -> (a - b) * (a - b)),
+              |    0D, (acc, x) -> acc + x) as d,
+              |  c.code as code))).code""".stripMargin))
+          .select($"m", $"code", posexplode($"sv").as(Seq("dim", "x")))
+          .groupBy($"m", $"code", $"dim")
+          .agg(round(avg($"x"), 6).as("cm"))
+          .groupBy($"m", $"code")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(dim, cm))), p -> p.cm)")
+            .as("ce"))
+          .as[(Int, Int, Array[Double])].collect()
+          .map(t => ((t._1, t._2), t._3)).toMap
+        cb = cb.map { case (m, code, old) =>
+          (m, code, trained.getOrElse((m, code), old)) }
+      }
+      cb
+    })
+    rows.toSeq.toDF("m", "code", "ce")
+  }
+
+  // g97 — bench-only: PRODUCT-QUANTIZED ANN with ASYMMETRIC DISTANCE
+  // COMPUTATION + exact re-rank (the ADC of IVFADC; g17/g92/g93 built
+  // the IVF half). Build: encode every vector as M=8 4-bit codes
+  // (per-subspace argmin against the trained PQ codebook) and WRITE the
+  // compact index — (vec_id, codes) only, the raw embedding column
+  // physically absent, so the candidate pass CANNOT read more than ~8
+  // bytes/vector (enforced by construction, required in the key).
+  // Search, the two-stage shape every PQ deployment runs:
+  //  1. ADC candidate scan over the index: the query builds an
+  //     (M·K)-entry lookup table — LUT[m][code] = dot(q_m, ce) plus
+  //     |ce|² — broadcast as one row; each row's approximate cosine is
+  //     M integer-indexed lookups (adc = Σ LUT.dotq / (|q|·√Σ LUT.nrm2)),
+  //     no per-pair float-vector arithmetic anywhere. Keep the top 50.
+  //  2. EXACT re-rank of the 50 survivors: fetch their raw vectors by
+  //     id (a 50-row broadcast join — at 100 TB a point-lookup, not a
+  //     scan) and emit the exact-cosine top-10.
+  // The quality contract is AnnRecallSpec's measured floor vs exact g4
+  // (compression trades recall, measured, never silent); the cost
+  // contract is structural — the only full pass touches the 32×-smaller
+  // code table, raw vectors are read for exactly |candidates| rows. A
+  // deployment composes this with g93: IVF prunes WHICH lists are
+  // scanned, PQ compresses WHAT the scan reads, re-rank restores
+  // exactness on the shortlist.
+  private val g97 = QueryDef.benchOnly("g97_pq_adc_topk") { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table = s"${graft.sources.TmpDirs.perPidRoot("graft_pq")}/$sfTag/index"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val e = embeddings(spark, dir)
+    val cb = pqCodebook(spark, dir)
+    // all M·K centroids in one broadcast row, (m, code)-sorted so
+    // subspace m occupies slice [m·K+1, K] and code c sits at offset c
+    val cbook = broadcast(cb.agg(
+      expr("sort_array(collect_list(struct(m, code, ce)))").as("pqc")))
+    e.crossJoin(cbook)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m ->
+           |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
+           |    struct(
+           |      aggregate(zip_with(
+           |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
+           |            x -> cast(x as double)),
+           |          c.ce, (a, b) -> (a - b) * (a - b)),
+           |        0D, (acc, x) -> acc + x) as d,
+           |      c.code as code))).code)""".stripMargin))
+      .select($"vec_id", $"codes")
+      .write.parquet(table)
+    // query side: the LUT — M·K dot products and squared norms, one
+    // tiny broadcast row; |q| is a 1-row control scalar (the g93
+    // probe-id discipline)
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
+    val lut = broadcast(cb.crossJoin(broadcast(q))
+      .select($"m", $"code",
+        expr(s"""aggregate(zip_with(ce,
+             |  transform(slice(qe, m * $pqSub + 1, $pqSub),
+             |    x -> cast(x as double)),
+             |  (a, b) -> a * b), 0D, (acc, x) -> acc + x)""".stripMargin)
+          .as("dotq"),
+        expr("aggregate(transform(ce, x -> x * x), 0D, (acc, x) -> acc + x)")
+          .as("nrm2"))
+      .agg(expr("sort_array(collect_list(struct(m, code, dotq, nrm2)))")
+        .as("lut")))
+    val qnrm = q.select(expr(
+      """sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),
+        |0D, (acc, x) -> acc + x))""".stripMargin)).head().getDouble(0)
+    val idx = spark.read.parquet(table)
+    require(!idx.columns.contains("embedding"),
+      "the PQ scoring pass must scan codes only, never raw vectors")
+    def lutSum(field: String) = expr(
+      s"""aggregate(sequence(0, ${pqM - 1}), 0D, (acc, m) ->
+         |  acc + element_at(lut,
+         |    m * $pqK + element_at(codes, m + 1) + 1).$field)""".stripMargin)
+    val cand = idx.crossJoin(lut)
+      .where($"vec_id" =!= 0)
+      .withColumn("adc_dot", lutSum("dotq"))
+      .withColumn("adc_nrm2", lutSum("nrm2"))
+      .select($"vec_id",
+        ($"adc_dot" / (lit(qnrm) * sqrt($"adc_nrm2"))).as("adc_sim"))
+      .orderBy($"adc_sim".desc, $"vec_id")
+      .limit(50)
+      .select($"vec_id")
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(cos("embedding", "qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   // g21 — kNN JOIN: top-3 cosine neighbors for EACH query in a query set
   // (vec_id < 10), in one batched plan — broadcast the query set, score
   // every (query, candidate) pair, rank per query with a window. Ranking
@@ -1003,5 +1171,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80,
-      g86, g92, g93)
+      g86, g92, g93, g97)
 }

@@ -67,6 +67,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.5, f"batched IVF recall@5 collapsed: $recall%.3f")
   }
 
+  test("g97 PQ-ADC (8×16 codes, 32× compression, top-50 shortlist + " +
+      "exact re-rank) recall@10 vs exact g4 — compression trades " +
+      "recall, measured, never silent") {
+    val exact = SparkEntry.queries("g4_cosine_topk")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("g97_pq_adc_topk")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    info(f"g97 recall@10 = $recall%.2f")
+    // measured 0.80 (ADC alone scores 0.30 — the re-rank stage is
+    // load-bearing, which is why the key ships the two-stage shape)
+    assert(recall >= 0.6, f"PQ-ADC recall@10 collapsed: $recall%.2f")
+  }
+
   test("g93 (lists on disk, pruned read) equals g17 (in-plan lists) " +
       "row-for-row — storage must never move a result") {
     val g17 = SparkEntry.queries("g17_ann_ivf")(spark, sf01)

@@ -60,7 +60,8 @@ class PlanQualitySpec extends SparkSpec {
     "r17_k_anonymity", // 4-row k-list × bounded class table × 1-row total
     "g92_ann_ivf_batch", // crosses the 1-row broadcast codebook (g17's shape)
     "g93_ann_ivf_pruned", // 1-row query vector crossed into the pruned lists
-    "g95_pack_efficiency") // 3-row literal W dimension crossed into the scan
+    "g95_pack_efficiency", // 3-row literal W dimension crossed into the scan
+    "g97_pq_adc_topk") // 1-row PQ codebook/LUT + ≤50-row candidate list crossed
 
   // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
   // full streaming query; a21 writes three parquet snapshots) and whose

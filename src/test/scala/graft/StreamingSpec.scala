@@ -286,6 +286,67 @@ class StreamingSpec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("stream-stream join under watermarks: a 1-day delay drops the " +
+      "late side's input and evicts the other side's state; an " +
+      "effectively-infinite delay retains the late pairs (h45's " +
+      "counter-law)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wmj").toString
+    val cDir = s"$root/clicks"; val pDir = s"$root/purch"
+    def ts(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:$m%02d:00")
+    def writeBatch(dir: String, df: org.apache.spark.sql.DataFrame,
+        mt: Long): Unit = {
+      val d = new java.io.File(dir)
+      val before = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      df.repartition(1).write.mode("append").parquet(dir)
+      d.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(_.setLastModified(mt))
+    }
+    val base = System.currentTimeMillis()
+    val users = (1L to 5L).toSeq
+    // clicks: day-10 file, day-11 file, then the LATE day-1 file
+    writeBatch(cDir, users.map(u => (u, ts(10, 0))).toDF("user_id", "c_ts"),
+      base)
+    writeBatch(cDir, users.map(u => (u, ts(11, 0))).toDF("user_id", "c_ts"),
+      base + 60000L)
+    writeBatch(cDir,
+      (1L to 3L).map(u => (u, ts(1, 0))).toDF("user_id", "c_ts"),
+      base + 120000L)
+    // purchases (all on time): day-10 + day-1 purchases arrive first —
+    // the day-1 purchase can only pair with the LATE clicks, so its
+    // pair's existence is exactly the watermark question
+    writeBatch(pDir,
+      (users.map(u => (u, ts(10, 30))) ++
+        (1L to 3L).map(u => (u, ts(1, 30)))).toDF("p_user", "p_ts"),
+      base)
+    writeBatch(pDir, users.map(u => (u, ts(11, 30))).toDF("p_user", "p_ts"),
+      base + 60000L)
+    def drain(delay: String, name: String): Long = {
+      def side(dir: String, tsCol: String) = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark(tsCol, delay)
+      val pairs = side(pDir, "p_ts").join(side(cDir, "c_ts"),
+        col("p_user") === col("user_id") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      runToMemory(pairs, name, "append")
+      spark.table(name).count()
+    }
+    val strict = drain("1 day", "h45law_strict")
+    val loose = drain("100 days", "h45law_loose")
+    // 10 on-time pairs (5 users × 2 days); the 3 late-click pairs exist
+    // only when the watermark never catches up
+    assert(strict === 10L,
+      s"1-day watermark must emit exactly the on-time pairs, got $strict")
+    assert(loose === 13L,
+      s"infinite-ish watermark must retain the late pairs, got $loose")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("idempotentAppend exactly-once law: a replayed batch does not duplicate") {
     // Structured Streaming's failure contract is "batchId N may run
     // MORE THAN ONCE with identical data" — exactly-once holds iff the

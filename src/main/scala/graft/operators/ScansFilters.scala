@@ -420,6 +420,68 @@ object ScansFilters {
       .orderBy("month")
   }
 
+  // B9 — DPP FED BY AN AGGREGATE SUBQUERY over the fact itself (B6
+  // graded the canonical star shape: stored dim, attribute filter,
+  // runtime pruning; this key grades the SELF-STAR variant a
+  // maintenance job runs — "process only the partitions carrying ≥ 1/10
+  // of all rows", i.e. the pruning predicate is computable only from
+  // the fact's own data distribution): the fact is partitioned on
+  // o_year and the "dim" is a HAVING-style aggregate of the fact
+  // (per-year counts, thresholded). No static fact-side filter can
+  // exist — the surviving years are a function of the DATA, not of any
+  // expression over the key (a first attempt derived a label FROM the
+  // key; Catalyst collapsed it through the projection into a static
+  // PartitionFilter, the b6-documented dead end — an aggregate cannot
+  // collapse). Spark's DPP inserts the runtime partition filter fed by
+  // the aggregated dim's broadcast — `dynamicpruningexpression` the
+  // ONLY pruning entry in the fact scan's PartitionFilters, REQUIRED in
+  // the key. Here the full interior years survive; the partial first/
+  // last years prune away. At 100 TB: hot-partition selection (skew
+  // audits, compaction targeting, r12-style reports) reads the fact
+  // fraction its own histogram names, never the table. The 1-row
+  // threshold fetch is driver control flow (the g93 probe-id
+  // discipline), restated identically in the oracle.
+  private val b9 = graded(
+    "b9_dpp_join",
+    """WITH thr AS (SELECT count(*) // 10 AS t FROM orders),
+      |keep AS (
+      |  SELECT year(o_orderdate) AS yr FROM orders
+      |  GROUP BY 1 HAVING count(*) >= (SELECT t FROM thr))
+      |SELECT year(o_orderdate)::BIGINT AS o_year,
+      |  count(*)::BIGINT AS n_orders,
+      |  sum(round(o_totalprice * 100, 0)::BIGINT)::BIGINT AS rev_cents
+      |FROM orders
+      |WHERE year(o_orderdate) IN (SELECT yr FROM keep)
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/dpp"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year($"o_orderdate").cast("bigint"))
+      .write.partitionBy("o_year").parquet(table)
+    val fact = spark.read.parquet(table)
+    val thr = Tables.orders(spark, dir).count() / 10
+    val dim = fact.groupBy($"o_year")
+      .agg(count(lit(1)).as("yr_n"))
+      .where($"yr_n" >= thr)
+      .select($"o_year")
+    val joined = fact.join(dim, Seq("o_year"))
+      .groupBy($"o_year")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(round($"o_totalprice" * 100, 0).cast("bigint")).cast("bigint")
+          .as("rev_cents"))
+      .orderBy($"o_year")
+    // the key's own claim: the fact scan carries a RUNTIME partition
+    // filter — the star join reads the fact FRACTION, not the table
+    require(joined.queryExecution.executedPlan.toString.toLowerCase
+        .contains("dynamicpruning"),
+      "fact scan lost its dynamic partition-pruning filter")
+    joined
+  }
+
   // A32 — DELTA MANIFESTS + CHECKPOINT CADENCE (the Delta-log WRITE
   // discipline; a23/a31 demonstrated the read side): the a23 manifest
   // was a full snapshot rewritten on every commit — O(table-files)
@@ -482,6 +544,63 @@ object ScansFilters {
         sum(round($"o_totalprice" * 100, 0).cast("bigint")).cast("bigint")
           .as("rev_cents"))
       .orderBy($"o_orderstatus")
+  }
+
+  // A33 — TIME-TRAVEL HISTORY AUDIT through the log (a23 graded
+  // 2-version isolation; this key grades the full lifecycle READ BACK —
+  // the "query every version as of its commit" surface a lakehouse user
+  // runs for audits, reproductions and rollback decisions): a scripted
+  // four-commit lifecycle — append (pre-1996 orders), append (the
+  // rest), COMPACTION rewrite (physical relayout, logical no-op), COW
+  // DELETE ('F'-status rows dropped) — then every version is read back
+  // via its pinned manifest and rolled up into one report row each.
+  // The graded content makes each protocol property falsifiable by
+  // hash: v1 ≠ v2 proves the append boundary, v3 ≡ v2 proves the
+  // compaction changed bytes but not rows (the a26 CDC no-op law,
+  // graded through content), v4 < v3 proves the delete — and any
+  // version leaking into another's read (snapshot isolation broken
+  // across MORE than one boundary, which a23's 2-version cycle cannot
+  // see) mismatches. Scale: each read plans from ONE manifest
+  // resolution regardless of history depth (a32's replay bound); the
+  // four aggregates are map-side-combined scans of their own file sets.
+  private val a33 = QueryDef.graded(
+    "a33_txlog_history",
+    """WITH o AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderstatus AS st,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders)
+      |SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+      |  sum(cents)::BIGINT AS rev_cents FROM o WHERE yr < 1996
+      |UNION ALL SELECT 2, count(*)::BIGINT, sum(cents)::BIGINT FROM o
+      |UNION ALL SELECT 3, count(*)::BIGINT, sum(cents)::BIGINT FROM o
+      |UNION ALL SELECT 4, count(*)::BIGINT, sum(cents)::BIGINT FROM o
+      |  WHERE st <> 'F'
+      |ORDER BY version""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/history"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus",
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+    val v1 = TxLog.commit(table,
+      TxLog.stage(o.where(year($"o_orderdate") < 1996), table), 0)
+    val v2 = TxLog.commit(table,
+      TxLog.stage(o.where(year($"o_orderdate") >= 1996), table), v1)
+    val v3 = TxLog.commitRewrite(table,
+      TxLog.stage(TxLog.read(spark, table, v2).repartition(4), table), v2)
+    val v4 = TxLog.commitRewrite(table,
+      TxLog.stage(TxLog.read(spark, table, v3)
+        .where($"o_orderstatus" =!= "F"), table), v3)
+    require(v4 == 4, s"lifecycle must land as v1..v4, head = $v4")
+    (1 to 4).map { v =>
+      TxLog.read(spark, table, v)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum($"cents").cast("bigint").as("rev_cents"))
+        .select(lit(v).as("version"), $"n_rows", $"rev_cents")
+    }.reduce(_ unionByName _).orderBy("version")
   }
 
   // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
@@ -1496,7 +1615,7 @@ object ScansFilters {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, a5,
-    a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19, a20,
-    a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32)
+  val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
+    a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19,
+    a20, a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32, a33)
 }

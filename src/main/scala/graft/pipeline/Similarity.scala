@@ -586,6 +586,99 @@ object Similarity {
       .limit(10)
   }
 
+  // g98 — bench-only: IVFADC ASSEMBLED — the composition the G-family
+  // built piecewise, in one index and one query path, exactly the
+  // deployment shape (Jégou et al.; FAISS's IndexIVFPQ): G93's IVF half
+  // prunes WHICH inverted lists are read (cid is a partition key; the
+  // probe is partition pruning), G97's PQ half compresses WHAT the scan
+  // reads (8 4-bit codes per vector, raw embeddings physically absent
+  // from the index), and the exact re-rank restores exactness on the
+  // ≤50-row shortlist. Cost structure at 100 TB: the query touches
+  // nprobe/C of the corpus (partition pruning) × 1/32 of its bytes (PQ
+  // codes), then point-looks-up 50 raw vectors — every term bounded,
+  // nothing scans the table. Build: ONE pass computes both the IVF
+  // assignment (argmax over the broadcast trained codebook) and the PQ
+  // codes (per-subspace argmin), written cid-partitioned. AnnRecallSpec
+  // floors the composed recall vs exact g4 (both approximations
+  // compound — measured, never silent); PlanQualitySpec pins the
+  // partition-pruned probe read (the g93 pin, on the composed index).
+  private val g98 = QueryDef.benchOnly("g98_ivfadc_topk") { (spark, dir) =>
+    import spark.implicits._
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_ivfadc")}/$sfTag/index"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val e = embeddings(spark, dir)
+    val cents = trainedCodebook(spark, dir)
+    val pq = pqCodebook(spark, dir)
+    val codebook = broadcast(cents
+      .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
+    val pqbook = broadcast(pq
+      .agg(expr("sort_array(collect_list(struct(m, code, ce)))").as("pqc")))
+    // build: one pass, both index halves — IVF list id + PQ codes
+    e.crossJoin(codebook).crossJoin(pqbook)
+      .withColumn("cscores",
+        expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
+      .withColumn("cid", expr(
+        "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${pqM - 1}), m ->
+           |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
+           |    struct(
+           |      aggregate(zip_with(
+           |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
+           |            x -> cast(x as double)),
+           |          c.ce, (a, b) -> (a - b) * (a - b)),
+           |        0D, (acc, x) -> acc + x) as d,
+           |      c.code as code))).code)""".stripMargin))
+      .select($"vec_id", $"codes", $"cid")
+      .write.partitionBy("cid").parquet(table)
+    // search: probe ids (driver control flow, the g93 discipline) …
+    val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
+    val probeIds = cents.crossJoin(broadcast(q))
+      .withColumn("cscore", cos("ce", "qe"))
+      .orderBy($"cscore".desc, $"cid").limit(ivfNprobe)
+      .select($"cid").as[Long].collect().toSeq
+    // … the ADC LUT (G97's query side) …
+    val lut = broadcast(pq.crossJoin(broadcast(q))
+      .select($"m", $"code",
+        expr(s"""aggregate(zip_with(ce,
+             |  transform(slice(qe, m * $pqSub + 1, $pqSub),
+             |    x -> cast(x as double)),
+             |  (a, b) -> a * b), 0D, (acc, x) -> acc + x)""".stripMargin)
+          .as("dotq"),
+        expr("aggregate(transform(ce, x -> x * x), 0D, (acc, x) -> acc + x)")
+          .as("nrm2"))
+      .agg(expr("sort_array(collect_list(struct(m, code, dotq, nrm2)))")
+        .as("lut")))
+    val qnrm = q.select(expr(
+      """sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)),
+        |0D, (acc, x) -> acc + x))""".stripMargin)).head().getDouble(0)
+    val idx = spark.read.parquet(table)
+    require(!idx.columns.contains("embedding"),
+      "the IVFADC candidate pass must scan codes only, never raw vectors")
+    def lutSum(field: String) = expr(
+      s"""aggregate(sequence(0, ${pqM - 1}), 0D, (acc, m) ->
+         |  acc + element_at(lut,
+         |    m * $pqK + element_at(codes, m + 1) + 1).$field)""".stripMargin)
+    // … partition-pruned ADC scan over the probed lists, then re-rank
+    val cand = idx.where($"cid".isin(probeIds: _*))
+      .crossJoin(lut)
+      .where($"vec_id" =!= 0)
+      .withColumn("adc_dot", lutSum("dotq"))
+      .withColumn("adc_nrm2", lutSum("nrm2"))
+      .select($"vec_id",
+        ($"adc_dot" / (lit(qnrm) * sqrt($"adc_nrm2"))).as("adc_sim"))
+      .orderBy($"adc_sim".desc, $"vec_id")
+      .limit(50)
+      .select($"vec_id")
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(cos("embedding", "qe"), 6).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(10)
+  }
+
   // g21 — kNN JOIN: top-3 cosine neighbors for EACH query in a query set
   // (vec_id < 10), in one batched plan — broadcast the query set, score
   // every (query, candidate) pair, rank per query with a window. Ranking
@@ -1171,5 +1264,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(g4, g5, g12, g17, g20, g21, g32, g33, g44, g56, g57, g64, g66, g80,
-      g86, g92, g93, g97)
+      g86, g92, g93, g97, g98)
 }

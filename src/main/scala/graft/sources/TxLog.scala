@@ -276,6 +276,33 @@ object TxLog {
         schema, base)
   }
 
+  /** Append with OPTIMISTIC-CONCURRENCY RETRY: on a commit conflict,
+    * re-read the new head and REBASE the staged files onto it. Safe for
+    * an APPEND — the staged files are base-independent, so landing them
+    * on a later head loses nothing (this is why the helper exists ONLY
+    * for [[commit]], never [[commitRewrite]]: a rewrite's content was
+    * computed FROM its base, and replaying it over a head someone else
+    * advanced would silently drop their commit — a lost rewrite race
+    * must be recomputed, not rebased). Two writers appending disjoint
+    * batches through this helper therefore BOTH land, serialized by the
+    * commit point; `maxRetries` bounds livelock under pathological
+    * contention. Returns the committed version. */
+  def commitWithRetry(table: String, staged: Seq[String],
+      maxRetries: Int = 10, statsCols: Seq[String] = Nil): Int = {
+    var base = currentVersion(table).getOrElse(0)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try return commit(table, staged, base, statsCols)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          base = currentVersion(table).getOrElse(0)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
     * files, whatever has committed since. */
   def read(spark: SparkSession, table: String, v: Int): DataFrame =

@@ -81,6 +81,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"PQ-ADC recall@10 collapsed: $recall%.2f")
   }
 
+  test("g98 IVFADC (IVF pruning × PQ compression × exact re-rank) " +
+      "recall@10 vs exact g4 — the composed approximations compound, " +
+      "measured") {
+    val exact = SparkEntry.queries("g4_cosine_topk")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("g98_ivfadc_topk")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    info(f"g98 recall@10 = $recall%.2f")
+    // measured 0.90: the IVF probe keeps the lists the true neighbors
+    // live in (g17 recall 0.90) and ADC ranks WITHIN them more easily
+    // than across the whole corpus (g97's 0.80) — composition beats the
+    // weaker stage here, it does not multiply the losses
+    assert(recall >= 0.6, f"IVFADC recall@10 collapsed: $recall%.2f")
+  }
+
   test("g93 (lists on disk, pruned read) equals g17 (in-plan lists) " +
       "row-for-row — storage must never move a result") {
     val g17 = SparkEntry.queries("g17_ann_ivf")(spark, sf01)

@@ -61,7 +61,8 @@ class PlanQualitySpec extends SparkSpec {
     "g92_ann_ivf_batch", // crosses the 1-row broadcast codebook (g17's shape)
     "g93_ann_ivf_pruned", // 1-row query vector crossed into the pruned lists
     "g95_pack_efficiency", // 3-row literal W dimension crossed into the scan
-    "g97_pq_adc_topk") // 1-row PQ codebook/LUT + ≤50-row candidate list crossed
+    "g97_pq_adc_topk", // 1-row PQ codebook/LUT + ≤50-row candidate list crossed
+    "g98_ivfadc_topk") // same constant-size crosses as g97, over pruned lists
 
   // Keys whose fn EXECUTES side effects before returning (h34–h38 drain a
   // full streaming query; a21 writes three parquet snapshots) and whose
@@ -323,6 +324,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PartitionFilters") &&
       "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).nonEmpty,
       s"probe read must prune on the cid partition column:\n$p")
+  }
+
+  test("g98 IVFADC: the probe read is partition-pruned on cid AND " +
+      "scans codes, never raw vectors") {
+    // the assembled composition's two cost claims, pinned on one plan:
+    // IVF prunes WHICH lists are read (cid PartitionFilters), PQ
+    // compresses WHAT the scan reads (the index scan's ReadSchema
+    // carries codes, not embedding)
+    val p = plans.toMap.apply("g98_ivfadc_topk")
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).nonEmpty,
+      s"probe read must prune on the cid partition column:\n$p")
+    assert("ReadSchema: [^\\n]*codes".r.findFirstIn(p).nonEmpty,
+      s"candidate scan must read the PQ codes:\n$p")
   }
 
   test("g92 batched IVF: candidates join the lists on cid, per-query " +

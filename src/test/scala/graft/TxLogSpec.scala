@@ -334,6 +334,37 @@ class TxLogSpec extends SparkSpec {
       "version-pinned resolution matches the pinned Head")
   }
 
+  test("commitWithRetry: two appends racing from one head BOTH land, " +
+      "serialized by the commit point; a rewrite has no retry helper " +
+      "by design") {
+    val t = freshTable("occ_retry")
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val sA = TxLog.stage(df(10L -> "A"), t)
+    val sB = TxLog.stage(df(20L -> "B"), t)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(Seq(sA, sB).map { s =>
+          new java.util.concurrent.Callable[Int] {
+            def call(): Int =
+              { barrier.await(); TxLog.commitWithRetry(t, s) }
+          }
+        }.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    assert(outcomes.toSet === Set(2, 3),
+      s"both retried appends must land as v2 and v3, got $outcomes")
+    assert(TxLog.read(spark, t, 3).select($"id").as[Long].collect().toSet
+      === Set(1L, 10L, 20L), "no append may be lost to the race")
+    // the rewrite path deliberately has NO retry helper (a rewrite's
+    // content depends on the base it replaced — rebasing it would drop
+    // the racing winner's commit): a stale rewrite must still conflict
+    val orphan = TxLog.stage(df(99L -> "z"), t)
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException](
+      TxLog.commitRewrite(t, orphan, 2))
+  }
+
   test("append commits write O(delta) manifest lines; the checkpoint " +
       "cadence bounds replay; resolution equals the accumulated list") {
     val t = freshTable("delta_log")

@@ -2212,6 +2212,92 @@ object EventTime {
       .orderBy("day_start")
   }
 
+  // h46 — WATERMARK LEFT-OUTER STREAM-STREAM JOIN (h45 graded the inner
+  // form; the outer form grades the OTHER thing watermark join state
+  // does — EMIT on eviction, not just forget: "clicks that never
+  // converted within the hour" exist as rows only because the watermark
+  // proved no future purchase can still match them). Same two-sided
+  // landing dirs as h45, clicks on the LEFT: a null-padded row emits
+  // when an unmatched click's state is evicted, i.e. once the final
+  // watermark (min over both sources of max-on-time − 1 day) passes
+  // c_ts + 1 h — so the oracle's expired set is exactly the unmatched
+  // on-time clicks older than that cut, stated as the same least()/
+  // interval arithmetic. Unmatched clicks YOUNGER than the cut are
+  // still in state when the drain ends and emit NOTHING (the honest
+  // semantics of an outer stream join: absence of proof is not proof of
+  // absence); the injected late clicks are input-filtered and emit
+  // neither pairs nor nulls. Graded row = per-day matched vs expired
+  // counts: one spurious null row (eviction before the watermark
+  // proved it), one missing null row (state leak), or one late click
+  // surfacing anywhere hash-mismatches. Scale: eviction IS the memory
+  // bound — without it every unmatched click lives forever.
+  private val h46 = graded(
+    "h46_stream_outer_join",
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, min(ts)) AS d0 FROM events),
+      |c AS (
+      |  SELECT event_id, user_id, ts FROM events, b
+      |  WHERE event_type = 'click'
+      |    AND NOT (ts < b.d0 + INTERVAL 2 DAY AND event_id % 3 = 0)),
+      |p AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |mx AS (
+      |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |    - INTERVAL 1 DAY - INTERVAL 1 HOUR AS cut),
+      |m AS (
+      |  SELECT c.event_id, c.ts AS c_ts
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+      |u AS (
+      |  SELECT c.ts AS c_ts FROM c, mx
+      |  WHERE c.ts < mx.cut
+      |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.event_id = c.event_id))
+      |SELECT time_bucket(INTERVAL 1 DAY, c_ts) AS day_start,
+      |  sum(n_matched)::BIGINT AS n_matched,
+      |  sum(n_expired)::BIGINT AS n_expired
+      |FROM (
+      |  SELECT c_ts, 1 AS n_matched, 0 AS n_expired FROM m
+      |  UNION ALL SELECT c_ts, 0, 1 FROM u)
+      |GROUP BY day_start
+      |ORDER BY day_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val (cPath, pPath) = stagedJoinDirs(s, dir)
+    val out = s"$cPath-outersink"
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
+    def side(path: String, tsCol: String) = s.readStream
+      .schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+      .withWatermark(tsCol, "1 day")
+    val pairs = side(cPath, "c_ts").join(side(pPath, "p_ts"),
+      $"user_id" === $"p_user" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingJobs.idempotentAppend(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h46 stream did not drain within 300 s")
+    } finally q.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+      .groupBy(window($"c_ts", "1 day"))
+      .agg(count($"p_ts").cast("bigint").as("n_matched"),
+        sum(when($"p_ts".isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_expired"))
+      .select($"window.start".as("day_start"), $"n_matched", $"n_expired")
+      .orderBy("day_start")
+  }
+
   // h40 — QUANTIFIED-PATTERN CEP (the MATCH_RECOGNIZE-shaped extension of
   // h9's adjacent-pair lite form): each user's event history becomes an
   // ordered SYMBOL STRING (event-type initials are distinct on this
@@ -2371,5 +2457,5 @@ object EventTime {
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40, h41, h42, h43, h44, h45)
+    h40, h41, h42, h43, h44, h45, h46)
 }

@@ -189,6 +189,26 @@ object TxLog {
   def hasCheckpoint(table: String, v: Int): Boolean =
     checkpointLines(table, v).nonEmpty
 
+  /** Commit wall-clock of version v (the `#ts` manifest line). None for
+    * pre-timestamp manifests. */
+  def timestampOf(table: String, v: Int): Option[Long] =
+    metaLines(table, v).collectFirst {
+      case l if l.startsWith("#ts\t") => l.substring("#ts\t".length).toLong
+    }
+
+  /** TIMESTAMP-BASED time travel (Delta's `timestampAsOf`): the highest
+    * version whose commit timestamp is ≤ `tsMillis` — "the table as of
+    * last night's report run", resolved against the log's own commit
+    * clock. None when the table did not exist yet (or predates the
+    * timestamp lines). Commit timestamps are monotone in practice
+    * because the commit point serializes writers; a clock-skewed
+    * out-of-order stamp can only widen WHICH version a timestamp maps
+    * to, never break version-pinned reads — which is why version
+    * numbers, not timestamps, remain the isolation primitive. */
+  def versionAt(table: String, tsMillis: Long): Option[Int] =
+    listVersions(table).reverse
+      .find(v => timestampOf(table, v).exists(_ <= tsMillis))
+
   /** Resolved data lines of a committed version (path + optional stats):
     * a checkpoint short-circuits; a full manifest answers directly; a
     * delta manifest replays over v-1. The replay chain is bounded by
@@ -402,6 +422,7 @@ object TxLog {
       s".v$next-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try {
+      out.write(s"#ts\t${System.currentTimeMillis()}\n".getBytes(UTF_8))
       schemaJson.foreach(j => out.write(s"#schema\t$j\n".getBytes(UTF_8)))
       all.foreach(p => out.write((p + "\n").getBytes(UTF_8)))
     } finally out.close()
@@ -659,15 +680,17 @@ object TxLog {
     * indistinguishable from us landing first. */
   private def writeCheckpoint(table: String, v: Int): Unit = {
     val body = dataLines(table, v)
-    val schemaJson = metaLines(table, v).collectFirst {
-      case l if l.startsWith("#schema\t") => l.substring("#schema\t".length)
-    }
+    // carry the source manifest's metadata lines (#ts, #schema) so a
+    // checkpointed version answers timestampOf/schemaOf after its
+    // manifest expires
+    val meta = metaLines(table, v)
+      .filter(l => l.startsWith("#ts\t") || l.startsWith("#schema\t"))
     val md = manifestDir(table)
     val fs = fsOf(md)
     val tmp = new Path(md, s".v$v-cp-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
     try {
-      schemaJson.foreach(j => out.write(s"#schema\t$j\n".getBytes(UTF_8)))
+      meta.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
       body.foreach(l => out.write((l + "\n").getBytes(UTF_8)))
     } finally out.close()
     try publishExclusive(fs, tmp, checkpointPath(table, v))

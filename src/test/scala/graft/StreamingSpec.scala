@@ -347,6 +347,28 @@ class StreamingSpec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("an outer stream-stream join without watermarks is rejected — " +
+      "eviction is what makes null-row emission possible (h46's " +
+      "precondition)") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_oj").toString + "/in"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts").write.parquet(dir)
+    def src = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val j = src.join(
+      src.withColumnRenamed("k", "k2").withColumnRenamed("ts", "ts2"),
+      col("k") === col("k2"), "leftOuter")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      val q = j.writeStream.format("memory").queryName("oj_bad")
+        .outputMode("append").start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    assert(ex.getMessage.toLowerCase.contains("watermark"),
+      s"rejection must name the missing watermark: ${ex.getMessage}")
+  }
+
   test("idempotentAppend exactly-once law: a replayed batch does not duplicate") {
     // Structured Streaming's failure contract is "batchId N may run
     // MORE THAN ONCE with identical data" — exactly-once holds iff the

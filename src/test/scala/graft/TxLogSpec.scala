@@ -380,8 +380,9 @@ class TxLogSpec extends SparkSpec {
       else {
         assert(TxLog.isDeltaManifest(t, v),
           s"v$v is a steady-state append — must commit as a delta")
-        assert(TxLog.manifestLineCount(t, v) <= staged.size + 2,
-          "an append must write O(|staged|) lines, not O(table-files)")
+        assert(TxLog.manifestLineCount(t, v) <= staged.size + 3,
+          "an append must write O(|staged|) lines (+#ts/#schema/#delta " +
+            "metadata), not O(table-files)")
       }
       expect ++= staged
       assert(TxLog.files(t, v) === expect.toList,
@@ -420,6 +421,30 @@ class TxLogSpec extends SparkSpec {
     // vacuum is idempotent at the same cut
     TxLog.vacuum(t, keepLast = 2)
     assert(TxLog.read(spark, t, 5).count() === 5)
+  }
+
+  test("timestamp time travel: versionAt resolves the highest version " +
+      "committed at-or-before the timestamp; version pins stay the " +
+      "isolation primitive") {
+    val t = freshTable("ts_travel")
+    val before = System.currentTimeMillis() - 1
+    val v1 = TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
+    val ts1 = TxLog.timestampOf(t, v1).get
+    val v2 = TxLog.commit(t, TxLog.stage(df(2L -> "b"), t), v1)
+    val ts2 = TxLog.timestampOf(t, v2).get
+    assert(ts1 <= ts2, "the commit point serializes writers, so " +
+      "commit timestamps are monotone")
+    assert(TxLog.versionAt(t, before) === None,
+      "a timestamp before the table existed resolves to nothing")
+    // "as of ts" = the latest version at that instant — when the two
+    // commits land in distinct milliseconds (always, in practice: a
+    // commit stages files and reads a footer first), ts1 names v1
+    if (ts2 > ts1) assert(TxLog.versionAt(t, ts1) === Some(v1))
+    assert(TxLog.versionAt(t, ts2) === Some(v2))
+    assert(TxLog.versionAt(t, ts2 + 60000) === Some(v2),
+      "a future timestamp resolves to the head")
+    // the resolved version reads exactly its pinned snapshot
+    assert(TxLog.read(spark, t, TxLog.versionAt(t, ts1).get).count() === 1)
   }
 
   test("vacuum: keepLast=0 is rejected — the head must survive") {

@@ -1472,7 +1472,90 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** The greedy left-to-right BPE merge applied to a token array: every
+    * non-overlapping adjacent (l, r) becomes the merged symbol, one
+    * linear fold per word — expressed as a Catalyst `aggregate` lambda
+    * (codegen-adjacent, no UDF) carrying (emitted-prefix, pending
+    * symbol) state. */
+  private def bpeMerge(toks: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(toks, init,
+      (st, x) =>
+        when(st.getField("pend").isNull,
+          struct(st.getField("out").as("out"), x.as("pend")))
+          .when(st.getField("pend") === lit(l) && x === lit(r),
+            struct(concat(st.getField("out"), array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(
+            struct(concat(st.getField("out"), array(st.getField("pend")))
+              .as("out"), x.as("pend"))),
+      st =>
+        when(st.getField("pend").isNull, st.getField("out"))
+          .otherwise(concat(st.getField("out"), array(st.getField("pend")))))
+  }
+
+  // g99 — bench-only: BPE TOKENIZER TRAINING, the full loop (g42 graded
+  // ONE pair-count step; this key runs the trainer a pipeline actually
+  // ships — Sennrich et al.'s word-histogram BPE): train on the word
+  // HISTOGRAM, not the corpus — one shuffle builds (word, count) and
+  // everything after runs on |vocab| rows REGARDLESS of corpus size,
+  // which is precisely why BPE training scales to 100 TB (the histogram
+  // is the sufficient statistic). Each of 10 rounds: explode adjacent
+  // symbol pairs weighted by word count (overlapping occurrences count,
+  // the BPE standard), take the (n DESC, l ASC, r ASC) argmax as a
+  // 1-row driver fetch (iterative control flow, the g40/c16
+  // discipline), then fold the greedy non-overlapping merge through
+  // every word's token array ([[bpeMerge]] — a Catalyst aggregate
+  // lambda, no UDF), localCheckpoint-ing per round so 10 rounds of
+  // nested lambdas never stack into one plan. Output = the learned
+  // merge table (rank, merged, n) — the artifact a tokenizer ships.
+  // PropertySpec holds the cross-gate laws: the first merge IS g42's
+  // graded top pair, and max pair frequency is non-increasing across
+  // rounds (a new symbol's pairs inherit at most the merged pair's
+  // count; existing pairs only lose occurrences).
+  private val g99 = QueryDef.benchOnly("g99_bpe_train") { (spark, dir) =>
+    import spark.implicits._
+    var words = Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .where(length($"word") >= 1)
+      .groupBy($"word").agg(count(lit(1)).as("wn"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("toks"), $"wn")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to 10) {
+      val best = words
+        .select($"wn", explode(expr(
+          // sequence(1, 0) DESCENDS in Spark — a 1-symbol word must
+          // yield no pairs, not an out-of-bounds probe
+          """case when size(toks) < 2 then array()
+            |else transform(sequence(1, size(toks) - 1), i ->
+            |  struct(element_at(toks, i) as l,
+            |         element_at(toks, i + 1) as r)) end""".stripMargin))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"wn").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        words = words
+          .select(bpeMerge($"toks", l, r).as("toks"), $"wn")
+          .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("rank", "l", "r", "n")
+      .select($"rank", concat($"l", $"r").as("merged"), $"n")
+      .orderBy("rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76, g77, g94)
+    g70, g71, g72, g73, g74, g76, g77, g94, g99)
 }

@@ -82,7 +82,7 @@ class GradedQuerySpec extends SparkSpec {
       "m2_media_decode", "m3_frame_sample", "d20_hll_merge",
       "g50_bloom_membership", "d44_quantile_merge", "d46_hll_intersect",
       "d47_gk_sketch_agg", "g92_ann_ivf_batch", "g93_ann_ivf_pruned",
-      "g97_pq_adc_topk", "g98_ivfadc_topk")
+      "g97_pq_adc_topk", "g98_ivfadc_topk", "g99_bpe_train")
     assert(benchOnly === expected,
       s"bench-only drift: ${benchOnly.diff(expected)} / ${expected.diff(benchOnly)}")
   }

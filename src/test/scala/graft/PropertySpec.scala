@@ -1426,4 +1426,25 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(2) >= 0)
     }
   }
+
+  test("g99 BPE-trainer laws: the first merge IS g42's graded top pair; " +
+      "max pair frequency is non-increasing across rounds") {
+    val dir = "/root/testdata/sf0.01"
+    val merges = SparkEntry.queries("g99_bpe_train")(spark, dir).collect()
+    assert(merges.length == 10, "the trainer must learn 10 merges")
+    // cross-gate: round 1 of the trainer is exactly the argmax of the
+    // ORACLE-GRADED g42 pair count (same weighting, same tiebreak) —
+    // the bench-only loop is pinned to a graded step
+    val g42top = SparkEntry.queries("g42_bpe_step")(spark, dir)
+      .collect().head
+    assert(merges.head.getString(1) === g42top.getString(0) &&
+      merges.head.getLong(2) === g42top.getLong(1),
+      s"first merge ${merges.head} must equal g42's top pair $g42top")
+    // a new symbol's pairs inherit at most the merged pair's count and
+    // existing pairs only lose occurrences — so the max frequency the
+    // trainer picks can never rise between rounds
+    val ns = merges.map(_.getLong(2)).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"merge frequencies must be non-increasing: $ns")
+  }
 }

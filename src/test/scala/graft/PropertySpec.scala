@@ -1447,4 +1447,29 @@ class PropertySpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
       s"merge frequencies must be non-increasing: $ns")
   }
+
+  test("g100 BPE-encoder laws: concat(encode(word)) = word over the " +
+      "whole vocab; 1 <= n_toks <= length(word); doc coverage total") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val (vocab, merges) = pipeline.TextAnalysis.bpeTrain(spark, dir)
+    assert(merges.size == 10)
+    // ROUND TRIP: merging only ever concatenates adjacent tokens, so the
+    // tokenization must reassemble every word exactly — one lost or
+    // duplicated character anywhere in the fold fails here
+    val broken = vocab
+      .where(concat_ws("", col("toks")) =!= col("word") ||
+        size(col("toks")) < 1 ||
+        size(col("toks")) > length(col("word")))
+      .count()
+    assert(broken === 0,
+      "every vocab word must round-trip through its tokenization")
+    // the graded g100 output covers every document, and a doc never has
+    // more tokens than characters nor fewer than words
+    val enc = SparkEntry.queries("g100_bpe_encode")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(enc.count() === docs)
+    assert(enc.where(col("n_tokens") < col("n_words")).count() === 0,
+      "a word encodes to at least one token")
+  }
 }

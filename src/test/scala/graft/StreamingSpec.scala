@@ -286,6 +286,61 @@ class StreamingSpec extends SparkSpec {
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
+  test("session windows under a watermark: exactly the sessions the " +
+      "watermark CLOSED emit in append mode; late rows extend nothing; " +
+      "an infinite delay finalizes nothing (h47's counter-law)") {
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_wms").toString + "/in"
+    def ts(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:$i%02d")
+    // arrival: user-1 session on day 10, then user-2 session on day 20
+    // (advances the watermark PAST day 10's close), then LATE day-1
+    // rows for user 1. Same mtime pinning as h44's law above.
+    val f1 = (0 until 10).map(i => (1L, ts(10, i), 1.0))
+      .toDF("user_id", "ts_us", "value")
+    val f2 = (0 until 5).map(i => (2L, ts(20, i), 1.0))
+      .toDF("user_id", "ts_us", "value")
+    val f3 = (0 until 5).map(i => (1L, ts(1, i), 1.0))
+      .toDF("user_id", "ts_us", "value")
+    f1.repartition(1).write.parquet(dir)
+    def parquets = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val base = System.currentTimeMillis()
+    val first = parquets; first.foreach(_.setLastModified(base))
+    f2.repartition(1).write.mode("append").parquet(dir)
+    val firstNames = first.map(_.getName).toSet
+    val second = parquets.filterNot(f => firstNames(f.getName))
+    second.foreach(_.setLastModified(base + 300000L))
+    f3.repartition(1).write.mode("append").parquet(dir)
+    val secondNames = firstNames ++ second.map(_.getName)
+    parquets.filterNot(f => secondNames(f.getName))
+      .foreach(_.setLastModified(base + 600000L))
+    def drain(delay: String, name: String) = {
+      val sessions = spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts_us", delay)
+        .groupBy(session_window(col("ts_us"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"))
+      runToMemory(sessions, name, "append")
+      spark.table(name).collect().map(r => r.getLong(0) -> r.getLong(1))
+    }
+    val strict = drain("1 day", "h47law_strict")
+    // user 1's day-10 session finalized once day 20 pushed the watermark
+    // past its close, and the late day-1 rows neither extended it (n
+    // stays 10) nor emitted a session of their own; user 2's session is
+    // still OPEN at drain end — absence of proof, no emission
+    assert(strict.toSeq === Seq(1L -> 10L),
+      s"exactly the closed on-time session must emit: ${strict.toSeq}")
+    // infinite delay: the watermark never moves, nothing ever finalizes
+    val loose = drain("100000 days", "h47law_loose")
+    assert(loose.isEmpty,
+      s"an unbounded watermark must finalize nothing: ${loose.toSeq}")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   test("stream-stream join under watermarks: a 1-day delay drops the " +
       "late side's input and evicts the other side's state; an " +
       "effectively-infinite delay retains the late pairs (h45's " +

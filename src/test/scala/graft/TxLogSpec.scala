@@ -452,4 +452,146 @@ class TxLogSpec extends SparkSpec {
     TxLog.commit(t, TxLog.stage(df(1L -> "a"), t), 0)
     intercept[IllegalArgumentException](TxLog.vacuum(t, keepLast = 0))
   }
+
+  private def norm(p: String) = p.replaceFirst("^file:/+", "/")
+
+  test("mergeInto: one commit applies update+insert+delete; untouched " +
+      "files ride by reference; CDC shows each update as a delete+insert " +
+      "PAIR on its key") {
+    val t = freshTable("merge")
+    // two key-clustered files: ids 1..100 and 101..200
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    val v1 = TxLog.commit(t, TxLog.stage(base, t), 0, statsCols = Seq("id"))
+    assert(TxLog.files(t, v1).size === 2)
+    // the change batch touches ONLY the low file: update 5, delete 7,
+    // insert 1000 (not matched)
+    val changes = Seq(
+      (5L, "V5", "upsert"), (7L, "v7", "delete"), (1000L, "NEW", "upsert"))
+      .toDF("id", "v", "op")
+    val v2 = TxLog.mergeInto(spark, t, v1, changes, "id",
+      statsCols = Seq("id"))
+    // file-granular COW: the high file (101..200) survives by reference
+    val kept = TxLog.files(t, v2).toSet.intersect(TxLog.files(t, v1).toSet)
+    assert(kept.size === 1, "exactly the untouched file is carried over")
+    // ... with its manifest stats line verbatim (no re-read, no re-stat)
+    val keptStats = TxLog.statsOf(t, v2)(norm(kept.head))
+    assert(keptStats("id") === TxLog.statsOf(t, v1)(norm(kept.head))("id"))
+    // merged state: update applied, delete applied, insert applied,
+    // every other row intact
+    val state = TxLog.read(spark, t, v2).as[(Long, String)].collect().toMap
+    assert(state(5L) === "V5")
+    assert(!state.contains(7L))
+    assert(state(1000L) === "NEW")
+    assert(state.size === 200) // 200 - 1 deleted + 1 inserted
+    assert(state(101L) === "v101" && state(42L) === "v42")
+    // CDC certifies the MIXED transition: the update key appears on BOTH
+    // sides (delete of the old row, insert of the new), the delete key
+    // only as delete, the insert key only as insert
+    val cdc = TxLog.cdc(spark, t, v1, v2)
+      .select($"id", $"v", $"change").as[(Long, String, String)]
+      .collect().toSet
+    assert(cdc === Set(
+      (5L, "v5", "delete"), (5L, "V5", "insert"),
+      (7L, "v7", "delete"), (1000L, "NEW", "insert")))
+    // a not-matched DELETE is a no-op, not an error
+    val v3 = TxLog.mergeInto(spark, t, v2,
+      Seq((9999L, "x", "delete")).toDF("id", "v", "op"), "id")
+    assert(TxLog.cdc(spark, t, v2, v3).count() === 0)
+  }
+
+  test("bloom point-lookup skipping: kept files ⊆ manifest, ⊇ the files " +
+      "truly holding probes; bloom-less files always survive; rows exact") {
+    val t = freshTable("bloom")
+    // 8 hash-random files over 400 string keys
+    val data = (1L to 400L).map(i => (s"k$i", i)).toDF("k", "n")
+      .repartition(8, $"k")
+    val v1 = TxLog.commit(t, TxLog.stage(data, t), 0, bloomCols = Seq("k"))
+    val all = TxLog.files(t, v1)
+    assert(all.size === 8)
+    val probes = Seq("k7", "k123", "k399")
+    val hit = TxLog.readKeys(spark, t, v1, "k", probes)
+    // exactness: bloom false positives may admit files, never rows
+    assert(hit.select($"k").as[String].collect().toSet === probes.toSet)
+    val kept = hit.inputFiles.map(norm).toSet
+    assert(kept.subsetOf(all.map(norm).toSet))
+    // the files that truly hold the probes are all kept (no false
+    // negative — the bloom law)
+    val truly = spark.read.parquet(all: _*)
+      .where($"k".isin(probes: _*))
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .as[String].collect().map(norm).toSet
+    assert(truly.subsetOf(kept), "a bloom must never reject a real key")
+    assert(kept.size < all.size,
+      "3 probes against 8 random files must prune something")
+    // an absent key reads zero rows (whatever files its bits admit)
+    assert(TxLog.readKeys(spark, t, v1, "k", Seq("nope")).count() === 0)
+    // a file committed WITHOUT a bloom joins every readKeys plan
+    val v2 = TxLog.commit(t, TxLog.stage(Seq(("x1", 0L)).toDF("k", "n"), t),
+      v1)
+    val p2 = TxLog.readKeys(spark, t, v2, "k", probes)
+    val v2only = (TxLog.files(t, v2).toSet -- all.toSet).map(norm)
+    assert(v2only.subsetOf(p2.inputFiles.map(norm).toSet),
+      "bloom-less files must be scanned, not skipped")
+  }
+
+  test("rowCountOf answers cardinality from the manifest alone; a " +
+      "count-less file makes it None, never a partial sum") {
+    val t = freshTable("rows")
+    val v1 = TxLog.commit(t,
+      TxLog.stage((1L to 123L).map(i => (i, s"v$i")).toDF("id", "v"), t),
+      0, statsCols = Seq("id"))
+    assert(TxLog.rowCountOf(t, v1) === Some(123L))
+    // an append WITHOUT stats carries no per-file count → no cardinality
+    val v2 = TxLog.commit(t, TxLog.stage(df(999L -> "x"), t), v1)
+    assert(TxLog.rowCountOf(t, v2) === None,
+      "a partial sum presented as a cardinality would be a wrong stat")
+    // conjunctive two-column pruning: a file must intersect EVERY range
+    val t2 = freshTable("rows2")
+    val grid = (for (a <- 1L to 4L; b <- 1L to 100L) yield (a, b))
+      .toDF("a", "b").repartitionByRange(4, $"a")
+    val g1 = TxLog.commit(t2, TxLog.stage(grid, t2), 0,
+      statsCols = Seq("a", "b"))
+    val pr = TxLog.readWhere(spark, t2, g1,
+      Seq(("a", "2", "2"), ("b", "10", "20")))
+    assert(pr.count() === 11)
+    assert(pr.inputFiles.length < TxLog.files(t2, g1).length,
+      "the a-range alone must already prune")
+  }
+
+  test("a pinned partitioned index reads only its own version's files, " +
+      "and a partition filter prunes inside the pinned list") {
+    val t = freshTable("pindex")
+    val idx1 = (1L to 100L).map(i => (i, i % 5)).toDF("vec_id", "cid")
+    val v1 = TxLog.commitRewrite(t,
+      TxLog.stagePartitioned(idx1, t, Seq("cid")), 0)
+    // a rebuild commits as v2 — different assignment entirely
+    val idx2 = (1L to 100L).map(i => (i, i % 3)).toDF("vec_id", "cid")
+    val v2 = TxLog.commitRewrite(t,
+      TxLog.stagePartitioned(idx2, t, Seq("cid")), v1)
+    // the pinned v1 search: plans ONLY v1 files, partition column alive
+    val pinned = TxLog.readPartitioned(spark, t, v1)
+      .where($"cid" === 2L)
+    assert(pinned.inputFiles.map(norm).toSet
+      .subsetOf(TxLog.files(t, v1).map(norm).toSet),
+      "a pinned index search must never touch another version's files")
+    // partition pruning happens at PLANNING (inputFiles lists the whole
+    // relation): the scan must carry the probe as a PartitionFilter, and
+    // the rows it actually reads must come only from cid=2 files
+    val scan = pinned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in the pinned index plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the probe filter must prune at partition granularity, not per-row")
+    val readFrom = pinned
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .as[String].collect().map(norm).toSet
+    assert(readFrom.forall(_.contains("cid=2")),
+      "rows must come exclusively from the probed partition's files")
+    assert(pinned.select($"vec_id").as[Long].collect().toSet ===
+      (1L to 100L).filter(_ % 5 == 2).toSet)
+    // the head search sees the rebuild
+    assert(TxLog.readPartitioned(spark, t, v2).where($"cid" === 2L)
+      .count() === (1L to 100L).count(_ % 3 == 2))
+  }
 }

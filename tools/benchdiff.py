@@ -100,7 +100,14 @@ def main():
         if o < 0.1 and n < 0.1:
             continue
         ratio = n / o if o > 0 else float("inf")
-        if ratio >= thresh:
+        # tolerance rationale (r12 verdict item 7): sub-second keys drift
+        # 2-3x between sessions from machine weather alone (BASELINE.md's
+        # round-9/12 notes; d2 tripped the 2x wire at r12 with UNTOUCHED
+        # code), so a ratio alone is not evidence there — require a
+        # half-second of absolute movement too before flagging. Keys at
+        # >= 1s keep the pure ratio gate: real regressions on real work
+        # move whole seconds.
+        if ratio >= thresh and (n - o) >= 0.5:
             movers.append((ratio, k, o, n))
     for ratio, k, o, n in sorted(movers, reverse=True):
         flagged = True

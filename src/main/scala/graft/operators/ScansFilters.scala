@@ -686,6 +686,10 @@ object ScansFilters {
         .unionByName(low.where($"o_orderkey" % 10 === 5)
           .select(($"o_orderkey" + mk).as("o_orderkey"), $"o_orderpriority",
             $"o_totalprice", lit("upsert").as("op")))
+        // the change batch is consumed three times inside the merge
+        // (key-distinct, anti-join probe, upsert leg) — materialize it
+        // once instead of re-running the three-leg union per consumer
+        .localCheckpoint(true)
     val v2 = TxLog.mergeInto(spark, table, v1, changes, "o_orderkey",
       statsCols = Seq("o_orderkey"))
     // the key's own claims, enforced in the key: (1) file-granular COW —
@@ -937,6 +941,257 @@ object ScansFilters {
       out
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  // A38 — OPTIMIZE Z-ORDER THROUGH THE LOG (the maintenance job behind
+  // A31/A37's skipping claims, run as a LOG COMMIT and with its payoff
+  // ASSERTED, not narrated: stats are only as good as the clustering
+  // beneath them — a7/a13's lesson — and at 100 TB the job that
+  // re-clusters a badly-laid-out table IS the lakehouse OPTIMIZE
+  // ZORDER command). Cycle: orders commit v1 HASH-random (16 files,
+  // two-column stats present but useless — every file spans both
+  // domains); the optimize reads v1, Morton-re-clusters on (epoch-day,
+  // o_orderkey) (A13's interleave) and lands as rewrite commit v2 with
+  // the same declared stats; the key REQUIRES (1) the transition to
+  // CDC-certify as a pure relayout (zero changed rows — the A26
+  // compaction law), and (2) the SAME two-column predicate to plan
+  // STRICTLY FEWER files at v2 than at v1 — the optimize measurably
+  // bought skipping or the key fails. Graded row = monthly rollup from
+  // the optimized pruned read. Scale: optimize = one range shuffle on
+  // the z-value + an O(1) manifest publish; pinned v1 readers are
+  // untouched mid-job; the stats that make v2 prunable are computed
+  // from the staged files only.
+  private val a38 = QueryDef.graded(
+    "a38_txlog_optimize",
+    """WITH mx AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+      |f AS (
+      |  SELECT o_orderkey,
+      |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT
+      |      AS dy,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents,
+      |    substr(o_orderdate::VARCHAR, 1, 7) AS month
+      |  FROM orders),
+      |w AS (
+      |  SELECT f.* FROM f, mx
+      |  WHERE dy >= date_diff('day', TIMESTAMP '1970-01-01',
+      |      TIMESTAMP '1996-01-01')
+      |    AND dy <= date_diff('day', TIMESTAMP '1970-01-01',
+      |      TIMESTAMP '1996-12-31')
+      |    AND o_orderkey >= 0 AND o_orderkey <= mx.mid)
+      |SELECT month, count(*)::BIGINT AS n_orders,
+      |  sum(cents)::BIGINT AS rev_cents
+      |FROM w GROUP BY month
+      |ORDER BY month""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{Formats, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/optimize"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val f0 = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        datediff($"o_orderdate", lit("1970-01-01")).cast("bigint").as("dy"),
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"),
+        substring($"o_orderdate".cast("string"), 1, 7).as("month"))
+    // the mess: hash-random layout — stats exist but skip nothing
+    val v1 = TxLog.commit(table,
+      TxLog.stage(f0.repartition(16, $"o_orderkey"), table), 0,
+      statsCols = Seq("dy", "o_orderkey"))
+    val mid = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
+    val dLo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val dHi = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+    val preds = Seq(("dy", dLo.toString, dHi.toString),
+      ("o_orderkey", "0", mid.toString))
+    val keepBefore =
+      TxLog.readWhere(spark, table, v1, preds).inputFiles.length
+    // OPTIMIZE: Morton re-cluster (a13's layout) committed as a rewrite
+    val bounds = TxLog.read(spark, table, v1).agg(
+      min($"dy").as("alo"), max($"dy").as("ahi"),
+      min($"o_orderkey").as("blo"), max($"o_orderkey").as("bhi"))
+    val zval = Formats.zInterleave8(
+      s"(${Formats.zNormalize("dy", "alo", "ahi", "div")})",
+      s"(${Formats.zNormalize("o_orderkey", "blo", "bhi", "div")})")
+    val optimized = TxLog.read(spark, table, v1)
+      .crossJoin(broadcast(bounds))
+      .withColumn("zval", expr(zval).cast("long"))
+      .repartitionByRange(16, $"zval").sortWithinPartitions($"zval")
+      .select($"o_orderkey", $"dy", $"cents", $"month")
+    val v2 = TxLog.commitRewrite(table,
+      TxLog.stage(optimized, table), v1, statsCols = Seq("dy", "o_orderkey"))
+    // claim 1: optimize is a pure physical relayout — CDC-certified
+    require(TxLog.cdc(spark, table, v1, v2).isEmpty,
+      "optimize must not change a single row")
+    // claim 2: it measurably bought skipping on the same predicate
+    val pruned = TxLog.readWhere(spark, table, v2, preds)
+    require(pruned.inputFiles.length < keepBefore &&
+        pruned.inputFiles.length < TxLog.files(table, v2).length,
+      s"optimize must improve pruning: $keepBefore -> " +
+        s"${pruned.inputFiles.length} of ${TxLog.files(table, v2).length}")
+    pruned.groupBy($"month")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum($"cents").cast("bigint").as("rev_cents"))
+      .orderBy("month")
+  }
+
+  // A39 — MERGE-ON-READ DELETION VECTORS THROUGH THE LOG (a17 grades
+  // the DV read ALGEBRA against synthetic positions; this key runs the
+  // real lakehouse feature on real files through the commit protocol —
+  // Delta's deletion vectors / Iceberg's delete files, the write-cheap
+  // dual of A27's COW): orders commit v1 key-clustered; a predicate
+  // delete lands as `TxLog.commitDeleteVectors` v2 — the commit stages
+  // ONE sidecar of deleted keys and republishes the manifest with
+  // `#dv#` entries on exactly the touched lines; the key REQUIRES
+  // files(v2) == files(v1) (NO data file rewritten — the entire point
+  // of MoR). CDC reads the transition as exactly the deleted rows
+  // (the dv-aware sidecar diff). Then the a6 discipline retires the
+  // read tax: a COW compaction rewrite lands as v3, and the graded
+  // output is the SAME per-priority live rollup computed from BOTH the
+  // v2 merge-on-read snapshot and the v3 compacted snapshot — MoR ≡
+  // COW, graded against one oracle recompute, plus the CDC delete side.
+  // Scale: the delete moves O(deleted keys) bytes + O(files) manifest
+  // lines where COW moves O(touched data); the read tax is an anti-join
+  // on dv'd files only; compaction cost is deferred to the maintenance
+  // window — exactly the MoR/COW tradeoff a 100 TB table schedules.
+  private val a39 = QueryDef.graded(
+    "a39_txlog_dv_delete",
+    """WITH mx AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+      |b AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderpriority,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents, o_orderkey
+      |  FROM orders),
+      |live AS (
+      |  SELECT b.* FROM b, mx
+      |  WHERE NOT (o_orderkey <= mx.mid AND o_orderkey % 13 = 5)),
+      |dead AS (
+      |  SELECT b.* FROM b, mx
+      |  WHERE o_orderkey <= mx.mid AND o_orderkey % 13 = 5),
+      |r AS (
+      |  SELECT 'v2_mor' AS side, o_orderpriority, count(*)::BIGINT AS n,
+      |    sum(cents)::BIGINT AS cents FROM live GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT 'v3_cow', o_orderpriority, count(*)::BIGINT,
+      |    sum(cents)::BIGINT FROM live GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT 'cdc_delete', o_orderpriority, count(*)::BIGINT,
+      |    sum(cents)::BIGINT FROM dead GROUP BY o_orderpriority)
+      |SELECT side, o_orderpriority, n, cents FROM r
+      |ORDER BY side, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/dv"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey".cast("string").as("k"), $"o_orderpriority",
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"),
+        $"o_orderkey")
+      .repartitionByRange(8, $"o_orderkey")
+    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    val mid = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
+    // the MoR delete: one sidecar of keys, zero data files rewritten
+    val delKeys = TxLog.read(spark, table, v1)
+      .where($"o_orderkey" <= mid && $"o_orderkey" % 13 === 5)
+      .select($"k")
+    val v2 = TxLog.commitDeleteVectors(spark, table, v1, "k", delKeys)
+    require(TxLog.files(table, v2) == TxLog.files(table, v1),
+      "a DV delete must rewrite no data file")
+    // CDC surfaces the sidecar diff as exactly the deleted rows
+    val cdc = TxLog.cdc(spark, table, v1, v2)
+    // compaction retires the read tax: COW rewrite of the merged view
+    val compacted = TxLog.readMerged(spark, table, v2)
+      .repartition(4)
+    val v3 = TxLog.commitRewrite(table, TxLog.stage(compacted, table), v2)
+    def roll(df: org.apache.spark.sql.DataFrame, side: String) = df
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum($"cents").cast("bigint").as("cents"))
+      .select(lit(side).as("side"), $"o_orderpriority", $"n", $"cents")
+    roll(TxLog.readMerged(spark, table, v2), "v2_mor")
+      .unionByName(roll(TxLog.read(spark, table, v3), "v3_cow"))
+      .unionByName(roll(cdc.where($"change" === "delete"), "cdc_delete"))
+      .orderBy("side", "o_orderpriority")
+  }
+
+  // A40 — CHANGE-FEED REPLAY (the incremental-consumption contract
+  // A26 grades for ONE transition, run as the multi-commit consumer a
+  // downstream pipeline actually is: subscribe at v1, then catch up on
+  // every later commit by reading ONLY its delta): orders land as six
+  // year-batch append commits; the consumer bootstraps from the v1
+  // snapshot and replays cdc(v, v+1) for each later version, with the
+  // key REQUIRING every incremental read to plan a scan of EXACTLY the
+  // transition's added files (inputFiles ⊆ files(v+1) ∖ files(v) — one
+  // rescanned old file fails the key, not a spec). The graded output is
+  // the per-version CUMULATIVE state rolled up FROM THE FEED — so a
+  // row lost or duplicated anywhere in the feed shows up in every
+  // later version's row — and the key also requires the final
+  // accumulated count to equal the head snapshot's (feed replay ≡
+  // state, the CDC soundness contract). Scale: catching up on a day of
+  // commits costs the day's delta files, never a table rescan — the
+  // property that makes a 100 TB table's downstream consumers viable.
+  private val a40 = QueryDef.graded(
+    "a40_txlog_changefeed",
+    """WITH o AS (
+      |  SELECT year(o_orderdate) AS yr,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders),
+      |y AS (SELECT min(yr) AS y0 FROM o),
+      |cut AS (
+      |  -- batch 6 is the remainder (years y0+5 and beyond), so the
+      |  -- version-6 cumulative covers everything
+      |  SELECT version,
+      |    CASE WHEN version = 6 THEN 10000 ELSE y0 + version - 1 END AS c
+      |  FROM (SELECT unnest(generate_series(1, 6)) AS version) v, y)
+      |SELECT cut.version,
+      |  (SELECT count(*) FROM o WHERE yr <= cut.c)::BIGINT AS n_rows,
+      |  (SELECT sum(cents) FROM o WHERE yr <= cut.c)::BIGINT AS rev_cents
+      |FROM cut
+      |ORDER BY cut.version""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.TxLog
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/feed"
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val o = Tables.orders(spark, dir)
+      .select(year($"o_orderdate").as("yr"),
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+    val y0 = o.agg(min($"yr")).head().getInt(0)
+    // six year-batch ingest commits (the corpus spans 1992–1998; batch
+    // 6 carries the remainder so every row lands)
+    var base = 0
+    for (i <- 1 to 6) {
+      val batch =
+        if (i < 6) o.where($"yr" === y0 + i - 1)
+        else o.where($"yr" >= y0 + 5)
+      base = TxLog.commit(table, TxLog.stage(batch, table), base)
+    }
+    // the consumer: bootstrap snapshot at v1, then INCREMENTAL catch-up
+    val feed = (2 to base).foldLeft(
+      TxLog.read(spark, table, 1).withColumn("v", lit(1))) { (acc, v) =>
+      val delta = TxLog.cdc(spark, table, v - 1, v)
+      // the key's own claim: the catch-up read plans ONLY the added
+      // files — never the table
+      val added = (TxLog.files(table, v).toSet --
+        TxLog.files(table, v - 1).toSet).map(p =>
+        p.replaceFirst("^file:/+", "/"))
+      require(delta.inputFiles
+          .map(_.replaceFirst("^file:/+", "/")).toSet.subsetOf(added),
+        s"transition $v read outside its delta")
+      acc.unionByName(delta.where($"change" === "insert")
+        .select($"yr", $"cents").withColumn("v", lit(v)))
+    }.localCheckpoint(true)
+    // feed replay ≡ state: the accumulated feed IS the head snapshot
+    require(feed.count() == TxLog.read(spark, table, base).count(),
+      "replaying the change feed must reconstruct the head row count")
+    // graded: cumulative state per version, computed from the feed
+    val versions = (1 to base).map(v => feed.where($"v" <= v)
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum($"cents").cast("bigint").as("rev_cents"))
+      .select(lit(v).as("version"), $"n_rows", $"rev_cents"))
+    versions.reduce(_ unionByName _).orderBy("version")
   }
 
   // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
@@ -1954,5 +2209,5 @@ object ScansFilters {
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
     a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19,
     a20, a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32, a33, a34,
-    a35, a36, a37)
+    a35, a36, a37, a38, a39, a40)
 }

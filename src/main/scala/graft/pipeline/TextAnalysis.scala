@@ -1625,6 +1625,76 @@ object TextAnalysis {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  // g101 — BPE VOCABULARY TABLE, graded (the other half of the apply
+  // path next to g100's counts: a tokenizer ships token IDS, assigned
+  // by corpus frequency — the artifact every downstream embedding/
+  // training job keys on). The trained vocab's tokenization explodes to
+  // (word, token) pairs — |vocab|-sized — and corpus token frequency is
+  // one join of the exploded corpus words against it (the g100 shape);
+  // ids are the dense frequency rank (n DESC, token — total order in
+  // both engines). Graded row = the top-50 vocabulary with ids and
+  // occurrence counts; the oracle replays the trainer (g100's chained
+  // CTEs, shared generator) and ranks the same way. Scale: everything
+  // after the histogram shuffle is vocab-sized; the rank is a ≤|vocab|-
+  // row window, never a corpus sort.
+  private val g101 = QueryDef.graded("g101_bpe_vocab", {
+    val S = "chr(1)"
+    val E = "chr(2)"
+    val rounds = (1 to bpeRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(wn)::BIGINT AS n FROM (
+         |    SELECT wn, unnest(list_zip(tk, tk[2:])) AS pr FROM (
+         |      SELECT wn, string_split(s[2:-2], $E||$S) AS tk
+         |      FROM t${i - 1}) z) u
+         |  WHERE pr[2] IS NOT NULL
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |t$i AS (
+         |  SELECT word, wn,
+         |    replace(s, $S||b.l||$E||$S||b.r||$E, $S||b.l||b.r||$E) AS s
+         |  FROM t${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |t0 AS (
+       |  SELECT word, count(*)::BIGINT AS wn,
+       |    regexp_replace(word, '(.)', $S||'\\1'||$E, 'g') AS s
+       |  FROM w WHERE length(word) >= 1 GROUP BY word),
+       |$rounds,
+       |tok AS (
+       |  SELECT word, unnest(string_split(s[2:-2], $E||$S)) AS token
+       |  FROM t$bpeRounds),
+       |freq AS (
+       |  SELECT t.token, count(*)::BIGINT AS n
+       |  FROM w JOIN tok t ON w.word = t.word
+       |  WHERE length(w.word) >= 1
+       |  GROUP BY t.token)
+       |SELECT token,
+       |  (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
+       |    AS token_id,
+       |  n
+       |FROM freq
+       |ORDER BY token_id
+       |LIMIT 50""".stripMargin
+  }) { (spark, dir) =>
+    import spark.implicits._
+    val (vocab, _) = bpeTrain(spark, dir)
+    val tok = vocab.select($"word", explode($"toks").as("token"))
+    val freq = Tables.documentsDist(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .where(length($"word") >= 1)
+      .join(broadcast(tok), Seq("word"))
+      .groupBy($"token")
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"token")
+    freq.select($"token",
+        (row_number().over(w) - 1).cast("bigint").as("token_id"), $"n")
+      .orderBy("token_id")
+      .limit(50)
+  }
+
   // g100 — BPE ENCODE, graded (the r12 verdict's #3: g99 ships the
   // trainer; this is the consumer a training-data pipeline runs DAILY —
   // tokenize every document with the learned merge table and emit
@@ -1663,5 +1733,5 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100)
+    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100, g101)
 }

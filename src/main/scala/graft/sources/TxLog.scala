@@ -593,13 +593,108 @@ object TxLog {
       if (touchedFiles.isEmpty)
         read(spark, table, base).limit(0)
       else spark.read.parquet(touchedFiles: _*)
-    val merged = touchedDf.select(dataCols.map(col): _*)
+    // schema-widening merge (Delta's mergeSchema-on-MERGE): a change
+    // batch may carry columns the target lacks — survivors take nulls
+    // there, and the commit's union schema widens so readEvolved
+    // surfaces the new column with nulls on every untouched file too
+    val have = touchedDf.columns.toSet
+    require(have.subsetOf(dataCols.toSet),
+      s"a merge may widen but never drop columns: target has " +
+        s"${have.diff(dataCols.toSet).mkString(", ")} absent from changes")
+    val changeTypes = changes.schema.fields.map(f => f.name -> f.dataType)
+      .toMap
+    val survivorCols = dataCols.map(c =>
+      if (have(c)) col(c)
+      else lit(null).cast(changeTypes(c)).as(c))
+    val merged = touchedDf
       .join(changeKeys, Seq(keyCol), "left_anti")
+      .select(survivorCols: _*)
       .unionByName(changes.where(col(opCol) === lit("upsert"))
         .select(dataCols.map(col): _*))
     val staged = stage(merged, table)
     commitManifest(table, keptLines ++ renderDataLines(staged, statsCols),
       mergedSchemaJson(schemaOf(table, base), staged), base)
+  }
+
+  /** MERGE-ON-READ DELETE through the log (Delta's deletion vectors /
+    * Iceberg's delete files — the write-cheap dual of [[commitRewrite]]'s
+    * COW delete): the commit REWRITES NO DATA FILE. It stages ONE
+    * sidecar parquet holding the deleted keys, finds the files that
+    * contain them (the mergeInto semi-join pass), and re-publishes the
+    * manifest with a `#dv#` pseudo-entry → (sidecar path, key column)
+    * added to exactly those lines; untouched lines ride verbatim.
+    * [[readMerged]] subtracts the sidecar from dv-carrying files at read
+    * time. A file that already carries a sidecar gets a MERGED one (old
+    * sidecar keys ∪ new — one DV per file per version, the Delta
+    * discipline), so stacked deletes never need a chain walk at read
+    * time. Delete cost: O(keys) sidecar write + O(files) manifest lines
+    * — a million-row delete on a 100 TB table moves megabytes; the read
+    * tax is an anti-join on the dv'd files only, and the a6/a25
+    * compaction cycle retires it (TxLogSpec law: MoR read ≡ post-COW
+    * read). Key column must be string-typed (the bloom contract) and
+    * unique per row for exact semantics. */
+  def commitDeleteVectors(spark: SparkSession, table: String, base: Int,
+      keyCol: String, deleteKeys: DataFrame): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    val touched = read(spark, table, base)
+      .withColumn("__file", input_file_name())
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => normPath(r.getString(0))).toSet
+    // prior sidecars of the touched files fold into the new one: a
+    // version's DV read is always ONE sidecar per file, never a chain
+    val priorDvs = dataLines(table, base).flatMap { l =>
+      val cut = l.indexOf('\t')
+      if (cut < 0 || !touched(normPath(l.substring(0, cut)))) None
+      else parseStats(l.substring(cut + 1)).get("#dv#").map(_._1)
+    }.distinct
+    val allKeys =
+      if (priorDvs.isEmpty) keys
+      else keys.unionByName(
+        spark.read.parquet(priorDvs: _*).select(col(keyCol))).distinct()
+    // one part file: a sidecar is small by contract (keys, not data) and
+    // a single object keeps the manifest entry and the read-side open
+    // O(1) per dv'd file group
+    val sidecar = stage(allKeys.coalesce(1), table) match {
+      case Seq(one) => one
+      case other => throw new IllegalStateException(
+        s"sidecar staging must yield one part file, got ${other.size}")
+    }
+    val lines = dataLines(table, base).map { l =>
+      val cut = l.indexOf('\t')
+      val (path, st) =
+        if (cut < 0) (l, Map.empty[String, (String, String)])
+        else (l.substring(0, cut), parseStats(l.substring(cut + 1)))
+      if (!touched(normPath(path))) l
+      else {
+        val merged = (st + ("#dv#" -> ((sidecar, keyCol)))).toSeq
+          .sortBy(_._1)
+        path + "\t" + renderStats(merged)
+      }
+    }
+    commitManifest(table, lines,
+      schemaOf(table, base).map(_.json), base)
+  }
+
+  /** Merge-on-read snapshot: dv-carrying files read minus their sidecar
+    * keys (one anti-join per distinct sidecar), clean files read as-is.
+    * The subtraction happens per sidecar GROUP, so the anti-join's build
+    * side is each sidecar's own key set — never a union of all deletes
+    * against all files. */
+  def readMerged(spark: SparkSession, table: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stats = statsOf(table, v)
+    val byDv = files(table, v).groupBy(p =>
+      stats.get(normPath(p)).flatMap(_.get("#dv#")))
+    val parts = byDv.toSeq.sortBy(_._1.map(_._1)).map {
+      case (None, fs) => spark.read.parquet(fs: _*)
+      case (Some((sidecar, keyCol)), fs) =>
+        spark.read.parquet(fs: _*).join(
+          spark.read.parquet(sidecar).select(col(keyCol)),
+          Seq(keyCol), "left_anti")
+    }
+    parts.reduceLeft(_ unionByName _)
   }
 
   private def commitManifest(table: String, all: Seq[String],
@@ -886,15 +981,42 @@ object TxLog {
     def readOrEmpty(fs: Seq[String]) =
       if (fs.isEmpty) read(spark, table, vTo).limit(0)
       else spark.read.parquet(fs: _*)
-    if (removed.isEmpty)
-      readOrEmpty(added).withColumn("change", lit("insert"))
-    else {
-      val before = readOrEmpty(removed)
-      val after = readOrEmpty(added)
-      after.exceptAll(before).withColumn("change", lit("insert"))
-        .unionByName(
-          before.exceptAll(after).withColumn("change", lit("delete")))
+    val fileDiff =
+      if (removed.isEmpty)
+        readOrEmpty(added).withColumn("change", lit("insert"))
+      else {
+        val before = readOrEmpty(removed)
+        val after = readOrEmpty(added)
+        after.exceptAll(before).withColumn("change", lit("insert"))
+          .unionByName(
+            before.exceptAll(after).withColumn("change", lit("delete")))
+      }
+    // MERGE-ON-READ transitions: a commitDeleteVectors commit changes NO
+    // file list — the change is a `#dv#` sidecar swap on shared lines.
+    // The deleted rows are recoverable exactly: (new sidecar keys ∖ old)
+    // semi-joined against the files the new sidecar governs — O(dv'd
+    // files + sidecars), the honest CDF read for a DV delete.
+    val stF = statsOf(table, vFrom)
+    val stT = statsOf(table, vTo)
+    val dvGroups = to.filter(fromSet)
+      .map(p => (stF.get(normPath(p)).flatMap(_.get("#dv#")),
+        stT.get(normPath(p)).flatMap(_.get("#dv#")), p))
+      .collect { case (o, Some(n), p) if !o.contains(n) => ((o, n), p) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq
+      .sortBy(_._1._2._1)
+    val dvDeletes = dvGroups.map { case ((oldDv, (sidecar, keyCol)), fs) =>
+      import org.apache.spark.sql.functions.col
+      val newKeys = spark.read.parquet(sidecar).select(col(keyCol))
+      val newly = oldDv match {
+        case Some((oldSc, _)) => newKeys.join(
+          spark.read.parquet(oldSc).select(col(keyCol)),
+          Seq(keyCol), "left_anti")
+        case None => newKeys
+      }
+      spark.read.parquet(fs: _*).join(newly, Seq(keyCol), "left_semi")
+        .withColumn("change", lit("delete"))
     }
+    dvDeletes.foldLeft(fileDiff)(_ unionByName _)
   }
 
   /** Garbage-collect: delete every data file not referenced by one of
@@ -926,7 +1048,12 @@ object TxLog {
          if versions.size > keepLast && isDeltaManifest(table, cut) &&
            !hasCheckpoint(table, cut))
       writeCheckpoint(table, cut)
-    val live = retained.flatMap(files(table, _)).toSet
+    // a retained version's liveness covers its DV sidecars too — a
+    // merge-on-read snapshot is unreadable without them
+    val live = retained.flatMap { v =>
+      files(table, v) ++
+        statsOf(table, v).values.flatMap(_.get("#dv#").map(_._1))
+    }.toSet.map(normPath)
     val dataRoot = new Path(table, "data")
     val fs = fsOf(dataRoot)
     val deleted = Seq.newBuilder[String]
@@ -935,7 +1062,7 @@ object TxLog {
         val parts = fs.listStatus(d.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
         val (liveParts, deadParts) =
-          parts.partition(s => live.contains(s.getPath.toString))
+          parts.partition(s => live.contains(normPath(s.getPath.toString)))
         if (liveParts.isEmpty) {
           deadParts.foreach(s => deleted += s.getPath.toString)
           fs.delete(d.getPath, true)

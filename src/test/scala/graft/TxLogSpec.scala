@@ -500,6 +500,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.cdc(spark, t, v2, v3).count() === 0)
   }
 
+  test("mergeInto widens schema: survivors take nulls in the new " +
+      "column; readEvolved surfaces it across untouched files; a merge " +
+      "never drops columns") {
+    val t = freshTable("merge_evolve")
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    val v1 = TxLog.commit(t, TxLog.stage(base, t), 0)
+    // the change batch carries a column the target lacks
+    val changes = Seq((5L, "V5", 99L, "upsert"), (60L, "NEW", 42L, "upsert"))
+      .toDF("id", "v", "extra", "op")
+    val v2 = TxLog.mergeInto(spark, t, v1, changes, "id")
+    val out = TxLog.readEvolved(spark, t, v2)
+    assert(out.columns.toSeq === Seq("id", "v", "extra"),
+      "the union schema must widen in base-then-new order")
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(byId.size === 51)
+    assert(byId(5L) === (("V5", Some(99L))))
+    assert(byId(60L) === (("NEW", Some(42L))))
+    assert(byId(6L) === (("v6", None)),
+      "a surviving row in a touched file takes null in the new column")
+    assert(byId(40L) === (("v40", None)),
+      "an untouched old-schema file surfaces the new column as null")
+    // narrowing is rejected loudly: a change batch missing a target
+    // column would silently drop data
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(spark, t, v2,
+        Seq((7L, "upsert")).toDF("id", "op"), "id")
+    }
+  }
+
   test("bloom point-lookup skipping: kept files ⊆ manifest, ⊇ the files " +
       "truly holding probes; bloom-less files always survive; rows exact") {
     val t = freshTable("bloom")
@@ -557,6 +589,52 @@ class TxLogSpec extends SparkSpec {
     assert(pr.count() === 11)
     assert(pr.inputFiles.length < TxLog.files(t2, g1).length,
       "the a-range alone must already prune")
+  }
+
+  test("deletion vectors: a DV commit rewrites no data file; stacked " +
+      "deletes merge into ONE sidecar per file; cdc yields only the " +
+      "newly deleted rows; vacuum keeps live sidecars; MoR = COW") {
+    val t = freshTable("dv")
+    val base = (1L to 100L).map(i => (s"k$i", i)).toDF("k", "n")
+      .repartitionByRange(2, $"n")
+    val v1 = TxLog.commit(t, TxLog.stage(base, t), 0)
+    val files1 = TxLog.files(t, v1)
+    // delete keys 1..10 (low file) as a DV commit
+    val v2 = TxLog.commitDeleteVectors(spark, t, v1, "k",
+      (1L to 10L).map(i => Tuple1(s"k$i")).toDF("k"))
+    assert(TxLog.files(t, v2) === files1, "no data file may be rewritten")
+    assert(TxLog.readMerged(spark, t, v2).count() === 90)
+    // the pinned pre-delete version still reads everything
+    assert(TxLog.readMerged(spark, t, v1).count() === 100)
+    // STACKED delete: keys 11..15 — the touched file's sidecar must be
+    // the MERGE of both deletes (one dv per file, no chain at read time)
+    val v3 = TxLog.commitDeleteVectors(spark, t, v2, "k",
+      (11L to 15L).map(i => Tuple1(s"k$i")).toDF("k"))
+    assert(TxLog.readMerged(spark, t, v3).count() === 85)
+    val dv3 = TxLog.statsOf(t, v3).values.flatMap(_.get("#dv#")).toSeq
+    assert(dv3.map(_._1).distinct.size === 1,
+      "stacked deletes must fold into one sidecar")
+    assert(spark.read.parquet(dv3.head._1).count() === 15)
+    // dv-aware CDC: v2->v3 surfaces ONLY the newly deleted rows
+    val cdc23 = TxLog.cdc(spark, t, v2, v3)
+      .select($"k", $"change").as[(String, String)].collect().toSet
+    assert(cdc23 === (11L to 15L).map(i => (s"k$i", "delete")).toSet)
+    // COW compaction retires the read tax and preserves content exactly
+    val v4 = TxLog.commitRewrite(t,
+      TxLog.stage(TxLog.readMerged(spark, t, v3).repartition(1), t), v3)
+    assert(TxLog.read(spark, t, v4).as[(String, Long)].collect().toSet ===
+      TxLog.readMerged(spark, t, v3).as[(String, Long)].collect().toSet,
+      "MoR and post-COW snapshots must agree")
+    // vacuum keeping v3+v4: v3's sidecar is LIVE (its MoR read needs it)
+    TxLog.vacuum(t, keepLast = 2)
+    assert(TxLog.readMerged(spark, t, v3).count() === 85,
+      "a retained MoR version must survive vacuum with its sidecar")
+    // vacuum to the COW head alone: the sidecar is garbage and goes
+    val swept = TxLog.vacuum(t, keepLast = 1)
+    assert(swept.contains(dv3.head._1.replaceFirst("^file:/+", "/")) ||
+        swept.contains(dv3.head._1),
+      s"the expired sidecar must be reclaimed: $swept")
+    assert(TxLog.read(spark, t, v4).count() === 85)
   }
 
   test("a pinned partitioned index reads only its own version's files, " +

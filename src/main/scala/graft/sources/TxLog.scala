@@ -446,6 +446,7 @@ object TxLog {
       preds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readWhere needs at least one predicate")
+    requireNoDv(table, v, "readWhere")
     val stats = statsOf(table, v)
     val keep = files(table, v).filter { p =>
       val st = stats.get(normPath(p))
@@ -479,6 +480,7 @@ object TxLog {
       column: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keys.nonEmpty, "readKeys needs at least one probe key")
+    requireNoDv(table, v, "readKeys")
     import spark.implicits._
     val probes: Array[Array[Int]] = keys.toDF("k")
       .select(bloomPositions(col("k")).as("ps"))
@@ -508,6 +510,16 @@ object TxLog {
       stats.get(normPath(p)).flatMap(_.get("#rows#")).map(_._1.toLong))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
+
+  /** Raw-file readers must refuse a DV-carrying version LOUDLY: reading
+    * the files without subtracting the sidecars would silently
+    * RESURRECT deleted rows — the worst failure mode a delete can have.
+    * [[readMerged]] is the MoR-aware read; a COW compaction ([[a6]]'s
+    * cycle) retires the sidecars and re-opens the raw readers. */
+  private def requireNoDv(table: String, v: Int, what: String): Unit =
+    require(!statsOf(table, v).values.exists(_.contains("#dv#")),
+      s"$what reads raw files and version $v of $table carries deletion " +
+        "vectors — use readMerged, or compact the DVs away first")
 
   /** The pruned-read scaffold shared by readWhere/readKeys: the kept
     * files, or a correctly-typed empty frame when pruning removed all. */
@@ -575,6 +587,7 @@ object TxLog {
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
     require(dataCols.contains(keyCol),
       s"changes must carry the merge key $keyCol")
+    requireNoDv(table, base, "mergeInto")
     val changeKeys = changes.select(col(keyCol)).distinct()
     // pass 1: which files contain a matched key (semi join collapses to
     // one row per touched file — driver traffic is O(files), not O(keys))
@@ -684,6 +697,7 @@ object TxLog {
     * against all files. */
   def readMerged(spark: SparkSession, table: String, v: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(files(table, v).nonEmpty, s"version $v of $table has no files")
     val stats = statsOf(table, v)
     val byDv = files(table, v).groupBy(p =>
       stats.get(normPath(p)).flatMap(_.get("#dv#")))

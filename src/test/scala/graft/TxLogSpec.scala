@@ -637,6 +637,31 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t, v4).count() === 85)
   }
 
+  test("raw-file readers refuse a DV-carrying version loudly — reading " +
+      "around the sidecar would resurrect deleted rows") {
+    val t = freshTable("dv_guard")
+    val v1 = TxLog.commit(t,
+      TxLog.stage((1L to 20L).map(i => (s"k$i", i)).toDF("k", "n"), t), 0,
+      statsCols = Seq("n"), bloomCols = Seq("k"))
+    val v2 = TxLog.commitDeleteVectors(spark, t, v1, "k",
+      Seq(Tuple1("k3")).toDF("k"))
+    intercept[IllegalArgumentException](
+      TxLog.readWhere(spark, t, v2, "n", "1", "10"))
+    intercept[IllegalArgumentException](
+      TxLog.readKeys(spark, t, v2, "k", Seq("k3")))
+    intercept[IllegalArgumentException](
+      TxLog.mergeInto(spark, t, v2,
+        Seq(("k5", 99L, "upsert")).toDF("k", "n", "op"), "k"))
+    // the pre-DV version stays fully readable through every path
+    assert(TxLog.readWhere(spark, t, v1, "n", "1", "10").count() === 10)
+    assert(TxLog.readKeys(spark, t, v1, "k", Seq("k3")).count() === 1)
+    // and compaction re-opens them
+    val v3 = TxLog.commitRewrite(t,
+      TxLog.stage(TxLog.readMerged(spark, t, v2), t), v2,
+      statsCols = Seq("n"))
+    assert(TxLog.readWhere(spark, t, v3, "n", "1", "10").count() === 9)
+  }
+
   test("a pinned partitioned index reads only its own version's files, " +
       "and a partition filter prunes inside the pinned list") {
     val t = freshTable("pindex")

@@ -2333,6 +2333,15 @@ object EventTime {
   // shared text) and keeps those closed before the SAME cut, stated as
   // ms-truncated watermark arithmetic (Spark's watermark is
   // ms-precision — the h46 advice fix, applied here from birth).
+  // Boundary notes: (a) the lag rule's `> 1 HOUR` matches Spark's
+  // session merge EXACTLY — session_window merges at a gap of exactly
+  // one timeout (inclusive; probed empirically, pinned by
+  // StreamingSpec's "gap exactly equal to the timeout MERGES" law), so
+  // a new session starts iff the gap STRICTLY exceeds it; (b) a session
+  // whose close lands exactly ON the ms-truncated watermark is the
+  // remaining measure-zero boundary (strict `<` here vs the engine's
+  // eviction comparison) — deterministic per corpus, and weeks of
+  // daylight separate every fixture session from the cut.
   // StreamingSpec holds the counter-law (an effectively-infinite delay
   // finalizes nothing: zero rows from the same drain). Scale:
   // gap-session state is bounded by OPEN sessions per key — the

@@ -1520,10 +1520,15 @@ object TextAnalysis {
     * encoder (g100) and their oracles/laws. */
   private[graft] val bpeRounds = 10
 
-  // One training run per (JVM, corpus dir): the trainer is deterministic
-  // and the corpora immutable (the trainedCodebook read-only-corpus
-  // contract), so g99 and g100 share one run — the vocab rides as a
-  // localCheckpointed frame, the merges as driver rows.
+  // One training run per (SparkContext, corpus dir): the trainer is
+  // deterministic and the corpora immutable (the trainedCodebook
+  // read-only-corpus contract), so g99/g100/g101 share one run — the
+  // vocab rides as a localCheckpointed frame, the merges as driver
+  // rows. The cache key INCLUDES the application id because a
+  // localCheckpointed frame holds RDD blocks of ITS SparkContext: a
+  // later session in the same JVM must retrain, not dereference a
+  // stopped context's blocks (unlike cbookCache, whose values are plain
+  // driver arrays and survive session turnover).
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)])]()
 
@@ -1535,7 +1540,9 @@ object TextAnalysis {
   private[graft] def bpeTrain(spark: org.apache.spark.sql.SparkSession,
       dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) =
-    bpeCache.computeIfAbsent(dir, d => {
+    bpeCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir", _ => {
+      val d = dir
       import spark.implicits._
       var words = Tables.documentsDist(spark, d)
         .select(explode(split($"text", " ")).as("word"))
@@ -1579,16 +1586,36 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  /** g100's oracle: the ENTIRE training loop replayed in SQL. Each
-    * word's tokenization is a string of wrapped tokens
-    * `<0x01>tok<0x02>…`, where the control-char brackets make a merge
-    * pattern match ONLY at token boundaries; one `replace()` call per
-    * round IS the greedy left-to-right non-overlapping merge fold
-    * (leftmost-match-continue-after semantics — verified equal to
-    * bpeMerge's fold on the corpus), and the per-round argmax is the
-    * same (n DESC, l, r) weighted pair count as the trainer's. Chained
-    * t0→t10 CTEs; final token count per word = its `<0x01>` count. */
-  private def g100Oracle: String = {
+  /** g100's oracle: [[bpeOracle]]'s replayed trainer + the per-doc
+    * encode rollup; final token count per word = its `<0x01>` count. */
+  private def g100Oracle: String = bpeOracle(
+    """,
+      |v AS (
+      |  SELECT word,
+      |    length(s) - length(replace(s, <S>, '')) AS n_toks
+      |  FROM <tN>)
+      |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+      |  sum(v.n_toks)::BIGINT AS n_tokens
+      |FROM w JOIN v ON w.word = v.word
+      |WHERE length(w.word) >= 1
+      |GROUP BY w.doc_id
+      |ORDER BY w.doc_id""".stripMargin)
+
+  /** The shared WITH-prefix of the g100/g101 oracles: the ENTIRE
+    * 10-round trainer replayed in SQL. Each word's tokenization is a
+    * string of wrapped tokens `<0x01>tok<0x02>…` — the control-char
+    * brackets make a merge pattern match ONLY at token boundaries, so
+    * one `replace()` per round IS the greedy left-to-right
+    * non-overlapping merge fold (leftmost-match-continue-after
+    * semantics, verified equal to [[bpeMerge]]'s fold); the per-round
+    * argmax is the trainer's (n DESC, l, r) weighted pair count. The
+    * char wrap runs under RE2's `(?s)` dotall flag — a bare `.` skips
+    * newlines, and a word containing one would silently mis-wrap
+    * (review finding, r13). ONE generator feeds both oracles so the
+    * replayed trainer can never fork between them. `finalSelect` runs
+    * with `w` (doc words) and `t<bpeRounds>` (final vocab strings) in
+    * scope. */
+  private def bpeOracle(finalSelect: String): String = {
     val S = "chr(1)"
     val E = "chr(2)"
     val rounds = (1 to bpeRounds).map { i =>
@@ -1610,19 +1637,12 @@ object TextAnalysis {
        |  FROM documents),
        |t0 AS (
        |  SELECT word, count(*)::BIGINT AS wn,
-       |    regexp_replace(word, '(.)', $S||'\\1'||$E, 'g') AS s
+       |    regexp_replace(word, '(?s)(.)', $S||'\\1'||$E, 'g') AS s
        |  FROM w WHERE length(word) >= 1 GROUP BY word),
-       |$rounds,
-       |v AS (
-       |  SELECT word,
-       |    length(s) - length(replace(s, $S, '')) AS n_toks
-       |  FROM t$bpeRounds)
-       |SELECT w.doc_id, count(*)::BIGINT AS n_words,
-       |  sum(v.n_toks)::BIGINT AS n_tokens
-       |FROM w JOIN v ON w.word = v.word
-       |WHERE length(w.word) >= 1
-       |GROUP BY w.doc_id
-       |ORDER BY w.doc_id""".stripMargin
+       |$rounds
+       |$finalSelect""".stripMargin
+      .replace("<S>", S).replace("<E>", E)
+      .replace("<tN>", s"t$bpeRounds")
   }
 
   // g101 — BPE VOCABULARY TABLE, graded (the other half of the apply
@@ -1637,47 +1657,23 @@ object TextAnalysis {
   // CTEs, shared generator) and ranks the same way. Scale: everything
   // after the histogram shuffle is vocab-sized; the rank is a ≤|vocab|-
   // row window, never a corpus sort.
-  private val g101 = QueryDef.graded("g101_bpe_vocab", {
-    val S = "chr(1)"
-    val E = "chr(2)"
-    val rounds = (1 to bpeRounds).map { i =>
-      s"""p$i AS (
-         |  SELECT pr[1] AS l, pr[2] AS r, sum(wn)::BIGINT AS n FROM (
-         |    SELECT wn, unnest(list_zip(tk, tk[2:])) AS pr FROM (
-         |      SELECT wn, string_split(s[2:-2], $E||$S) AS tk
-         |      FROM t${i - 1}) z) u
-         |  WHERE pr[2] IS NOT NULL
-         |  GROUP BY 1, 2),
-         |b$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |t$i AS (
-         |  SELECT word, wn,
-         |    replace(s, $S||b.l||$E||$S||b.r||$E, $S||b.l||b.r||$E) AS s
-         |  FROM t${i - 1}, b$i b)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH w AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |t0 AS (
-       |  SELECT word, count(*)::BIGINT AS wn,
-       |    regexp_replace(word, '(.)', $S||'\\1'||$E, 'g') AS s
-       |  FROM w WHERE length(word) >= 1 GROUP BY word),
-       |$rounds,
-       |tok AS (
-       |  SELECT word, unnest(string_split(s[2:-2], $E||$S)) AS token
-       |  FROM t$bpeRounds),
-       |freq AS (
-       |  SELECT t.token, count(*)::BIGINT AS n
-       |  FROM w JOIN tok t ON w.word = t.word
-       |  WHERE length(w.word) >= 1
-       |  GROUP BY t.token)
-       |SELECT token,
-       |  (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
-       |    AS token_id,
-       |  n
-       |FROM freq
-       |ORDER BY token_id
-       |LIMIT 50""".stripMargin
-  }) { (spark, dir) =>
+  private val g101 = QueryDef.graded("g101_bpe_vocab", bpeOracle(
+    """,
+      |tok AS (
+      |  SELECT word, unnest(string_split(s[2:-2], <E>||<S>)) AS token
+      |  FROM <tN>),
+      |freq AS (
+      |  SELECT t.token, count(*)::BIGINT AS n
+      |  FROM w JOIN tok t ON w.word = t.word
+      |  WHERE length(w.word) >= 1
+      |  GROUP BY t.token)
+      |SELECT token,
+      |  (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
+      |    AS token_id,
+      |  n
+      |FROM freq
+      |ORDER BY token_id
+      |LIMIT 50""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
     val (vocab, _) = bpeTrain(spark, dir)
     val tok = vocab.select($"word", explode($"toks").as("token"))

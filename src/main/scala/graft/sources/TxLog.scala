@@ -390,7 +390,11 @@ object TxLog {
   }
 
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
-    * files, whatever has committed since. */
+    * files, whatever has committed since. RAW by contract — deletion
+    * vectors are NOT subtracted here (cdc's internal empty-frame scaffold
+    * and the pre-DV keys depend on the raw view); [[readMerged]] is the
+    * MoR-aware read, and the guardable public readers (readEvolved,
+    * readWhere, readKeys, mergeInto) refuse DV versions loudly. */
   def read(spark: SparkSession, table: String, v: Int): DataFrame =
     spark.read.parquet(files(table, v): _*)
 
@@ -409,7 +413,8 @@ object TxLog {
     * (v1-format) manifest falls back to the mergeSchema footer pass.
     * [[read]] deliberately stays schema-free (footer sampling — correct
     * for homogeneous tables and independent of manifest vintage). */
-  def readEvolved(spark: SparkSession, table: String, v: Int): DataFrame =
+  def readEvolved(spark: SparkSession, table: String, v: Int): DataFrame = {
+    requireNoDv(table, v, "readEvolved")
     schemaOf(table, v) match {
       case Some(s) =>
         val nullable = org.apache.spark.sql.types.StructType(
@@ -419,6 +424,7 @@ object TxLog {
         spark.read.option("mergeSchema", "true")
           .parquet(files(table, v): _*)
     }
+  }
 
   /** STATS-PRUNED snapshot read (data skipping through the log): keep
     * only the manifest files whose persisted [min, max] for `column`
@@ -582,7 +588,7 @@ object TxLog {
     * makes reading it O(touched) too. */
   def mergeInto(spark: SparkSession, table: String, base: Int,
       changes: DataFrame, keyCol: String, opCol: String = "op",
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
     require(dataCols.contains(keyCol),
@@ -602,10 +608,23 @@ object TxLog {
     // pass 2: rewrite ONLY the touched rows — survivors (anti join on
     // the key) ⊎ the change batch's upsert rows (matched updates AND
     // not-matched inserts in one leg)
-    val touchedDf =
-      if (touchedFiles.isEmpty)
-        read(spark, table, base).limit(0)
-      else spark.read.parquet(touchedFiles: _*)
+    // read the touched files under the MANIFEST schema (the readEvolved
+    // discipline): with footer sampling, a schema-evolved table's
+    // touched set mixing old and new vintages would take whichever
+    // footer Spark sampled — and survivors from wide files would lose
+    // their real values to the null-fill, nondeterministically
+    val touchedDf = {
+      val raw =
+        if (touchedFiles.isEmpty) read(spark, table, base).limit(0)
+        else spark.read.parquet(touchedFiles: _*)
+      schemaOf(table, base) match {
+        case Some(s) if touchedFiles.nonEmpty =>
+          val nullable = org.apache.spark.sql.types.StructType(
+            s.fields.map(_.copy(nullable = true)))
+          spark.read.schema(nullable).parquet(touchedFiles: _*)
+        case _ => raw
+      }
+    }
     // schema-widening merge (Delta's mergeSchema-on-MERGE): a change
     // batch may carry columns the target lacks — survivors take nulls
     // there, and the commit's union schema widens so readEvolved
@@ -625,7 +644,8 @@ object TxLog {
       .unionByName(changes.where(col(opCol) === lit("upsert"))
         .select(dataCols.map(col): _*))
     val staged = stage(merged, table)
-    commitManifest(table, keptLines ++ renderDataLines(staged, statsCols),
+    commitManifest(table,
+      keptLines ++ renderDataLines(staged, statsCols, bloomCols),
       mergedSchemaJson(schemaOf(table, base), staged), base)
   }
 
@@ -696,19 +716,26 @@ object TxLog {
     * side is each sidecar's own key set — never a union of all deletes
     * against all files. */
   def readMerged(spark: SparkSession, table: String, v: Int): DataFrame = {
-    import org.apache.spark.sql.functions.col
     require(files(table, v).nonEmpty, s"version $v of $table has no files")
+    mergedRead(spark, table, v, files(table, v))
+  }
+
+  /** The DV-subtracting read over a FILE SUBSET of version v: dv-free
+    * files read raw, each sidecar group anti-joined against its own
+    * sidecar keys. Shared by [[readMerged]] (the whole version) and
+    * [[cdc]]'s rewrite diff (the removed/added sides). */
+  private def mergedRead(spark: SparkSession, table: String, v: Int,
+      fs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val stats = statsOf(table, v)
-    val byDv = files(table, v).groupBy(p =>
-      stats.get(normPath(p)).flatMap(_.get("#dv#")))
-    val parts = byDv.toSeq.sortBy(_._1.map(_._1)).map {
-      case (None, fs) => spark.read.parquet(fs: _*)
-      case (Some((sidecar, keyCol)), fs) =>
-        spark.read.parquet(fs: _*).join(
-          spark.read.parquet(sidecar).select(col(keyCol)),
-          Seq(keyCol), "left_anti")
-    }
-    parts.reduceLeft(_ unionByName _)
+    fs.groupBy(p => stats.get(normPath(p)).flatMap(_.get("#dv#")))
+      .toSeq.sortBy(_._1.map(_._1)).map {
+        case (None, g) => spark.read.parquet(g: _*)
+        case (Some((sidecar, keyCol)), g) =>
+          spark.read.parquet(g: _*).join(
+            spark.read.parquet(sidecar).select(col(keyCol)),
+            Seq(keyCol), "left_anti")
+      }.reduceLeft(_ unionByName _)
   }
 
   private def commitManifest(table: String, all: Seq[String],
@@ -995,12 +1022,20 @@ object TxLog {
     def readOrEmpty(fs: Seq[String]) =
       if (fs.isEmpty) read(spark, table, vTo).limit(0)
       else spark.read.parquet(fs: _*)
+    // a rewrite's content diff must compare MERGED views: a removed
+    // file that carried a deletion vector contributes only its live
+    // rows — reading it raw would re-report every DV-deleted row as a
+    // spurious 'delete' when a compaction retires the sidecars (and
+    // break the pure-compaction-yields-zero-rows law on MoR tables)
+    def mergedSide(fs: Seq[String], v: Int): DataFrame =
+      if (fs.isEmpty) readOrEmpty(fs)
+      else mergedRead(spark, table, v, fs)
     val fileDiff =
       if (removed.isEmpty)
-        readOrEmpty(added).withColumn("change", lit("insert"))
+        mergedSide(added, vTo).withColumn("change", lit("insert"))
       else {
-        val before = readOrEmpty(removed)
-        val after = readOrEmpty(added)
+        val before = mergedSide(removed, vFrom)
+        val after = mergedSide(added, vTo)
         after.exceptAll(before).withColumn("change", lit("insert"))
           .unionByName(
             before.exceptAll(after).withColumn("change", lit("delete")))

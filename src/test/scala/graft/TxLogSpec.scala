@@ -625,6 +625,11 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t, v4).as[(String, Long)].collect().toSet ===
       TxLog.readMerged(spark, t, v3).as[(String, Long)].collect().toSet,
       "MoR and post-COW snapshots must agree")
+    // ... and CDC certifies that compaction as a logical no-op: the
+    // rewrite diff compares MERGED views, so the sidecar-deleted rows
+    // are not re-reported as spurious deletes (r13 review finding)
+    assert(TxLog.cdc(spark, t, v3, v4).count() === 0,
+      "compacting DVs away must read as a pure relayout in CDC")
     // vacuum keeping v3+v4: v3's sidecar is LIVE (its MoR read needs it)
     TxLog.vacuum(t, keepLast = 2)
     assert(TxLog.readMerged(spark, t, v3).count() === 85,

@@ -105,9 +105,9 @@ def main():
         # round-9/12 notes; d2 tripped the 2x wire at r12 with UNTOUCHED
         # code), so a ratio alone is not evidence there — require a
         # half-second of absolute movement too before flagging. Keys at
-        # >= 1s keep the pure ratio gate: real regressions on real work
-        # move whole seconds.
-        if ratio >= thresh and (n - o) >= 0.5:
+        # >= 1s keep the pure ratio gate (so a caller-lowered threshold
+        # still catches e.g. a 20% regression on a multi-second key).
+        if ratio >= thresh and (o >= 1.0 or (n - o) >= 0.5):
             movers.append((ratio, k, o, n))
     for ratio, k, o, n in sorted(movers, reverse=True):
         flagged = True

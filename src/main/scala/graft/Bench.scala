@@ -38,6 +38,42 @@ object Bench {
     }
   }
 
+  /** Fold one pass outcome into the best-known outcome for a key: min of
+    * any successful time (sandbox weather only ever ADDS time), error
+    * only while EVERY pass so far failed — first error kept. The same
+    * law [[mergePasses]] applies batch-wise, factored out so the
+    * incremental emitter below provably implements it. */
+  private[graft] def mergeOutcome(
+      prev: Option[Either[String, Double]],
+      next: Either[String, Double]): Either[String, Double] =
+    (prev, next) match {
+      case (Some(Right(a)), Right(b)) => Right(a min b)
+      case (Some(Right(a)), Left(_))  => Right(a)
+      case (Some(Left(_)), Right(b))  => Right(b)
+      case (Some(l @ Left(_)), Left(_)) => l
+      case (None, o) => o
+    }
+
+  /** KILL-SURVIVABLE emission (the r13 incident: the driver's 3600 s
+    * `timeout` SIGTERMed the old end-of-suite emission and the round
+    * lost ALL per-key numbers — `rc: 124, parsed: null`): the bench
+    * re-renders and prints the full (line1, line2) pair after EVERY
+    * completed key. The driver keeps only the TAIL of stdout, so the
+    * last COMPLETE pair always parses whatever instant the kill lands —
+    * a mid-suite SIGTERM costs at most the one key in flight, never the
+    * round. Instantiated once per bench run; `record` returns the pair
+    * to print so BenchProtocolSpec can replay arbitrary truncations. */
+  private[graft] final class Emitter(sfDir: String, repeats: Int) {
+    private val best = scala.collection.mutable.LinkedHashMap
+      .empty[String, Either[String, Double]]
+    def record(name: String,
+        outcome: Either[String, Double]): (String, String) = {
+      best(name) = mergeOutcome(best.get(name), outcome)
+      renderLines(best.toSeq, sfDir, repeats)
+    }
+    def results: Seq[(String, Either[String, Double])] = best.toSeq
+  }
+
   private[graft] def renderLines(
       results: Seq[(String, Either[String, Double])],
       sfDir: String,
@@ -79,35 +115,37 @@ object Bench {
       SparkEntry.queries("c1_join_broadcast")(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("e1_win_rank")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
-    def runPass(): Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val outcome =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable =>
-            // first line of the exception is the actionable part; the full
-            // stack goes to stderr so the stdout protocol stays two-line
-            e.printStackTrace()
-            Some(s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").linesIterator
-                .take(1).mkString.take(200))
-          }
-        // drop per-query persist()ed blocks BEFORE taking the time, so the
-        // unpersist cost is counted against the query that cached — fair,
-        // since a lone run would pay it too — and the suite's memory
-        // footprint stays flat
-        spark.catalog.clearCache()
-        val dt = (System.nanoTime() - t0) / 1e9
-        name -> outcome.toLeft(dt)
-      }
     // r9 judge protocol: two back-to-back passes, per-key MIN recorded,
     // so round-over-round diffs stop absorbing sandbox weather
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2")
       .toInt.max(1)
-    val results = mergePasses((1 to repeats).map(_ => runPass()))
-    val (line1, line2) = renderLines(results, sfDir, repeats)
-    println(line1)
-    println(line2)
+    val emitter = new Emitter(sfDir, repeats)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    for (_ <- 1 to repeats; (name, fn) <- sorted) {
+      val t0 = System.nanoTime()
+      val outcome =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          // first line of the exception is the actionable part; the full
+          // stack goes to stderr so the stdout protocol stays two-line
+          e.printStackTrace()
+          Some(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator
+              .take(1).mkString.take(200))
+        }
+      // drop per-query persist()ed blocks BEFORE taking the time, so the
+      // unpersist cost is counted against the query that cached — fair,
+      // since a lone run would pay it too — and the suite's memory
+      // footprint stays flat
+      spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // print the protocol pair NOW (kill-survivability — see Emitter):
+      // a SIGTERM between keys leaves the last complete pair in the tail
+      val (line1, line2) = emitter.record(name, outcome.toLeft(dt))
+      println(line1)
+      println(line2)
+      Console.out.flush()
+    }
     spark.stop()
   }
 }

@@ -577,24 +577,25 @@ object ScansFilters {
       |  WHERE st <> 'F'
       |ORDER BY version""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.TxLog
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val table =
-      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/history"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    import graft.sources.{TxFixtures, TxLog}
     val o = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderdate", $"o_orderstatus",
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
-    val v1 = TxLog.commit(table,
-      TxLog.stage(o.where(year($"o_orderdate") < 1996), table), 0)
-    val v2 = TxLog.commit(table,
-      TxLog.stage(o.where(year($"o_orderdate") >= 1996), table), v1)
-    val v3 = TxLog.commitRewrite(table,
-      TxLog.stage(TxLog.read(spark, table, v2).repartition(4), table), v2)
-    val v4 = TxLog.commitRewrite(table,
-      TxLog.stage(TxLog.read(spark, table, v3)
-        .where($"o_orderstatus" =!= "F"), table), v3)
-    require(v4 == 4, s"lifecycle must land as v1..v4, head = $v4")
+    // the 4-version lifecycle is read-only after its build, so the whole
+    // chain is a shared per-JVM fixture (TxFixtures — the r13 bench-wall
+    // item); each graded read still plans from its own pinned manifest
+    val (table, head) = TxFixtures.table(spark, dir, "history") { t =>
+      val v1 = TxLog.commit(t,
+        TxLog.stage(o.where(year($"o_orderdate") < 1996), t), 0)
+      val v2 = TxLog.commit(t,
+        TxLog.stage(o.where(year($"o_orderdate") >= 1996), t), v1)
+      val v3 = TxLog.commitRewrite(t,
+        TxLog.stage(TxLog.read(spark, t, v2).repartition(4), t), v2)
+      TxLog.commitRewrite(t,
+        TxLog.stage(TxLog.read(spark, t, v3)
+          .where($"o_orderstatus" =!= "F"), t), v3)
+    }
+    require(head == 4, s"lifecycle must land as v1..v4, head = $head")
     (1 to 4).map { v =>
       TxLog.read(spark, table, v)
         .agg(count(lit(1)).cast("bigint").as("n_rows"),
@@ -660,16 +661,19 @@ object ScansFilters {
       |GROUP BY side, o_orderpriority
       |ORDER BY side, o_orderpriority""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.TxLog
+    import graft.sources.{TxFixtures, TxLog}
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/merge"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
     val base = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
       .repartitionByRange(8, $"o_orderkey")
-    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0,
-      statsCols = Seq("o_orderkey"))
+    // base-as-v1 is staged once per JVM and shallow-cloned here; the
+    // merge cycle below still commits fresh on this invocation's own log
+    val v1 = TxFixtures.cloneV1(spark, dir, "orders_rbr8_keystats", table) {
+      t => TxLog.commit(t, TxLog.stage(base, t), 0,
+        statsCols = Seq("o_orderkey"))
+    }
     // one-row driver fetch driving the change-batch split — control
     // flow, not data (the a23 precedent, restated in the oracle)
     val mk = Tables.orders(spark, dir)
@@ -744,7 +748,7 @@ object ScansFilters {
       |FROM o GROUP BY o_orderpriority
       |ORDER BY version, o_orderpriority""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.{CasLog, TxLog}
+    import graft.sources.{CasLog, TxFixtures, TxLog}
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_caslog")}/$sfTag/orders"
@@ -755,14 +759,19 @@ object ScansFilters {
     val o = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_orderpriority",
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
-    val v1 = CasLog.commit(table,
-      TxLog.stage(o.where($"o_orderkey" % 3 =!= 0), table), 0)
+    // the graded act here is the CAS protocol, not the staging: the
+    // immutable part files are staged once per JVM (TxFixtures.staged)
+    // and each invocation re-runs its own commit cycle over them
+    val stagedBase = TxFixtures.staged(spark, dir, "cas_base")(t =>
+      TxLog.stage(o.where($"o_orderkey" % 3 =!= 0), t))
+    val stagedDelta = TxFixtures.staged(spark, dir, "cas_delta")(t =>
+      TxLog.stage(o.where($"o_orderkey" % 3 === 0), t))
+    val v1 = CasLog.commit(table, stagedBase, 0)
     // the reader pins the immutable catalog entry — version + manifest
     // object; later CAS advances can never mutate what it resolves
     val pinned = CasLog.head(table).get
     require(pinned.version == v1)
-    val v2 = CasLog.commit(table,
-      TxLog.stage(o.where($"o_orderkey" % 3 === 0), table), v1)
+    val v2 = CasLog.commit(table, stagedDelta, v1)
     require(v2 == v1 + 1 && CasLog.head(table).get.version == v2)
     def report(df: org.apache.spark.sql.DataFrame, v: Int) = df
       .groupBy($"o_orderpriority")
@@ -806,24 +815,36 @@ object ScansFilters {
       |FROM cat c JOIN probes p ON c.fp = p.fp
       |ORDER BY c.fp""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.TxLog
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val table =
-      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/bloom"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    import graft.sources.{TxFixtures, TxLog}
     val cat = Tables.documentsDist(spark, dir)
       .select($"doc_id", md5($"text").as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    // the bloom catalog is read-only after its commit, so it is a shared
+    // per-JVM fixture; the point-lookup probe below runs per invocation.
     // ~64 keys/file (FP rate ≈ 6e-8 at the 16 Kibit sizing); HASH
     // partitioning makes the layout key-random on purpose — range stats
     // must NOT be what prunes here. |files| ≈ nCat/64 vs |probes| ≈
     // nCat/101 keeps the prune requirement satisfiable even if every
     // probe lands in its own file.
-    val nCat = cat.count()
-    val nFiles = math.max(4, math.ceil(nCat / 64.0).toInt)
-    val v1 = TxLog.commit(table,
-      TxLog.stage(cat.repartition(nFiles, $"fp"), table), 0,
-      bloomCols = Seq("fp"))
+    val (table, v1) = TxFixtures.table(spark, dir, "bloom_fp") { t =>
+      val nCat = cat.count()
+      val nFiles = math.max(4, math.ceil(nCat / 64.0).toInt)
+      // Spark 4's planned write + AQE coalesces even a user-numbered
+      // HASH repartition in the write job when the batch is tiny (range
+      // repartitions survive), which would fold the whole catalog into
+      // ONE file and make the prune-strictness require unsatisfiable —
+      // before r14 this key's multi-file layout survived only when an
+      // earlier key happened to lower the session's advisory partition
+      // size (order-dependent). The fixture IS its physical layout, so
+      // pin it: planned write off for exactly this staging write.
+      val saved = spark.conf.get("spark.sql.optimizer.plannedWrite.enabled")
+      spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+      try TxLog.commit(t,
+        TxLog.stage(cat.repartition(nFiles, $"fp"), t), 0,
+        bloomCols = Seq("fp"))
+      finally
+        spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", saved)
+    }
     // the probe set: a driver-side key list by nature (the point-lookup
     // API contract) — ~n/101 fingerprints, restated in the oracle
     val probes = Tables.documentsDist(spark, dir)
@@ -880,35 +901,35 @@ object ScansFilters {
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.{Formats, TxLog}
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag"
-    val factT = s"$root/cbo_fact"
-    val dimT = s"$root/cbo_dim"
-    graft.sources.TmpDirs.rmTree(new java.io.File(factT))
-    graft.sources.TmpDirs.rmTree(new java.io.File(dimT))
+    import graft.sources.{Formats, TxFixtures, TxLog}
     val f0 = Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_custkey",
         datediff($"o_orderdate", lit("1970-01-01")).cast("bigint").as("dy"),
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
     // a13's z-order layout: every staged file bounded in BOTH dims, so
-    // two-column min/max stats are tight enough to prune conjunctively
-    val bounds = f0.agg(
-      min($"dy").as("alo"), max($"dy").as("ahi"),
-      min($"o_orderkey").as("blo"), max($"o_orderkey").as("bhi"))
-    val zval = Formats.zInterleave8(
-      s"(${Formats.zNormalize("dy", "alo", "ahi", "div")})",
-      s"(${Formats.zNormalize("o_orderkey", "blo", "bhi", "div")})")
-    val fact = f0.crossJoin(broadcast(bounds))
-      .withColumn("zval", expr(zval).cast("long"))
-      .repartitionByRange(16, $"zval").sortWithinPartitions($"zval")
-      .select($"o_orderkey", $"o_custkey", $"dy", $"cents")
-    val fv = TxLog.commit(factT, TxLog.stage(fact, factT), 0,
-      statsCols = Seq("dy", "o_orderkey"))
-    val dim = Tables.customer(spark, dir)
-      .select($"c_custkey", $"c_mktsegment")
-    val dv = TxLog.commit(dimT, TxLog.stage(dim, dimT), 0,
-      statsCols = Seq("c_custkey"))
+    // two-column min/max stats are tight enough to prune conjunctively.
+    // Both tables are read-only after their commit — shared fixtures;
+    // the pruned read, the CBO election and the join run per invocation.
+    val (factT, fv) = TxFixtures.table(spark, dir, "cbo_fact") { t =>
+      val bounds = f0.agg(
+        min($"dy").as("alo"), max($"dy").as("ahi"),
+        min($"o_orderkey").as("blo"), max($"o_orderkey").as("bhi"))
+      val zval = Formats.zInterleave8(
+        s"(${Formats.zNormalize("dy", "alo", "ahi", "div")})",
+        s"(${Formats.zNormalize("o_orderkey", "blo", "bhi", "div")})")
+      val fact = f0.crossJoin(broadcast(bounds))
+        .withColumn("zval", expr(zval).cast("long"))
+        .repartitionByRange(16, $"zval").sortWithinPartitions($"zval")
+        .select($"o_orderkey", $"o_custkey", $"dy", $"cents")
+      TxLog.commit(t, TxLog.stage(fact, t), 0,
+        statsCols = Seq("dy", "o_orderkey"))
+    }
+    val (dimT, dv) = TxFixtures.table(spark, dir, "cbo_dim") { t =>
+      val dim = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment")
+      TxLog.commit(t, TxLog.stage(dim, t), 0,
+        statsCols = Seq("c_custkey"))
+    }
     val mid = Tables.orders(spark, dir)
       .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
     val dLo = java.time.LocalDate.of(1995, 1, 1).toEpochDay
@@ -989,20 +1010,23 @@ object ScansFilters {
       |FROM w GROUP BY month
       |ORDER BY month""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.{Formats, TxLog}
+    import graft.sources.{Formats, TxFixtures, TxLog}
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/optimize"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
     val f0 = Tables.orders(spark, dir)
       .select($"o_orderkey",
         datediff($"o_orderdate", lit("1970-01-01")).cast("bigint").as("dy"),
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"),
         substring($"o_orderdate".cast("string"), 1, 7).as("month"))
-    // the mess: hash-random layout — stats exist but skip nothing
-    val v1 = TxLog.commit(table,
-      TxLog.stage(f0.repartition(16, $"o_orderkey"), table), 0,
-      statsCols = Seq("dy", "o_orderkey"))
+    // the mess: hash-random layout — stats exist but skip nothing. The
+    // messy base is a shared per-JVM fixture (shallow-cloned); the
+    // OPTIMIZE rewrite below still commits fresh on this invocation's log
+    val v1 = TxFixtures.cloneV1(spark, dir, "orders_hash16_2colstats",
+        table) { t =>
+      TxLog.commit(t, TxLog.stage(f0.repartition(16, $"o_orderkey"), t), 0,
+        statsCols = Seq("dy", "o_orderkey"))
+    }
     val mid = Tables.orders(spark, dir)
       .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
     val dLo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
@@ -1084,17 +1108,19 @@ object ScansFilters {
       |SELECT side, o_orderpriority, n, cents FROM r
       |ORDER BY side, o_orderpriority""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.TxLog
+    import graft.sources.{TxFixtures, TxLog}
     val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val table =
       s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/dv"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
     val base = Tables.orders(spark, dir)
       .select($"o_orderkey".cast("string").as("k"), $"o_orderpriority",
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"),
         $"o_orderkey")
       .repartitionByRange(8, $"o_orderkey")
-    val v1 = TxLog.commit(table, TxLog.stage(base, table), 0)
+    // base-as-v1 shared per JVM (shallow clone); the DV delete and the
+    // compaction below still commit fresh on this invocation's own log
+    val v1 = TxFixtures.cloneV1(spark, dir, "orders_rbr8_dvbase", table)(
+      t => TxLog.commit(t, TxLog.stage(base, t), 0))
     val mid = Tables.orders(spark, dir)
       .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
     // the MoR delete: one sidecar of keys, zero data files rewritten
@@ -1156,23 +1182,25 @@ object ScansFilters {
       |FROM cut
       |ORDER BY cut.version""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    import graft.sources.TxLog
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val table =
-      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/feed"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    import graft.sources.{TxFixtures, TxLog}
     val o = Tables.orders(spark, dir)
       .select(year($"o_orderdate").as("yr"),
         round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
-    val y0 = o.agg(min($"yr")).head().getInt(0)
     // six year-batch ingest commits (the corpus spans 1992–1998; batch
-    // 6 carries the remainder so every row lands)
-    var base = 0
-    for (i <- 1 to 6) {
-      val batch =
-        if (i < 6) o.where($"yr" === y0 + i - 1)
-        else o.where($"yr" >= y0 + 5)
-      base = TxLog.commit(table, TxLog.stage(batch, table), base)
+    // 6 carries the remainder so every row lands). The committed feed is
+    // read-only after its build — a shared per-JVM fixture; the consumer
+    // replay (and its plans-only-the-delta requirement) runs per
+    // invocation against the pinned manifests.
+    val (table, base) = TxFixtures.table(spark, dir, "feed6") { t =>
+      val y0 = o.agg(min($"yr")).head().getInt(0)
+      var v = 0
+      for (i <- 1 to 6) {
+        val batch =
+          if (i < 6) o.where($"yr" === y0 + i - 1)
+          else o.where($"yr" >= y0 + 5)
+        v = TxLog.commit(t, TxLog.stage(batch, t), v)
+      }
+      v
     }
     // the consumer: bootstrap snapshot at v1, then INCREMENTAL catch-up
     val feed = (2 to base).foldLeft(
@@ -1198,6 +1226,319 @@ object ScansFilters {
         sum($"cents").cast("bigint").as("rev_cents"))
       .select(lit(v).as("version"), $"n_rows", $"rev_cents"))
     versions.reduce(_ unionByName _).orderBy("version")
+  }
+
+  // A41 — MERGE ONTO A DV-CARRYING BASE (the r13 verdict's #3: a39
+  // proves MoR deletes are write-cheap, a34 proves MERGE is
+  // file-granular — but r13's readers REFUSED to compose them, so a
+  // production table carrying deletion vectors continuously demanded a
+  // compaction before every merge, chaining the write-cheap delete to
+  // the full rewrite it exists to avoid). The graded cycle: orders
+  // commit v1 key-range-clustered; a TABLE-WIDE DV delete (every
+  // o_orderkey % 7 = 3 key) lands as v2 — so both the files the merge
+  // will touch AND the files it won't carry sidecars; the merge applies
+  // a lower-half change batch (every %7=0 re-priced ×3, every %7=1
+  // deleted, every %14=3 — a DV-DELETED key — re-upserted ×10, which
+  // must INSERT: the key is logically absent) as ONE commit. The key
+  // REQUIRES the manifest facts that make the composition honest:
+  // untouched upper files ride by reference WITH their `#dv#` entries
+  // verbatim (their deletes keep deleting), rewritten lower files carry
+  // NO `#dv#` (their sidecar subtraction happened at rewrite time, so
+  // their DVs retire in the same commit). Graded row = per-priority
+  // rollups of the live MoR head AND both CDC sides — a resurrected
+  // DV row, a lost revive, or a leaked sidecar all hash-mismatch.
+  // TxLogSpec holds the law (merge on a DV base ≡ compact-then-merge).
+  // Scale: the merge still moves O(touched + changes) data; the DVs it
+  // retires ride the rewrite it was doing anyway — compaction stays a
+  // maintenance-window choice instead of a write-path prerequisite.
+  private val a41 = QueryDef.graded(
+    "a41_txlog_dv_merge",
+    """WITH mx AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+      |b AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderpriority,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents, o_orderkey
+      |  FROM orders),
+      |v2live AS (SELECT * FROM b WHERE o_orderkey % 7 <> 3),
+      |upd AS (
+      |  SELECT k, o_orderpriority, cents * 3 AS cents
+      |  FROM v2live, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 7 = 0),
+      |del AS (
+      |  SELECT k, o_orderpriority, cents
+      |  FROM v2live, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 7 = 1),
+      |rev AS (
+      |  SELECT k, o_orderpriority, cents * 10 AS cents
+      |  FROM b, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 14 = 3),
+      |live AS (
+      |  SELECT k, o_orderpriority, cents FROM v2live, mx
+      |  WHERE NOT (o_orderkey <= mx.mid AND o_orderkey % 7 IN (0, 1))
+      |  UNION ALL SELECT k, o_orderpriority, cents FROM upd
+      |  UNION ALL SELECT k, o_orderpriority, cents FROM rev),
+      |ch AS (
+      |  SELECT 'live' AS side, o_orderpriority, cents FROM live
+      |  UNION ALL SELECT 'cdc_insert', o_orderpriority, cents FROM upd
+      |  UNION ALL SELECT 'cdc_insert', o_orderpriority, cents FROM rev
+      |  UNION ALL SELECT 'cdc_delete', o_orderpriority, cents
+      |  FROM v2live, mx WHERE o_orderkey <= mx.mid AND o_orderkey % 7 = 0
+      |  UNION ALL SELECT 'cdc_delete', o_orderpriority, cents FROM del)
+      |SELECT side, o_orderpriority, count(*)::BIGINT AS n,
+      |  sum(cents)::BIGINT AS cents
+      |FROM ch GROUP BY side, o_orderpriority
+      |ORDER BY side, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{TxFixtures, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/dvmerge"
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey".cast("string").as("k"), $"o_orderpriority",
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"),
+        $"o_orderkey")
+      .repartitionByRange(8, $"o_orderkey")
+    // SAME fixture layout as a39 — one staged base serves both cycles
+    val v1 = TxFixtures.cloneV1(spark, dir, "orders_rbr8_dvbase", table)(
+      t => TxLog.commit(t, TxLog.stage(base, t), 0))
+    val mid = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
+    // standing DVs TABLE-WIDE: the upper files the merge never touches
+    // must carry sidecars through it
+    val v2 = TxLog.commitDeleteVectors(spark, table, v1, "k",
+      TxLog.read(spark, table, v1)
+        .where($"o_orderkey" % 7 === 3).select($"k"))
+    val all = TxLog.read(spark, table, v1) // raw v1 = pre-DV content
+    val low = all.where($"o_orderkey" <= mid)
+    val changes =
+      low.where($"o_orderkey" % 7 === 0)
+        .select($"k", $"o_orderpriority", ($"cents" * 3).as("cents"),
+          $"o_orderkey", lit("upsert").as("op"))
+        .unionByName(low.where($"o_orderkey" % 7 === 1)
+          .select($"k", $"o_orderpriority", $"cents", $"o_orderkey",
+            lit("delete").as("op")))
+        // the revive leg: %14=3 ⊂ the DV-deleted %7=3 set — logically
+        // absent keys, so these upserts must land as INSERTS
+        .unionByName(low.where($"o_orderkey" % 14 === 3)
+          .select($"k", $"o_orderpriority", ($"cents" * 10).as("cents"),
+            $"o_orderkey", lit("upsert").as("op")))
+        .localCheckpoint(true)
+    val v3 = TxLog.mergeInto(spark, table, v2, changes, "k")
+    // the key's own claims, enforced in the key:
+    def np(p: String) = p.replaceFirst("^file:/+", "/")
+    val kept = TxLog.files(table, v3).toSet
+      .intersect(TxLog.files(table, v2).toSet)
+    require(kept.nonEmpty,
+      "a DV-base merge must still carry untouched files by reference")
+    val st3 = TxLog.statsOf(table, v3)
+    require(kept.exists(p => st3.get(np(p)).exists(_.contains("#dv#"))),
+      "untouched files must keep their DV entries through the merge")
+    require((TxLog.files(table, v3).toSet -- kept)
+        .forall(p => !st3.get(np(p)).exists(_.contains("#dv#"))),
+      "rewritten files must retire their DVs in the same commit")
+    val cdc = TxLog.cdc(spark, table, v2, v3)
+    TxLog.readMerged(spark, table, v3)
+      .select(lit("live").as("side"), $"o_orderpriority", $"cents")
+      .unionByName(cdc.select(concat(lit("cdc_"), $"change").as("side"),
+        $"o_orderpriority", $"cents"))
+      .groupBy($"side", $"o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum($"cents").cast("bigint").as("cents"))
+      .orderBy("side", "o_orderpriority")
+  }
+
+  // A42 — OCC-CONFLICT MERGE CYCLE (the r13 verdict's #5: TxLogSpec
+  // proves the LOSING writer throws; commitWithRetry rebases APPENDS
+  // only, correctly refusing rewrites — but no key demonstrated the
+  // recompute-and-retry loop a nightly MERGE actually runs when it
+  // loses an OCC race). The graded cycle: two merges race from the same
+  // base v1 — writer B (delete every o_orderkey % 10 = 2) wins the
+  // commit point as v2; writer A's stale-base attempt (re-prioritize
+  // every % 10 = 1 to 'X-RACED') REQUIRED to lose loudly at the commit
+  // point having committed NOTHING (head still v2 — a lost rewrite that
+  // half-lands is corruption); then `TxLog.mergeWithRetry` re-reads the
+  // head and RECOMPUTES A's merge from v2 (never rebases the rewrite —
+  // the commitWithRetry rule), landing v3. Graded row = per-priority
+  // (version, n, cents) rollups of ALL THREE versions, so B's change
+  // set missing from v2, A's applied twice, either applied to the wrong
+  // base, or a row leaked from the lost attempt all hash-mismatch.
+  // Scale: the retry costs one recompute of the merge's own touched
+  // set — the price of serializable writes without locks, paid only on
+  // conflict; the lost attempt's staging is vacuum-sweepable garbage
+  // (the crashed-writer shape).
+  private val a42 = QueryDef.graded(
+    "a42_txlog_merge_retry",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders),
+      |v2 AS (SELECT * FROM o WHERE o_orderkey % 10 <> 2),
+      |v3 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN 'X-RACED'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    cents
+      |  FROM v2),
+      |u AS (
+      |  SELECT 1 AS version, o_orderpriority, count(*)::BIGINT AS n,
+      |    sum(cents)::BIGINT AS cents FROM o GROUP BY o_orderpriority
+      |  UNION ALL SELECT 2, o_orderpriority, count(*)::BIGINT,
+      |    sum(cents)::BIGINT FROM v2 GROUP BY o_orderpriority
+      |  UNION ALL SELECT 3, o_orderpriority, count(*)::BIGINT,
+      |    sum(cents)::BIGINT FROM v3 GROUP BY o_orderpriority)
+      |SELECT version, o_orderpriority, n, cents FROM u
+      |ORDER BY version, o_orderpriority""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{TxFixtures, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_txlog")}/$sfTag/mergerace"
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartitionByRange(8, $"o_orderkey")
+    // SAME fixture layout as a34 — one staged base serves both cycles
+    val v1 = TxFixtures.cloneV1(spark, dir, "orders_rbr8_keystats", table) {
+      t => TxLog.commit(t, TxLog.stage(base, t), 0,
+        statsCols = Seq("o_orderkey"))
+    }
+    // both writers compute their change batches from the SAME base v1 —
+    // deterministic content, so the recompute re-reads identical changes
+    val v1df = TxLog.read(spark, table, v1)
+    val changesA = v1df.where($"o_orderkey" % 10 === 1)
+      .select($"o_orderkey", lit("X-RACED").as("o_orderpriority"),
+        $"o_totalprice", lit("upsert").as("op"))
+    val changesB = v1df.where($"o_orderkey" % 10 === 2)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        lit("delete").as("op"))
+    // writer B wins the race to v2
+    val v2 = TxLog.mergeInto(spark, table, v1, changesB, "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    // writer A's stale-base attempt: full merge computed from v1, loses
+    // at the commit point, commits NOTHING
+    val lost =
+      try { TxLog.mergeInto(spark, table, v1, changesA, "o_orderkey"); false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      }
+    require(lost, "a stale-base merge must lose at the commit point")
+    require(TxLog.currentVersion(table).contains(v2),
+      "a lost merge must commit nothing — the head is still the winner's")
+    // the retry: re-reads the head, RECOMPUTES the merge from v2
+    val v3 = TxLog.mergeWithRetry(spark, table, changesA, "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    require(v3 == v2 + 1, s"the recomputed merge must land as v3, got $v3")
+    (1 to 3).map { v =>
+      TxLog.read(spark, table, v)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(round($"o_totalprice" * 100, 0).cast("bigint"))
+            .cast("bigint").as("cents"))
+        .select(lit(v).as("version"), $"o_orderpriority", $"n", $"cents")
+    }.reduce(_ unionByName _).orderBy("version", "o_orderpriority")
+  }
+
+  // A43 — CAS-CATALOG LIFECYCLE (the r13 verdict's #6: a35 grades the
+  // CAS COMMIT POINT, but the rest of the object-store story — manifest
+  // metadata, delta manifests, data skipping, retention GC — existed
+  // only on the file://-protocol side; at 100 TB those are the same
+  // jobs). One graded cycle runs them all through the CAS catalog:
+  // v1 = key-clustered base with per-file stats IN the CAS manifest;
+  // `CasLog.readWhere` (TxLog.statsKeep — one skipping rule, two commit
+  // protocols) REQUIRED to plan strictly fewer files than the manifest
+  // lists; v2 = append REQUIRED to commit as a `#delta` manifest
+  // (O(batch) object, replayed through the Head's own history); v3 =
+  // compaction rewrite; `CasLog.vacuum(keepLast=2)` — the retention cut
+  // is itself a CAS — REQUIRED to fail v1 reads loudly while v2/v3 ride
+  // untouched AND to reclaim the losers'/expired objects without
+  // touching live data (append-chain liveness: zero data files die);
+  // then vacuum(keepLast=1) REQUIRED to reclaim v2's dead data files
+  // with the head still fully readable. Graded row = per-version
+  // rollups captured at each stage, so a row lost to the GC, a stats
+  // line dropped in the delta replay, or a leaked expired file all
+  // hash-mismatch. Scale: every piece is the TxLog discipline on the
+  // CAS primitive — O(batch) delta objects, O(files) sweeps, pruning
+  // before planning; table size never enters the catalog.
+  private val a43 = QueryDef.graded(
+    "a43_cas_lifecycle",
+    """WITH o AS (
+      |  SELECT o_orderkey, round(o_totalprice * 100, 0)::BIGINT AS cents
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+      |s1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+      |w AS (
+      |  SELECT o.* FROM o, mx
+      |  WHERE o_orderkey >= 0 AND o_orderkey <= mx.mid)
+      |SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+      |  sum(cents)::BIGINT AS rev_cents FROM s1
+      |UNION ALL SELECT 2, count(*)::BIGINT, sum(cents)::BIGINT FROM o
+      |UNION ALL SELECT 3, count(*)::BIGINT, sum(cents)::BIGINT FROM o
+      |UNION ALL SELECT 4, count(*)::BIGINT, sum(cents)::BIGINT FROM w
+      |ORDER BY version""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.{CasLog, TxLog}
+    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val table =
+      s"${graft.sources.TmpDirs.perPidRoot("graft_caslog")}/$sfTag/lifecycle"
+    // vacuum DESTROYS data files, so this cycle stages its own (never
+    // the shared fixtures) — each invocation grades a fresh lifecycle
+    CasLog.reset(table)
+    graft.sources.TmpDirs.rmTree(new java.io.File(table))
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+    val v1 = CasLog.commit(table,
+      TxLog.stage(o.where($"o_orderkey" % 3 =!= 0)
+        .repartitionByRange(6, $"o_orderkey"), table), 0,
+      statsCols = Seq("o_orderkey"))
+    val mid = Tables.orders(spark, dir)
+      .agg(max($"o_orderkey").cast("bigint")).head().getLong(0) / 2
+    // claim 1: stats skipping works THROUGH the CAS catalog
+    val pruned = CasLog.readWhere(spark, table, v1,
+      Seq(("o_orderkey", "0", mid.toString)))
+    require(pruned.inputFiles.length < CasLog.files(table, v1).length,
+      "CAS manifest stats must prune the key-range read")
+    val v1Roll = CasLog.read(spark, CasLog.head(table).get)
+      .agg(count(lit(1)).cast("bigint"), sum($"cents").cast("bigint"))
+      .head()
+    // claim 2: a steady-state append commits as an O(batch) delta object
+    val v2 = CasLog.commit(table,
+      TxLog.stage(o.where($"o_orderkey" % 3 === 0), table), v1)
+    require(CasLog.isDeltaManifest(table, v2),
+      "a CAS append must write a delta manifest, not a snapshot rewrite")
+    require(CasLog.manifestLineCount(table, v2) <
+        CasLog.files(table, v2).length + 2,
+      "the delta object must carry O(batch) lines, not the file list")
+    val v2Head = CasLog.head(table).get
+    val v2Roll = CasLog.read(spark, v2Head)
+      .agg(count(lit(1)).cast("bigint"), sum($"cents").cast("bigint"))
+      .head()
+    // v3: compaction rewrite (full manifest by nature)
+    val v3 = CasLog.commitRewrite(table,
+      TxLog.stage(CasLog.read(spark, v2Head).repartition(4), table),
+      v2)
+    // claim 3: retention — the cut is a CAS; expired reads fail loudly,
+    // retained versions ride untouched, append-chain data stays live
+    val sweep1 = CasLog.vacuum(table, keepLast = 2)
+    require(scala.util.Try(CasLog.files(table, v1)).isFailure,
+      "an expired CAS version must fail loudly, not read partially")
+    require(!sweep1.exists(_.endsWith(".parquet")),
+      "append-chain data is live through the retained manifests — the " +
+        "first sweep may only reclaim expired manifest objects")
+    val v3Roll = CasLog.read(spark, CasLog.head(table).get)
+      .agg(count(lit(1)).cast("bigint"), sum($"cents").cast("bigint"))
+      .head()
+    // claim 4: cutting to the head alone reclaims v2's dead data files
+    val sweep2 = CasLog.vacuum(table, keepLast = 1)
+    require(sweep2.exists(_.endsWith(".parquet")),
+      "vacuum to the compacted head must reclaim the pre-rewrite files")
+    val headRoll = CasLog.readWhere(spark, table, v3,
+      Seq(("o_orderkey", "0", mid.toString)))
+    val rolls = Seq(
+      (1, v1Roll.getLong(0), v1Roll.getLong(1)),
+      (2, v2Roll.getLong(0), v2Roll.getLong(1)),
+      (3, v3Roll.getLong(0), v3Roll.getLong(1)))
+    rolls.toDF("version", "n_rows", "rev_cents")
+      .unionByName(headRoll
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum($"cents").cast("bigint").as("rev_cents"))
+        .select(lit(4).as("version"), $"n_rows", $"rev_cents"))
+      .orderBy("version")
   }
 
   // A23 — TRANSACTION-LOG SNAPSHOT ISOLATION, the keystone the
@@ -2215,5 +2556,5 @@ object ScansFilters {
   val defs: Seq[QueryDef] = Seq(a1, a2, b1, b2, b3, b4, b5, b6, b7, b8, b9,
     a5, a6, a7, a8, a9, a10, a11, a12, a13, a14, a15, a16, a17, a18, a19,
     a20, a22, a23, a24, a25, a26, a27, a28, a29, a30, a31, a32, a33, a34,
-    a35, a36, a37, a38, a39, a40)
+    a35, a36, a37, a38, a39, a40, a41, a42, a43)
 }

@@ -1727,7 +1727,101 @@ object TextAnalysis {
         .orderBy("doc_id")
   }
 
+  // g102 — PER-DOC TOKEN-ID SEQUENCES, graded (the r13 verdict's #4 and
+  // the missing shippable artifact: g100 grades COUNTS and g101 the ID
+  // TABLE, but what a training shard actually carries is each document
+  // as an ORDERED sequence of token ids — g101's ids composed over
+  // g100's per-word tokenizations, order preserved end to end). The
+  // assembly is vocab-sized until the last join: (word, tp, token)
+  // explodes from the trained vocab, ids join by token (g101's dense
+  // frequency rank), per-WORD id strings assemble in token order
+  // (|vocab| rows); the corpus pass is one posexplode ⋈ broadcast(word →
+  // ids_str) and a per-doc ordered fold on the word position. Output =
+  // (doc_id, n_tokens, token_ids) with the sequence serialized via
+  // array_join (the parity.py array rule). The oracle replays the
+  // ENTIRE trainer (bpeOracle — the shared generator, so the replayed
+  // trainer can never fork from g100/g101's) and reassembles with
+  // index-aware list_transform + ORDER BY-qualified string_agg; a
+  // drifted id, a swapped token, or a lost word anywhere in the
+  // sequence hash-mismatches. PropertySpec holds the cross-key law:
+  // the sequence length IS g100's n_tokens for every doc. Scale: the
+  // only corpus-sized work is the posexplode + broadcast join + one
+  // per-doc sort-free (partial_agg-able) collect; everything upstream
+  // is |vocab|-sized — the exact shape of a production tokenize job.
+  private val g102 = QueryDef.graded("g102_bpe_ids", bpeOracle(
+    """,
+      |tok AS (
+      |  SELECT word, u.t AS token, u.p AS tp FROM (
+      |    SELECT word, unnest(list_transform(
+      |      string_split(s[2:-2], <E>||<S>),
+      |      (x, i) -> struct_pack(t := x, p := i))) AS u
+      |    FROM <tN>) z),
+      |freq AS (
+      |  SELECT t.token, count(*)::BIGINT AS n
+      |  FROM w JOIN tok t ON w.word = t.word
+      |  WHERE length(w.word) >= 1
+      |  GROUP BY t.token),
+      |ids AS (
+      |  SELECT token,
+      |    (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
+      |      AS token_id
+      |  FROM freq),
+      |wid AS (
+      |  SELECT t.word,
+      |    string_agg(i.token_id::VARCHAR, ' ' ORDER BY t.tp) AS ids_str,
+      |    count(*)::BIGINT AS n_toks
+      |  FROM tok t JOIN ids i ON t.token = i.token
+      |  GROUP BY t.word),
+      |dw AS (
+      |  SELECT doc_id, u.w AS word, u.p AS wp FROM (
+      |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+      |      (x, i) -> struct_pack(w := x, p := i))) AS u
+      |    FROM documents) z)
+      |SELECT d.doc_id, sum(v.n_toks)::BIGINT AS n_tokens,
+      |  string_agg(v.ids_str, ' ' ORDER BY d.wp) AS token_ids
+      |FROM dw d JOIN wid v ON d.word = v.word
+      |WHERE length(d.word) >= 1
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val (vocab, _) = bpeTrain(spark, dir)
+    val tok = vocab.select($"word",
+      posexplode($"toks").as(Seq("tp", "token")))
+    // g101's id assignment over the FULL vocab (not its graded top-50):
+    // corpus token frequency → dense rank (n DESC, token). The rank
+    // window is |vocab|-bounded by construction — never a corpus sort.
+    val freq = Tables.documentsDist(spark, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .where(length($"word") >= 1)
+      .join(broadcast(tok.select($"word", $"token")), Seq("word"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"token")
+    val ids = freq.select($"token",
+      (row_number().over(rankW) - 1).cast("bigint").as("token_id"))
+    // per-WORD ordered id strings: |vocab| rows, assembled once
+    val wid = tok.join(ids, Seq("token"))
+      .groupBy($"word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct($"tp", $"token_id"))),
+          x => x.getField("token_id").cast("string")), " ").as("ids_str"),
+        count(lit(1)).cast("bigint").as("n_toks"))
+    // the corpus pass: word positions preserved through the broadcast
+    // join, the doc sequence folded back in word order
+    Tables.documentsDist(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("wp", "word")))
+      .where(length($"word") >= 1)
+      .join(broadcast(wid), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_toks").cast("bigint").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct($"wp", $"ids_str"))),
+          x => x.getField("ids_str")), " ").as("token_ids"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100, g101)
+    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100, g101, g102)
 }

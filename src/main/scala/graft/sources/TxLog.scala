@@ -94,7 +94,7 @@ object TxLog {
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
 
-  private def hadoopConf: Configuration =
+  private[sources] def hadoopConf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf())
       case None    => new Configuration()
@@ -254,7 +254,7 @@ object TxLog {
         parseStats(l.substring(cut + 1)))
     }.toMap
 
-  private def normPath(p: String): String =
+  private[sources] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   /** Stage a DataFrame as new immutable part files; returns their paths.
@@ -389,12 +389,29 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** SHALLOW CLONE (Delta's CLONE shape): publish version 1 of the empty
+    * table `dst` carrying EXACTLY version `srcV` of `src`'s resolved
+    * data lines — stats, blooms and DV entries ride verbatim; no data
+    * file moves or is re-read (one manifest write, O(files) lines). The
+    * fixture-cache primitive behind [[TxFixtures]]: bench keys that all
+    * open on the same "base committed as v1" table stage it ONCE per JVM
+    * and fork their cycle-specific commits (merge, DV delete, optimize)
+    * onto private clones, so every invocation still runs a full fresh
+    * commit cycle over its own log. Sharing is safe because staged files
+    * are immutable by protocol; the caveat is Delta's own — vacuuming
+    * the SOURCE strands clones (fixture sources are never vacuumed, and
+    * [[vacuum]] on a clone only sweeps the clone's own data/ dir). */
+  def cloneAsV1(src: String, srcV: Int, dst: String): Int =
+    commitManifest(dst, dataLines(src, srcV),
+      schemaOf(src, srcV).map(_.json), 0)
+
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
     * files, whatever has committed since. RAW by contract — deletion
     * vectors are NOT subtracted here (cdc's internal empty-frame scaffold
     * and the pre-DV keys depend on the raw view); [[readMerged]] is the
-    * MoR-aware read, and the guardable public readers (readEvolved,
-    * readWhere, readKeys, mergeInto) refuse DV versions loudly. */
+    * MoR-aware read, [[mergeInto]] subtracts sidecars itself, and the
+    * guardable public readers (readEvolved, readWhere, readKeys) refuse
+    * DV versions loudly. */
   def read(spark: SparkSession, table: String, v: Int): DataFrame =
     spark.read.parquet(files(table, v): _*)
 
@@ -453,16 +470,7 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readWhere needs at least one predicate")
     requireNoDv(table, v, "readWhere")
-    val stats = statsOf(table, v)
-    val keep = files(table, v).filter { p =>
-      val st = stats.get(normPath(p))
-      preds.forall { case (column, lo, hi) =>
-        st.flatMap(_.get(column)) match {
-          case Some((mn, mx)) => !(gt(lo, mx) || gt(mn, hi))
-          case None           => true
-        }
-      }
-    }
+    val keep = statsKeep(files(table, v), statsOf(table, v), preds)
     preds.foldLeft(emptyOr(spark, table, v, keep)) {
       case (df, (column, lo, hi)) =>
         df.where(col(column) >= lit(lo) && col(column) <= lit(hi))
@@ -492,13 +500,22 @@ object TxLog {
       .select(bloomPositions(col("k")).as("ps"))
       .as[Array[Int]].collect()
     val stats = statsOf(table, v)
+    // the persisted "m,k" tag is the bloom's SIZING CONTRACT: probe
+    // positions are computed with the CURRENT bloomBits/bloomHashes, so
+    // a bloom persisted under a different sizing (an old manifest after
+    // a re-size — the doc'd reason the tag exists) must NOT be probed:
+    // positions would land in the wrong bitmap and silently FALSE-
+    // NEGATIVE real keys — lost rows, the one failure skipping must
+    // never have (r13 advice). A mismatched tag keeps the file instead,
+    // exactly like a bloom-less file.
+    val sizing = s"$bloomBits,$bloomHashes"
     val keep = files(table, v).filter { p =>
       stats.get(normPath(p)).flatMap(_.get(s"#bloom#$column")) match {
-        case Some((b64, _)) =>
+        case Some((b64, mk)) if mk == sizing =>
           val bits = java.util.Base64.getDecoder.decode(b64)
           probes.exists(_.forall(pos =>
             (bits(pos >> 3) & (1 << (pos & 7))) != 0))
-        case None => true
+        case _ => true
       }
     }
     emptyOr(spark, table, v, keep)
@@ -537,6 +554,24 @@ object TxLog {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => read(spark, table, v).limit(0)
+    }
+
+  /** The conjunctive data-skipping KEEP rule, shared by [[readWhere]]
+    * and [[CasLog.readWhere]] (one skipping semantics, two commit
+    * protocols): a file survives only if its persisted [min, max]
+    * intersects every (column, lo, hi) range; missing stats keep the
+    * file — skipping must never lose rows. */
+  private[sources] def statsKeep(fs: Seq[String],
+      stats: Map[String, Map[String, (String, String)]],
+      preds: Seq[(String, String, String)]): Seq[String] =
+    fs.filter { p =>
+      val st = stats.get(normPath(p))
+      preds.forall { case (column, lo, hi) =>
+        st.flatMap(_.get(column)) match {
+          case Some((mn, mx)) => !(gt(lo, mx) || gt(mn, hi))
+          case None           => true
+        }
+      }
     }
 
   /** `a > b` under the stats comparison rule: numeric when both parse
@@ -585,7 +620,20 @@ object TxLog {
     * by reference. The transition reads back through [[cdc]] as a MIXED
     * change set — each update a delete+insert pair on its key, deletes
     * bare, inserts bare (TxLogSpec law) — and cdc's touched-files diff
-    * makes reading it O(touched) too. */
+    * makes reading it O(touched) too.
+    *
+    * DV-AWARE (the r13 guard's composition gap): a production table
+    * carries deletion vectors continuously, and a merge that demanded a
+    * compaction first would chain the write-cheap delete to a full
+    * rewrite — so the merge reads THROUGH the sidecars, exactly as
+    * Delta/Iceberg do. Touched files rewrite from their MERGED view
+    * (sidecar subtracted BEFORE the survivor anti-join, so a DV-deleted
+    * row can never resurrect into the survivors — the failure mode the
+    * old guard existed to prevent) and RETIRE their DVs in the same
+    * commit (the rewritten lines carry fresh stats and no `#dv#`);
+    * untouched lines — surviving DV entries included — ride by
+    * reference exactly as before. TxLogSpec law: merge on a DV-carrying
+    * base ≡ compact-then-merge. */
   def mergeInto(spark: SparkSession, table: String, base: Int,
       changes: DataFrame, keyCol: String, opCol: String = "op",
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
@@ -593,10 +641,24 @@ object TxLog {
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
     require(dataCols.contains(keyCol),
       s"changes must carry the merge key $keyCol")
-    requireNoDv(table, base, "mergeInto")
+    // an off-contract op (a caller typo like 'update') must FAIL, not
+    // silently drop the row: matched keys are anti-joined out of the
+    // survivors unconditionally and only 'upsert' rows re-insert, so a
+    // misspelled op would read back as a delete with no error. The probe
+    // scans the CHANGE BATCH once (never the table) and early-exits on
+    // the first bad row — the price of not losing data (r13 advice).
+    require(changes
+        .where(!col(opCol).isin("upsert", "delete") || col(opCol).isNull)
+        .isEmpty,
+      s"mergeInto: $opCol must be 'upsert' or 'delete' on every change row")
     val changeKeys = changes.select(col(keyCol)).distinct()
     // pass 1: which files contain a matched key (semi join collapses to
-    // one row per touched file — driver traffic is O(files), not O(keys))
+    // one row per touched file — driver traffic is O(files), not O(keys)).
+    // The probe reads the files RAW: a change key matching only a
+    // DV-deleted row still marks its file touched, which is safe (the
+    // rewrite below subtracts the sidecar first) and costs at most one
+    // extra rewritten file — cheaper than a merged-view probe that would
+    // anti-join every sidecar just to decide touchedness.
     val touched = read(spark, table, base)
       .withColumn("__file", input_file_name())
       .join(changeKeys, Seq(keyCol), "left_semi")
@@ -612,19 +674,35 @@ object TxLog {
     // discipline): with footer sampling, a schema-evolved table's
     // touched set mixing old and new vintages would take whichever
     // footer Spark sampled — and survivors from wide files would lose
-    // their real values to the null-fill, nondeterministically
-    val touchedDf = {
-      val raw =
-        if (touchedFiles.isEmpty) read(spark, table, base).limit(0)
-        else spark.read.parquet(touchedFiles: _*)
-      schemaOf(table, base) match {
-        case Some(s) if touchedFiles.nonEmpty =>
-          val nullable = org.apache.spark.sql.types.StructType(
-            s.fields.map(_.copy(nullable = true)))
-          spark.read.schema(nullable).parquet(touchedFiles: _*)
-        case _ => raw
-      }
+    // their real values to the null-fill, nondeterministically.
+    // The footer-sampled fallback reader is built only INSIDE its branch:
+    // spark.read.parquet resolves its schema eagerly at DataFrame
+    // construction, so building it unconditionally charged every
+    // manifest-schema merge a redundant footer pass over the touched
+    // files that the Some(s) branch then discarded (r13 advice).
+    val mkReader: Seq[String] => DataFrame = schemaOf(table, base) match {
+      case Some(s) =>
+        val nullable = org.apache.spark.sql.types.StructType(
+          s.fields.map(_.copy(nullable = true)))
+        fs => spark.read.schema(nullable).parquet(fs: _*)
+      case None => fs => spark.read.parquet(fs: _*)
     }
+    // DV-aware: each touched file group reads through ITS OWN sidecar
+    // subtraction (the mergedRead shape) so a DV-deleted row can never
+    // resurrect as a survivor; the rewrite retires those sidecars — the
+    // new lines carry no #dv#, and untouched lines keep theirs verbatim.
+    val baseStats = statsOf(table, base)
+    val touchedDf =
+      if (touchedFiles.isEmpty) read(spark, table, base).limit(0)
+      else touchedFiles
+        .groupBy(p => baseStats.get(normPath(p)).flatMap(_.get("#dv#")))
+        .toSeq.sortBy(_._1.map(_._1)).map {
+          case (None, g) => mkReader(g)
+          case (Some((sidecar, dvKey)), g) =>
+            mkReader(g).join(
+              spark.read.parquet(sidecar).select(col(dvKey)),
+              Seq(dvKey), "left_anti")
+        }.reduceLeft(_ unionByName _)
     // schema-widening merge (Delta's mergeSchema-on-MERGE): a change
     // batch may carry columns the target lacks — survivors take nulls
     // there, and the commit's union schema widens so readEvolved
@@ -647,6 +725,42 @@ object TxLog {
     commitManifest(table,
       keptLines ++ renderDataLines(staged, statsCols, bloomCols),
       mergedSchemaJson(schemaOf(table, base), staged), base)
+  }
+
+  /** MERGE with optimistic-concurrency RETRY — the recompute loop a
+    * nightly MERGE actually runs when it loses an OCC race (the r13
+    * verdict's #5). [[commitWithRetry]] deliberately REBASES appends and
+    * refuses rewrites, because a rewrite's content was computed FROM its
+    * base (TxLog rule at commitWithRetry) — so the merge retry does the
+    * only safe thing: re-read the NEW head and RECOMPUTE the whole merge
+    * from it (semi-join touched-file discovery, survivor rewrite, kept
+    * lines — everything). The CHANGE BATCH itself is base-independent
+    * (it is the logical change set, not a file rewrite), which is what
+    * makes recompute-and-retry sound: each change set lands exactly
+    * once, serialized by the commit point, whatever order the racers
+    * win in. A lost attempt commits NOTHING — its staged files are
+    * vacuum-sweepable garbage, the crashed-writer shape. Backoff is
+    * commitWithRetry's full-jitter rule. TxLogSpec holds the barrier
+    * law (two racing merges: both land, exactly once each). */
+  def mergeWithRetry(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, opCol: String = "op", maxRetries: Int = 10,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = currentVersion(table).getOrElse(throw
+        new IllegalArgumentException(s"no committed version under $table"))
+      try return mergeInto(spark, table, base, changes, keyCol, opCol,
+        statsCols, bloomCols)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val cap = 10L << math.min(attempt - 1, 4)
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(cap))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** MERGE-ON-READ DELETE through the log (Delta's deletion vectors /
@@ -808,7 +922,7 @@ object TxLog {
     * computed at COMMIT time from one footer instead of at READ time
     * from all of them. A dataType conflict on a shared column is a
     * corrupt commit and fails loudly. */
-  private def mergedSchemaJson(
+  private[sources] def mergedSchemaJson(
       base: Option[org.apache.spark.sql.types.StructType],
       staged: Seq[String]): Option[String] =
     (base, stagedSchema(staged)) match {
@@ -886,7 +1000,7 @@ object TxLog {
     * `bloomCols` column lands as `#bloom#<col>` → [base64 bits, "m,k"]
     * for [[readKeys]]' point-lookup skipping. Pseudo-entry keys start
     * with '#', which [[readWhere]]'s real-column lookups never match. */
-  private def renderDataLines(staged: Seq[String],
+  private[sources] def renderDataLines(staged: Seq[String],
       statsCols: Seq[String], bloomCols: Seq[String] = Nil): Seq[String] =
     if ((statsCols.isEmpty && bloomCols.isEmpty) || staged.isEmpty) staged
     else {
@@ -916,7 +1030,13 @@ object TxLog {
         bloomCols.map(c => c -> bloomB64(spark, staged, c))
       staged.map { p =>
         val np = normPath(p)
-        val st = byPath.getOrElse(np, Nil) ++
+        // a staged part file with ZERO rows never appears in the per-file
+        // aggregate (Spark's empty-partition writes, a merge whose
+        // touched rows all deleted) — but its row count is provably 0,
+        // so default the `#rows#` entry rather than leave the line bare:
+        // one bare line makes rowCountOf None for the whole version,
+        // silently disabling the a37-style manifest CBO (r13 advice)
+        val st = byPath.getOrElse(np, Seq("#rows#" -> (("0", "0")))) ++
           blooms.flatMap { case (c, m) =>
             m.get(np).map(b =>
               s"#bloom#$c" -> ((b, s"$bloomBits,$bloomHashes")))
@@ -963,7 +1083,7 @@ object TxLog {
     * string (escape-aware), then fold them in (key, min, max) triples —
     * the grammar renderStats emits has exactly three strings per entry
     * and no other quoted tokens, so position IS structure. */
-  private def parseStats(json: String): Map[String, (String, String)] = {
+  private[sources] def parseStats(json: String): Map[String, (String, String)] = {
     val strs = Seq.newBuilder[String]
     var i = 0
     while (i < json.length) {

@@ -70,6 +70,64 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(parse(l2).get("repeats").asInt() === 2)
   }
 
+  test("incremental Emitter implements the mergePasses law exactly") {
+    // arrival order = pass1 then pass2, each sorted — exactly main's loop
+    val p1: Seq[(String, Either[String, Double])] =
+      Seq("a" -> Right(2.0), "b" -> Left("boom1"), "c" -> Left("cold"))
+    val p2: Seq[(String, Either[String, Double])] =
+      Seq("a" -> Right(1.5), "b" -> Left("boom2"), "c" -> Right(0.9))
+    val em = new Bench.Emitter("d", 2)
+    (p1 ++ p2).foreach { case (k, o) => em.record(k, o) }
+    assert(em.results === Bench.mergePasses(Seq(p1, p2)),
+      "per-key fold must equal the batch merge — same keys, same order")
+  }
+
+  test("a mid-suite SIGTERM still leaves a parseable last-complete pair " +
+      "(the r13 rc:124 incident)") {
+    // Replay main's emission discipline: the pair is printed after EVERY
+    // key, so for ANY byte-truncation of the stdout stream (the driver's
+    // timeout kill), dropping the partial trailing line leaves a last
+    // complete per_query line and a last complete total line that both
+    // parse — and the per_query map holds exactly the keys completed.
+    val arrivals: Seq[(String, Either[String, Double])] = Seq(
+      "a_ok" -> Right(1.0), "b_bad" -> Left("boom \"q\"\nstack"),
+      "c_ok" -> Right(0.5), "a_ok" -> Right(0.8), "b_bad" -> Right(2.0),
+      "c_ok" -> Right(0.6))
+    val em = new Bench.Emitter("/root/testdata/sf0.1", 2)
+    val emitted = arrivals.map { case (k, o) =>
+      val (l1, l2) = em.record(k, o); s"$l1\n$l2\n"
+    }
+    val stdout = emitted.mkString
+    // completed-key set after each ARRIVAL (for the exactness assert)
+    val completedAfter = arrivals.scanLeft(Set.empty[String])(_ + _._1).tail
+    // truncate at every byte offset past the first complete pair
+    val firstPairEnd = emitted.head.length
+    (firstPairEnd to stdout.length).foreach { cut =>
+      val tail = stdout.substring(0, cut)
+      val complete =
+        tail.substring(0, tail.lastIndexOf('\n') + 1).linesIterator.toSeq
+      val lastDetail = complete.filter(_.contains("\"detail\":\"per_query\"")).last
+      val lastTotal = complete.filter(_.contains("\"metric\":\"total\"")).last
+      val d = parse(lastDetail) // throws on malformed JSON
+      val t = parse(lastTotal)
+      // the surviving detail line belongs to the Nth arrival, where N =
+      // how many detail lines fully survived the cut
+      val survived = complete.count(_.contains("\"detail\":\"per_query\""))
+      val expectKeys = completedAfter(survived - 1)
+      val gotKeys = {
+        val it = d.get("queries").fieldNames()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        val ie = d.get("errors").fieldNames()
+        while (ie.hasNext) b += ie.next()
+        b.result()
+      }
+      assert(gotKeys === expectKeys,
+        s"truncation at byte $cut must carry exactly the completed keys")
+      assert(t.get("value").asDouble() >= 0.0)
+    }
+  }
+
   test("empty suite and all-green suite render parseable lines") {
     val (e1, e2) = Bench.renderLines(Nil, "d", 1)
     assert(parse(e1).get("errors").size() === 0)

@@ -1472,4 +1472,30 @@ class PropertySpec extends SparkSpec {
     assert(enc.where(col("n_tokens") < col("n_words")).count() === 0,
       "a word encodes to at least one token")
   }
+
+  test("g102 sequence laws: every doc's token-id sequence length IS " +
+      "g100's n_tokens; ids are valid (within the vocab's id range)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val seqs = SparkEntry.queries("g102_bpe_ids")(spark, dir)
+    // cross-key: the ORDERED sequence must carry exactly the token count
+    // the count key grades — a dropped word, a duplicated token, or a
+    // mis-joined id shows up as a length mismatch on some doc
+    val counts = SparkEntry.queries("g100_bpe_encode")(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("g100_n"))
+    val joined = seqs.join(counts, Seq("doc_id"))
+    assert(joined.count() === counts.count(), "every doc must have a sequence")
+    assert(joined.where(col("n_tokens") =!= col("g100_n")).count() === 0,
+      "sequence n_tokens must equal g100's count per doc")
+    assert(joined.where(
+        size(split(col("token_ids"), " ")) =!= col("n_tokens")).count() === 0,
+      "the serialized sequence's length must equal its declared n_tokens")
+    // id validity: every id in [0, |distinct tokens|)
+    val nTok = pipeline.TextAnalysis.bpeTrain(spark, dir)._1
+      .select(explode(col("toks")).as("t")).select("t").distinct().count()
+    val bad = seqs.select(explode(split(col("token_ids"), " ")).as("s"))
+      .select(col("s").cast("long").as("id"))
+      .where(col("id").isNull || col("id") < 0 || col("id") >= nTok)
+    assert(bad.count() === 0, s"ids must lie in [0, $nTok)")
+  }
 }

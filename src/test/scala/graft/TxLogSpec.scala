@@ -334,6 +334,49 @@ class TxLogSpec extends SparkSpec {
       "version-pinned resolution matches the pinned Head")
   }
 
+  test("CasLog lifecycle: appends write delta objects replayed through " +
+      "the Head's history; stats prune through the CAS; the retention " +
+      "cut materializes a delta cut before its ancestors drop; sweeps " +
+      "reclaim dead objects and data, never live ones") {
+    import graft.sources.CasLog
+    val t = freshTable("cas_life")
+    CasLog.reset(t)
+    val v1 = CasLog.commit(t, TxLog.stage(
+      df(1L -> "a", 2L -> "b").repartitionByRange(2, $"id"), t), 0,
+      statsCols = Seq("id"))
+    val v2 = CasLog.commit(t, TxLog.stage(df(3L -> "c"), t), v1,
+      statsCols = Seq("id"))
+    val v3 = CasLog.commit(t, TxLog.stage(df(4L -> "d"), t), v2,
+      statsCols = Seq("id"))
+    // write-cost law: creation full, steady-state appends delta
+    assert(!CasLog.isDeltaManifest(t, v1))
+    assert(CasLog.isDeltaManifest(t, v2) && CasLog.isDeltaManifest(t, v3))
+    assert(CasLog.read(spark, CasLog.head(t).get).count() === 4)
+    // skipping law: the CAS manifest's stats prune like TxLog's
+    val pr = CasLog.readWhere(spark, t, v3, Seq(("id", "1", "1")))
+    assert(pr.count() === 1)
+    assert(pr.inputFiles.length < CasLog.files(t, v3).length,
+      "CAS stats must prune the point read below the manifest list")
+    // retention law: cut at v2 (a DELTA) — its full resolution is
+    // materialized BEFORE v1's object drops, so v2/v3 reads survive
+    val s1 = CasLog.vacuum(t, keepLast = 2)
+    intercept[IllegalArgumentException](CasLog.files(t, v1))
+    assert(spark.read.parquet(CasLog.files(t, v2): _*).count() === 3,
+      "the materialized cut must resolve without its expired ancestors")
+    assert(CasLog.read(spark, CasLog.head(t).get).count() === 4)
+    assert(!s1.exists(_.endsWith(".parquet")),
+      "append-chain data is live through the retained manifests")
+    assert(s1.nonEmpty, "the expired manifest objects must be reclaimed")
+    // a compaction rewrite + cut-to-head reclaims the dead data files
+    val v4 = CasLog.commitRewrite(t, TxLog.stage(
+      CasLog.read(spark, CasLog.head(t).get).repartition(1), t), v3)
+    val s2 = CasLog.vacuum(t, keepLast = 1)
+    assert(s2.exists(_.endsWith(".parquet")),
+      "pre-rewrite data files are dead once only the head is retained")
+    assert(CasLog.read(spark, CasLog.head(t).get).count() === 4)
+    assert(CasLog.files(t, v4).nonEmpty)
+  }
+
   test("commitWithRetry: two appends racing from one head BOTH land, " +
       "serialized by the commit point; a rewrite has no retry helper " +
       "by design") {
@@ -654,9 +697,6 @@ class TxLogSpec extends SparkSpec {
       TxLog.readWhere(spark, t, v2, "n", "1", "10"))
     intercept[IllegalArgumentException](
       TxLog.readKeys(spark, t, v2, "k", Seq("k3")))
-    intercept[IllegalArgumentException](
-      TxLog.mergeInto(spark, t, v2,
-        Seq(("k5", 99L, "upsert")).toDF("k", "n", "op"), "k"))
     // the pre-DV version stays fully readable through every path
     assert(TxLog.readWhere(spark, t, v1, "n", "1", "10").count() === 10)
     assert(TxLog.readKeys(spark, t, v1, "k", Seq("k3")).count() === 1)
@@ -665,6 +705,111 @@ class TxLogSpec extends SparkSpec {
       TxLog.stage(TxLog.readMerged(spark, t, v2), t), v2,
       statsCols = Seq("n"))
     assert(TxLog.readWhere(spark, t, v3, "n", "1", "10").count() === 9)
+  }
+
+  test("mergeWithRetry: two merges racing from one head BOTH land exactly " +
+      "once, serialized by the commit point; the loser RECOMPUTES from " +
+      "the new head (mirrors the commitWithRetry append law)") {
+    val t = freshTable("merge_race")
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    TxLog.commit(t, TxLog.stage(base, t), 0)
+    // disjoint change sets: A updates 5 + inserts 200; B updates 60 +
+    // deletes 7 — whatever order they land in, the final state is fixed
+    val chA = Seq((5L, "A5", "upsert"), (200L, "A200", "upsert"))
+      .toDF("id", "v", "op")
+    val chB = Seq((60L, "B60", "upsert"), (7L, "x", "delete"))
+      .toDF("id", "v", "op")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes =
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(Seq(chA, chB).map { ch =>
+          new java.util.concurrent.Callable[scala.util.Try[Int]] {
+            def call(): scala.util.Try[Int] = {
+              barrier.await()
+              scala.util.Try(TxLog.mergeWithRetry(spark, t, ch, "id"))
+            }
+          }
+        }.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    assert(outcomes.forall(_.isSuccess),
+      s"both racing merges must eventually land: $outcomes")
+    assert(outcomes.map(_.get).toSet === Set(2, 3),
+      "the two merges must serialize as v2 and v3")
+    // exactly once each: both change sets applied, no duplicates, no
+    // row leaked from the losing attempt's recompute
+    val head = TxLog.read(spark, t, 3)
+    assert(head.count() === 100) // 100 - 1 delete + 1 insert
+    val state = head.as[(Long, String)].collect().toMap
+    assert(state.size === 100, "no duplicate keys after the race")
+    assert(state(5L) === "A5" && state(200L) === "A200")
+    assert(state(60L) === "B60" && !state.contains(7L))
+    assert(state(42L) === "v42", "bystander rows ride through both merges")
+  }
+
+  test("DV-aware merge: merge on a DV-carrying base ≡ compact-then-merge; " +
+      "touched files' DVs retire in the commit, untouched DVs survive; " +
+      "a deleted key never resurrects") {
+    // two key-clustered files: low = ids 1..50, high = ids 51..100
+    val mkBase = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    def build(name: String): (String, Int) = {
+      val t = freshTable(name)
+      val v1 = TxLog.commit(t, TxLog.stage(mkBase, t), 0,
+        statsCols = Seq("id"))
+      // DV delete id 5 (low file) and id 60 (high file) — ONE sidecar
+      val v2 = TxLog.commitDeleteVectors(spark, t, v1, "id",
+        Seq(5L, 60L).toDF("id"))
+      (t, v2)
+    }
+    // change batch touches ONLY the low file: update 7, delete 9,
+    // insert 1000, and UPSERT the DV-deleted 5 (logically absent → insert)
+    def changes = Seq((7L, "V7", "upsert"), (9L, "v9", "delete"),
+      (1000L, "NEW", "upsert"), (5L, "BACK", "upsert"))
+      .toDF("id", "v", "op")
+    // path A: merge straight onto the DV-carrying version
+    val (tA, dvA) = build("dvmerge_a")
+    val vA = TxLog.mergeInto(spark, tA, dvA, changes, "id")
+    // path B: compact the DVs away first, then the same merge
+    val (tB, dvB) = build("dvmerge_b")
+    val cB = TxLog.commitRewrite(tB,
+      TxLog.stage(TxLog.readMerged(spark, tB, dvB)
+        .repartitionByRange(2, $"id"), tB), dvB)
+    val vB = TxLog.mergeInto(spark, tB, cB, changes, "id")
+    val a = TxLog.readMerged(spark, tA, vA).as[(Long, String)]
+      .collect().toSet
+    val b = TxLog.readMerged(spark, tB, vB).as[(Long, String)]
+      .collect().toSet
+    assert(a === b, "merge on a DV base must equal compact-then-merge")
+    // content law: update applied, delete applied, insert applied, the
+    // DV-deleted 5 re-inserted as a NOT-MATCHED key, 60 still deleted
+    val m = a.toMap
+    assert(m(7L) === "V7" && !m.contains(9L) && m(1000L) === "NEW")
+    assert(m(5L) === "BACK", "an upsert on a DV-deleted key must insert")
+    assert(!m.contains(60L), "an untouched file's DV must keep deleting")
+    // 100 - 2 dv - 1 merge-delete + 1 insert + 1 re-inserted dv key
+    assert(m.size === 99)
+    // manifest law: the rewritten (low) file's DV retired; the untouched
+    // (high) file keeps its #dv# entry verbatim
+    val keptA = TxLog.files(tA, vA).toSet
+      .intersect(TxLog.files(tA, dvA).toSet)
+    assert(keptA.size === 1, "the untouched high file rides by reference")
+    val stA = TxLog.statsOf(tA, vA)
+    assert(stA(norm(keptA.head)).contains("#dv#"),
+      "the untouched file's surviving DV entry must ride verbatim")
+    val rewritten = TxLog.files(tA, vA).toSet -- keptA
+    assert(rewritten.forall(p => !stA.get(norm(p)).exists(_.contains("#dv#"))),
+      "rewritten files must retire their DVs in the same commit")
+    // and raw-reading the rewritten files shows the subtraction happened
+    // at REWRITE time, not read time: the merge-deleted 9 is gone, and
+    // id 5 exists ONLY as the re-inserted row — the DV'd original "v5"
+    // did not resurrect into the survivors
+    val raw = spark.read.parquet(rewritten.toSeq: _*)
+    assert(raw.where($"id" === 9L).count() === 0)
+    assert(raw.where($"id" === 5L).as[(Long, String)].collect().toSeq ===
+      Seq((5L, "BACK")))
   }
 
   test("a pinned partitioned index reads only its own version's files, " +

@@ -107,7 +107,14 @@ def main():
         # half-second of absolute movement too before flagging. Keys at
         # >= 1s keep the pure ratio gate (so a caller-lowered threshold
         # still catches e.g. a 20% regression on a multi-second key).
-        if ratio >= thresh and (o >= 1.0 or (n - o) >= 0.5):
+        # EXCEPT at extreme ratios: a 0.06s -> 0.54s key is a 9x
+        # regression that the absolute floor would swallow entirely —
+        # weather never multiplies a key 4x+ AND lands under half a
+        # second of delta at the same time, so the pure-ratio gate
+        # returns at max(thresh, 4.0) regardless of magnitude (r13
+        # advice).
+        if ratio >= thresh and (o >= 1.0 or (n - o) >= 0.5
+                                or ratio >= max(thresh, 4.0)):
             movers.append((ratio, k, o, n))
     for ratio, k, o, n in sorted(movers, reverse=True):
         flagged = True

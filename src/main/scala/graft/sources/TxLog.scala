@@ -408,10 +408,11 @@ object TxLog {
   /** Snapshot-isolated read of a pinned version: exactly that manifest's
     * files, whatever has committed since. RAW by contract — deletion
     * vectors are NOT subtracted here (cdc's internal empty-frame scaffold
-    * and the pre-DV keys depend on the raw view); [[readMerged]] is the
-    * MoR-aware read, [[mergeInto]] subtracts sidecars itself, and the
-    * guardable public readers (readEvolved, readWhere, readKeys) refuse
-    * DV versions loudly. */
+    * and the pre-DV keys depend on the raw view); every other public
+    * read path — [[readMerged]], [[readEvolved]], [[readWhere]],
+    * [[readKeys]], [[mergeInto]]'s rewrite — subtracts sidecars itself
+    * through [[dvGroupedRead]], so only a caller who explicitly asks
+    * for the raw view can ever see a deleted row. */
   def read(spark: SparkSession, table: String, v: Int): DataFrame =
     spark.read.parquet(files(table, v): _*)
 
@@ -429,18 +430,20 @@ object TxLog {
     * nullable (pre-widening files lack the new columns). A pre-schema
     * (v1-format) manifest falls back to the mergeSchema footer pass.
     * [[read]] deliberately stays schema-free (footer sampling — correct
-    * for homogeneous tables and independent of manifest vintage). */
+    * for homogeneous tables and independent of manifest vintage).
+    * DV-AWARE (r14 — the r13 guard refused DV versions; subtracting is
+    * strictly better than refusing): dv-carrying files read minus their
+    * own sidecar's keys via [[dvGroupedRead]]. */
   def readEvolved(spark: SparkSession, table: String, v: Int): DataFrame = {
-    requireNoDv(table, v, "readEvolved")
-    schemaOf(table, v) match {
+    val reader: Seq[String] => DataFrame = schemaOf(table, v) match {
       case Some(s) =>
         val nullable = org.apache.spark.sql.types.StructType(
           s.fields.map(_.copy(nullable = true)))
-        spark.read.schema(nullable).parquet(files(table, v): _*)
+        fs => spark.read.schema(nullable).parquet(fs: _*)
       case None =>
-        spark.read.option("mergeSchema", "true")
-          .parquet(files(table, v): _*)
+        fs => spark.read.option("mergeSchema", "true").parquet(fs: _*)
     }
+    dvGroupedRead(spark, statsOf(table, v), files(table, v), reader)
   }
 
   /** STATS-PRUNED snapshot read (data skipping through the log): keep
@@ -455,7 +458,11 @@ object TxLog {
     * strings). At 100 TB this is the difference between a predicate
     * read costing O(matching files) and O(table) — the file list is
     * pruned BEFORE Spark ever plans the scan, so `inputFiles` carries
-    * only survivors (TxLogSpec law). */
+    * only survivors (TxLogSpec law). DV-AWARE (r14): kept dv-carrying
+    * files read minus their own sidecar's keys — stats may only ADMIT
+    * files, so pruning composes with the subtraction soundly (a stat
+    * computed pre-delete can keep a file whose matching rows are all
+    * deleted — extra read, never a resurrected row). */
   def readWhere(spark: SparkSession, table: String, v: Int,
       column: String, lo: String, hi: String): DataFrame =
     readWhere(spark, table, v, Seq((column, lo, hi)))
@@ -469,9 +476,12 @@ object TxLog {
       preds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "readWhere needs at least one predicate")
-    requireNoDv(table, v, "readWhere")
-    val keep = statsKeep(files(table, v), statsOf(table, v), preds)
-    preds.foldLeft(emptyOr(spark, table, v, keep)) {
+    val stats = statsOf(table, v)
+    val keep = statsKeep(files(table, v), stats, preds)
+    val base =
+      if (keep.isEmpty) emptyOr(spark, table, v, keep)
+      else dvGroupedRead(spark, stats, keep, g => spark.read.parquet(g: _*))
+    preds.foldLeft(base) {
       case (df, (column, lo, hi)) =>
         df.where(col(column) >= lit(lo) && col(column) <= lit(hi))
     }
@@ -494,7 +504,6 @@ object TxLog {
       column: String, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(keys.nonEmpty, "readKeys needs at least one probe key")
-    requireNoDv(table, v, "readKeys")
     import spark.implicits._
     val probes: Array[Array[Int]] = keys.toDF("k")
       .select(bloomPositions(col("k")).as("ps"))
@@ -518,8 +527,14 @@ object TxLog {
         case _ => true
       }
     }
-    emptyOr(spark, table, v, keep)
-      .where(col(column).isin(keys.map(lit): _*))
+    // DV-aware (r14): a bloom persisted before a delete still carries
+    // the deleted keys' bits, so a kept file may hold DV-deleted rows —
+    // the sidecar subtraction removes them before the exact IN-list, so
+    // a point lookup can never resurrect a deleted key
+    val base =
+      if (keep.isEmpty) emptyOr(spark, table, v, keep)
+      else dvGroupedRead(spark, stats, keep, g => spark.read.parquet(g: _*))
+    base.where(col(column).isin(keys.map(lit): _*))
   }
 
   /** Sum of the manifest's per-file `#rows#` counts — table cardinality
@@ -533,16 +548,6 @@ object TxLog {
       stats.get(normPath(p)).flatMap(_.get("#rows#")).map(_._1.toLong))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
-
-  /** Raw-file readers must refuse a DV-carrying version LOUDLY: reading
-    * the files without subtracting the sidecars would silently
-    * RESURRECT deleted rows — the worst failure mode a delete can have.
-    * [[readMerged]] is the MoR-aware read; a COW compaction ([[a6]]'s
-    * cycle) retires the sidecars and re-opens the raw readers. */
-  private def requireNoDv(table: String, v: Int, what: String): Unit =
-    require(!statsOf(table, v).values.exists(_.contains("#dv#")),
-      s"$what reads raw files and version $v of $table carries deletion " +
-        "vectors — use readMerged, or compact the DVs away first")
 
   /** The pruned-read scaffold shared by readWhere/readKeys: the kept
     * files, or a correctly-typed empty frame when pruning removed all. */
@@ -688,21 +693,12 @@ object TxLog {
       case None => fs => spark.read.parquet(fs: _*)
     }
     // DV-aware: each touched file group reads through ITS OWN sidecar
-    // subtraction (the mergedRead shape) so a DV-deleted row can never
+    // subtraction ([[dvGroupedRead]]) so a DV-deleted row can never
     // resurrect as a survivor; the rewrite retires those sidecars — the
     // new lines carry no #dv#, and untouched lines keep theirs verbatim.
-    val baseStats = statsOf(table, base)
     val touchedDf =
       if (touchedFiles.isEmpty) read(spark, table, base).limit(0)
-      else touchedFiles
-        .groupBy(p => baseStats.get(normPath(p)).flatMap(_.get("#dv#")))
-        .toSeq.sortBy(_._1.map(_._1)).map {
-          case (None, g) => mkReader(g)
-          case (Some((sidecar, dvKey)), g) =>
-            mkReader(g).join(
-              spark.read.parquet(sidecar).select(col(dvKey)),
-              Seq(dvKey), "left_anti")
-        }.reduceLeft(_ unionByName _)
+      else dvGroupedRead(spark, statsOf(table, base), touchedFiles, mkReader)
     // schema-widening merge (Delta's mergeSchema-on-MERGE): a change
     // batch may carry columns the target lacks — survivors take nulls
     // there, and the commit's union schema widens so readEvolved
@@ -839,14 +835,28 @@ object TxLog {
     * sidecar keys. Shared by [[readMerged]] (the whole version) and
     * [[cdc]]'s rewrite diff (the removed/added sides). */
   private def mergedRead(spark: SparkSession, table: String, v: Int,
-      fs: Seq[String]): DataFrame = {
+      fs: Seq[String]): DataFrame =
+    dvGroupedRead(spark, statsOf(table, v), fs,
+      g => spark.read.parquet(g: _*))
+
+  /** The one DV-subtraction shape every sidecar-aware read composes
+    * with: group `fs` by their `#dv#` entry, read each group through
+    * `reader` (raw, or the manifest-schema reader — caller's choice),
+    * and anti-join each dv'd group against ITS OWN sidecar's keys —
+    * never a union of all deletes against all files. Shared by
+    * [[readMerged]], [[mergeInto]]'s touched-file rewrite, and the
+    * skipping reads ([[readWhere]]/[[readKeys]]/[[readEvolved]]), so
+    * "subtract the sidecar" has exactly one implementation to get
+    * wrong. Caller guarantees `fs` nonempty. */
+  private def dvGroupedRead(spark: SparkSession,
+      stats: Map[String, Map[String, (String, String)]], fs: Seq[String],
+      reader: Seq[String] => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val stats = statsOf(table, v)
     fs.groupBy(p => stats.get(normPath(p)).flatMap(_.get("#dv#")))
       .toSeq.sortBy(_._1.map(_._1)).map {
-        case (None, g) => spark.read.parquet(g: _*)
+        case (None, g) => reader(g)
         case (Some((sidecar, keyCol)), g) =>
-          spark.read.parquet(g: _*).join(
+          reader(g).join(
             spark.read.parquet(sidecar).select(col(keyCol)),
             Seq(keyCol), "left_anti")
       }.reduceLeft(_ unionByName _)

@@ -685,22 +685,32 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t, v4).count() === 85)
   }
 
-  test("raw-file readers refuse a DV-carrying version loudly — reading " +
-      "around the sidecar would resurrect deleted rows") {
+  test("skipping reads are DV-aware: readWhere/readKeys/readEvolved " +
+      "subtract the sidecar after pruning — a deleted key can never " +
+      "resurrect through a pruned read (r14: subtract beats refuse)") {
     val t = freshTable("dv_guard")
     val v1 = TxLog.commit(t,
       TxLog.stage((1L to 20L).map(i => (s"k$i", i)).toDF("k", "n"), t), 0,
       statsCols = Seq("n"), bloomCols = Seq("k"))
     val v2 = TxLog.commitDeleteVectors(spark, t, v1, "k",
       Seq(Tuple1("k3")).toDF("k"))
-    intercept[IllegalArgumentException](
-      TxLog.readWhere(spark, t, v2, "n", "1", "10"))
-    intercept[IllegalArgumentException](
-      TxLog.readKeys(spark, t, v2, "k", Seq("k3")))
+    // range skipping: k3's row sits inside [1,10] and inside the kept
+    // files' stats (computed pre-delete) — admitted file, subtracted row
+    val rw = TxLog.readWhere(spark, t, v2, "n", "1", "10")
+    assert(rw.count() === 9)
+    assert(rw.where($"k" === "k3").count() === 0,
+      "a stats-pruned read must never resurrect a DV-deleted row")
+    // point lookup: the persisted bloom still carries k3's bits — the
+    // file is admitted, the exact row is gone; live keys still resolve
+    assert(TxLog.readKeys(spark, t, v2, "k", Seq("k3")).count() === 0,
+      "a bloom-pruned lookup must never resurrect a DV-deleted key")
+    assert(TxLog.readKeys(spark, t, v2, "k", Seq("k4", "k3")).count() === 1)
+    // evolved read: manifest-schema planning composes with subtraction
+    assert(TxLog.readEvolved(spark, t, v2).count() === 19)
     // the pre-DV version stays fully readable through every path
     assert(TxLog.readWhere(spark, t, v1, "n", "1", "10").count() === 10)
     assert(TxLog.readKeys(spark, t, v1, "k", Seq("k3")).count() === 1)
-    // and compaction re-opens them
+    // and compaction retires the read tax with identical content
     val v3 = TxLog.commitRewrite(t,
       TxLog.stage(TxLog.readMerged(spark, t, v2), t), v2,
       statsCols = Seq("n"))

@@ -23,6 +23,7 @@ import sys
 
 def load(path):
     tail = None
+    last = None
     with open(path) as f:
         text = f.read()
     for line in text.splitlines():
@@ -34,9 +35,14 @@ def load(path):
         except json.JSONDecodeError:
             continue
         if d.get("detail") == "per_query":
-            return d["queries"], d.get("errors", {}), False
+            # since r14 Bench emits the pair after EVERY key (kill
+            # survivability); the LAST complete per_query line carries
+            # the full merged min-of-passes map
+            last = d
         if "tail" in d:
             tail = d["tail"]
+    if last is not None:
+        return last["queries"], last.get("errors", {}), False
     if tail is None:
         # driver records may be pretty-printed (multi-line object)
         try:

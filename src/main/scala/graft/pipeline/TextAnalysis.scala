@@ -1784,12 +1784,27 @@ object TextAnalysis {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin)) { (spark, dir) =>
     import spark.implicits._
+    docTokenIds(spark, dir)
+      .select($"doc_id", $"n".as("n_tokens"),
+        array_join(transform($"ids", x => x.cast("string")), " ")
+          .as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc ORDERED token-id arrays — the tokenize-apply assembly
+    * shared by g102 (serialized sequences) and g103 (the packer):
+    * (doc_id, ids array<bigint>, n bigint). Vocab-sized until the last
+    * join: (word, tp, token) explodes from the trained vocab, ids join
+    * by token (g101's dense frequency rank over the FULL vocab — a
+    * ≤|vocab|-row window, never a corpus sort), per-WORD id arrays
+    * assemble in token order (|vocab| rows); the corpus pass is one
+    * posexplode ⋈ broadcast(word → ids) + a per-doc ordered fold. */
+  private def docTokenIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val (vocab, _) = bpeTrain(spark, dir)
     val tok = vocab.select($"word",
       posexplode($"toks").as(Seq("tp", "token")))
-    // g101's id assignment over the FULL vocab (not its graded top-50):
-    // corpus token frequency → dense rank (n DESC, token). The rank
-    // window is |vocab|-bounded by construction — never a corpus sort.
     val freq = Tables.documentsDist(spark, dir)
       .select(explode(split($"text", " ")).as("word"))
       .where(length($"word") >= 1)
@@ -1799,29 +1814,138 @@ object TextAnalysis {
       .orderBy($"n".desc, $"token")
     val ids = freq.select($"token",
       (row_number().over(rankW) - 1).cast("bigint").as("token_id"))
-    // per-WORD ordered id strings: |vocab| rows, assembled once
     val wid = tok.join(ids, Seq("token"))
       .groupBy($"word")
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct($"tp", $"token_id"))),
-          x => x.getField("token_id").cast("string")), " ").as("ids_str"),
+        transform(array_sort(collect_list(struct($"tp", $"token_id"))),
+          x => x.getField("token_id")).as("ids"),
         count(lit(1)).cast("bigint").as("n_toks"))
-    // the corpus pass: word positions preserved through the broadcast
-    // join, the doc sequence folded back in word order
     Tables.documentsDist(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("wp", "word")))
       .where(length($"word") >= 1)
       .join(broadcast(wid), Seq("word"))
       .groupBy($"doc_id")
-      .agg(sum($"n_toks").cast("bigint").as("n_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct($"wp", $"ids_str"))),
-          x => x.getField("ids_str")), " ").as("token_ids"))
-      .orderBy("doc_id")
+      .agg(
+        flatten(transform(array_sort(collect_list(struct($"wp", $"ids"))),
+          x => x.getField("ids"))).as("ids"),
+        sum($"n_toks").cast("bigint").as("n"))
+  }
+
+  // g103 — PACKED TRAINING WINDOWS over the token-id stream (the shard
+  // writer: after g102's per-doc sequences, a pretraining pipeline lays
+  // documents end to end in a deterministic order and cuts fixed
+  // C-token context windows — docs SPAN windows, the concat-and-chunk
+  // discipline real LLM packers use; g28 bins by start offset, g95
+  // audits padding waste, but neither certifies the actual WINDOW
+  // CONTENTS). Each window row carries its token count, the documents
+  // it touches, and a CHECKSUM of exactly the token ids inside it
+  // (per-doc slice sums folded with functions.aggregate) — so one id
+  // out of place anywhere in the packed stream hash-mismatches without
+  // the output having to ship megabytes of ids. Offsets come from the
+  // g28 two-pass DISTRIBUTED prefix sum (range-local cumsum + broadcast
+  // per-range prefixes — no corpus-sized window anywhere); the window
+  // expansion is explode(sequence(first_win, last_win)) = O(docs +
+  // windows) rows. The oracle replays the ENTIRE trainer (shared
+  // bpeOracle generator), reassembles per-doc id LISTS with ORDER
+  // BY-qualified list aggregates, and recomputes the same global
+  // cumsum / window slices with 1-based inclusive list slicing.
+  // Scale: the packer is one linear pass over per-doc summaries plus
+  // per-(doc, window) array slices — the exact shape of a 100 TB shard
+  // writer, and every shuffle is on the range key or the window id.
+  private val g103 = QueryDef.graded("g103_pack_ids", bpeOracle(
+    """,
+      |tok AS (
+      |  SELECT word, u.t AS token, u.p AS tp FROM (
+      |    SELECT word, unnest(list_transform(
+      |      string_split(s[2:-2], <E>||<S>),
+      |      (x, i) -> struct_pack(t := x, p := i))) AS u
+      |    FROM <tN>) z),
+      |freq AS (
+      |  SELECT t.token, count(*)::BIGINT AS n
+      |  FROM w JOIN tok t ON w.word = t.word
+      |  WHERE length(w.word) >= 1
+      |  GROUP BY t.token),
+      |idt AS (
+      |  SELECT token,
+      |    (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT
+      |      AS token_id
+      |  FROM freq),
+      |wid AS (
+      |  SELECT t.word, list(i.token_id ORDER BY t.tp) AS ids,
+      |    count(*)::BIGINT AS n_toks
+      |  FROM tok t JOIN idt i ON t.token = i.token
+      |  GROUP BY t.word),
+      |dw AS (
+      |  SELECT doc_id, u.w AS word, u.p AS wp FROM (
+      |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+      |      (x, i) -> struct_pack(w := x, p := i))) AS u
+      |    FROM documents) z),
+      |docids AS (
+      |  SELECT d.doc_id, flatten(list(v.ids ORDER BY d.wp)) AS ids,
+      |    sum(v.n_toks)::BIGINT AS n
+      |  FROM dw d JOIN wid v ON d.word = v.word
+      |  WHERE length(d.word) >= 1
+      |  GROUP BY d.doc_id),
+      |cs AS (
+      |  SELECT doc_id, ids, n,
+      |    (sum(n) OVER (ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT
+      |      AS off
+      |  FROM docids),
+      |ew AS (
+      |  SELECT doc_id, ids, n, off,
+      |    unnest(generate_series(off // 256, (off + n - 1) // 256)) AS win
+      |  FROM cs),
+      |per AS (
+      |  SELECT win, doc_id,
+      |    least(off + n, (win + 1) * 256) - greatest(off, win * 256) AS cnt,
+      |    list_sum(ids[(greatest(off, win * 256) - off + 1)
+      |      :(least(off + n, (win + 1) * 256) - off)]) AS ssum
+      |  FROM ew)
+      |SELECT win::BIGINT AS window_id, sum(cnt)::BIGINT AS n_tokens,
+      |  count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc, sum(ssum)::BIGINT AS ids_sum
+      |FROM per GROUP BY win
+      |ORDER BY window_id""".stripMargin)) { (spark, dir) =>
+    import spark.implicits._
+    val C = 256L
+    // distributed prefix sum over (doc_id, n): the g28 two-pass
+    // discipline — range-local cumsum, then the TINY per-range totals
+    // prefix-summed and broadcast back; no corpus-sized window
+    val t = docTokenIds(spark, dir).withColumn("rng", expr("doc_id div 1000"))
+    val wLocal = Window.partitionBy($"rng").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("lcs", sum($"n").over(wLocal))
+    val wRange = Window.orderBy($"rng")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = t.groupBy($"rng").agg(sum($"n").as("rtot"))
+      .withColumn("rprefix", sum($"rtot").over(wRange) - $"rtot")
+      .select($"rng", $"rprefix")
+    val off = local.join(broadcast(prefixes), "rng")
+      .withColumn("off", $"rprefix" + $"lcs" - $"n")
+    // window expansion: a doc touches windows off/C .. (off+n-1)/C;
+    // its slice inside each is [lo, hi) in global token coordinates
+    val ew = off
+      .withColumn("win",
+        explode(sequence(expr(s"off div $C"), expr(s"(off + n - 1) div $C"))))
+      .withColumn("lo", greatest($"off", $"win" * C))
+      .withColumn("hi", least($"off" + $"n", ($"win" + lit(1L)) * C))
+    ew.select($"win", $"doc_id", ($"hi" - $"lo").as("cnt"),
+        aggregate(
+          slice($"ids", ($"lo" - $"off" + 1).cast("int"),
+            ($"hi" - $"lo").cast("int")),
+          lit(0L), (acc, x) => acc + x).as("ssum"))
+      .groupBy($"win")
+      .agg(sum($"cnt").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_docs"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"),
+        sum($"ssum").cast("bigint").as("ids_sum"))
+      .select($"win".cast("bigint").as("window_id"), $"n_tokens",
+        $"n_docs", $"first_doc", $"last_doc", $"ids_sum")
+      .orderBy("window_id")
   }
 
   val defs: Seq[QueryDef] = Seq(g6, g7, g9, g10, g11, g23, g30, g31, g35,
     g37, g38, g41, g42, g43, g52, g53, g55, g62, g65, g67, g68, g69,
-    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100, g101, g102)
+    g70, g71, g72, g73, g74, g76, g77, g94, g99, g100, g101, g102, g103)
 }

@@ -1498,4 +1498,34 @@ class PropertySpec extends SparkSpec {
       .where(col("id").isNull || col("id") < 0 || col("id") >= nTok)
     assert(bad.count() === 0, s"ids must lie in [0, $nTok)")
   }
+
+  test("g103 packing laws: windows are contiguous from 0, every window " +
+      "but the last holds exactly 256 tokens, and the pack conserves " +
+      "the corpus token count exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val w = SparkEntry.queries("g103_pack_ids")(spark, dir)
+      .orderBy("window_id").collect()
+    assert(w.nonEmpty)
+    // contiguity: the token stream has no holes, so neither do windows
+    w.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong, s"window ids must be 0..${w.length - 1}")
+    }
+    // every window but the last is FULL (concat-and-chunk semantics:
+    // a window closes only when its 256 tokens exist)
+    w.dropRight(1).foreach(r =>
+      assert(r.getLong(1) === 256L, s"non-final window not full: $r"))
+    assert(w.last.getLong(1) >= 1L && w.last.getLong(1) <= 256L)
+    // conservation: nothing dropped, nothing duplicated — the windows'
+    // token counts sum to exactly the corpus count g100 grades
+    val total = SparkEntry.queries("g100_bpe_encode")(spark, dir)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(w.map(_.getLong(1)).sum === total,
+      "packing must conserve the corpus token count exactly")
+    // every window names at least one doc and a sane doc span
+    w.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+      assert(r.getLong(3) <= r.getLong(4), "first_doc <= last_doc")
+    }
+  }
 }

@@ -642,20 +642,26 @@ object TxLog {
   def mergeInto(spark: SparkSession, table: String, base: Int,
       changes: DataFrame, keyCol: String, opCol: String = "op",
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat,
+      input_file_name, lit, raise_error, when}
     val dataCols = changes.columns.filterNot(_ == opCol).toSeq
     require(dataCols.contains(keyCol),
       s"changes must carry the merge key $keyCol")
     // an off-contract op (a caller typo like 'update') must FAIL, not
     // silently drop the row: matched keys are anti-joined out of the
     // survivors unconditionally and only 'upsert' rows re-insert, so a
-    // misspelled op would read back as a delete with no error. The probe
-    // scans the CHANGE BATCH once (never the table) and early-exits on
-    // the first bad row — the price of not losing data (r13 advice).
-    require(changes
-        .where(!col(opCol).isin("upsert", "delete") || col(opCol).isNull)
-        .isEmpty,
-      s"mergeInto: $opCol must be 'upsert' or 'delete' on every change row")
+    // misspelled op would read back as a delete with no error. The check
+    // rides the rewrite pass instead of a dedicated `.isEmpty` probe job
+    // (r14 verdict #6 — h48 paid the probe per micro-batch, every merge
+    // cycle per merge): the upsert filter below evaluates [[checkedOp]]
+    // on EVERY change row, and a bad op raises there — the rewrite
+    // materializes at [[stage]] BEFORE the commit point, so the failure
+    // still precedes any visible state change and commits nothing.
+    val checkedOp = when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"mergeInto: $opCol must be 'upsert' or 'delete' on every " +
+          "change row, got '"),
+        coalesce(col(opCol).cast("string"), lit("null")), lit("'"))))
     val changeKeys = changes.select(col(keyCol)).distinct()
     // pass 1: which files contain a matched key (semi join collapses to
     // one row per touched file — driver traffic is O(files), not O(keys)).
@@ -715,7 +721,7 @@ object TxLog {
     val merged = touchedDf
       .join(changeKeys, Seq(keyCol), "left_anti")
       .select(survivorCols: _*)
-      .unionByName(changes.where(col(opCol) === lit("upsert"))
+      .unionByName(changes.where(checkedOp === lit("upsert"))
         .select(dataCols.map(col): _*))
     val staged = stage(merged, table)
     commitManifest(table,

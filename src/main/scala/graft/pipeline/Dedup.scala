@@ -1004,8 +1004,15 @@ object Dedup {
       .withColumn("prev", lag($"o_orderkey", 1).over(w))
       .where($"prev".isNotNull)
       .select($"prev".as("s"), $"o_orderkey".as("d"))
+    // contractPasses = 7: this graph is the deliberate label-propagation
+    // worst case — each customer's chain scatters over the whole orderkey
+    // range, so the default 3 passes leave straddles that cost a third
+    // join round (~6 scheduled jobs); four more ~2-job contraction passes
+    // retire it (r15: 3 → 2 non-empty rounds, ~1.5 s at sf0.1). The LSH
+    // dedup callers keep the default — their banded edges are id-local
+    // and converge at 3.
     graft.operators.Components.connectedComponents(
-        orders.select($"o_orderkey"), edges)
+        orders.select($"o_orderkey"), edges, contractPasses = 7)
       .toDF("o_orderkey", "rep")
       .orderBy("o_orderkey")
   }

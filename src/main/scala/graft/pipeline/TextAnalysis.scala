@@ -1791,14 +1791,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DISTRIBUTED dense frequency rank over a (token, n) table, ordered
+    * (n DESC, token ASC) — the g28 two-pass idiom applied to the token
+    * rank (r14 verdict "what's wrong" #4: the one-pass form was a global
+    * UNPARTITIONED window, a single-partition sort of the whole id table
+    * at a production 100k–1M vocab). Pass 1 ranks WITHIN order-aligned
+    * buckets (bucket = floor(log2(n)) — every row of bucket b
+    * outranks every row of bucket b−1, ties on n share a bucket, so the
+    * bucketed sort is exactly the global sort split at bucket
+    * boundaries); pass 2 prefix-sums the tiny ≤64-row bucket histogram
+    * and broadcasts the offsets back. Returns (token, token_id, n) with
+    * token_id identical to `row_number() over (order by n desc, token)
+    * − 1` — proven by the unchanged g101/g102/g103 oracle hashes. */
+  private def rankTokens(freq: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = freq.withColumn("bkt", expr("cast(log2(n) as int)"))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("n").desc, col("token"))
+    val wBkt = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(wBkt) - col("bn"))
+      .select(col("bkt"), col("off"))
+    b.join(broadcast(offsets), "bkt")
+      .select(col("token"),
+        (col("off") + row_number().over(wLocal) - 1).cast("bigint")
+          .as("token_id"),
+        col("n"))
+  }
+
   /** Per-doc ORDERED token-id arrays — the tokenize-apply assembly
     * shared by g102 (serialized sequences) and g103 (the packer):
     * (doc_id, ids array<bigint>, n bigint). Vocab-sized until the last
     * join: (word, tp, token) explodes from the trained vocab, ids join
-    * by token (g101's dense frequency rank over the FULL vocab — a
-    * ≤|vocab|-row window, never a corpus sort), per-WORD id arrays
-    * assemble in token order (|vocab| rows); the corpus pass is one
-    * posexplode ⋈ broadcast(word → ids) + a per-doc ordered fold. */
+    * by token (g101's dense frequency rank via [[rankTokens]] — two
+    * bucket-partitioned ≤|vocab|-row passes, never a corpus sort and
+    * never a single-partition window), per-WORD id arrays assemble in
+    * token order (|vocab| rows); the corpus pass is one posexplode ⋈
+    * broadcast(word → ids) + a per-doc ordered fold. */
   private def docTokenIds(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -1810,10 +1841,7 @@ object TextAnalysis {
       .where(length($"word") >= 1)
       .join(broadcast(tok.select($"word", $"token")), Seq("word"))
       .groupBy($"token").agg(count(lit(1)).as("n"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy($"n".desc, $"token")
-    val ids = freq.select($"token",
-      (row_number().over(rankW) - 1).cast("bigint").as("token_id"))
+    val ids = rankTokens(freq).select($"token", $"token_id")
     val wid = tok.join(ids, Seq("token"))
       .groupBy($"word")
       .agg(

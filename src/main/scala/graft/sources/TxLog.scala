@@ -1044,6 +1044,17 @@ object TxLog {
         }.toMap
       val blooms: Seq[(String, Map[String, String])] =
         bloomCols.map(c => c -> bloomB64(spark, staged, c))
+      // a staged path missing from the aggregate is only provably empty
+      // if reading it yields zero rows — a future path-normalization or
+      // listing mismatch between byPath keys and `staged` must fail
+      // LOUDLY here, not read back as a silently-wrong 0-row stats line
+      // feeding the manifest CBO (r14 advice). Conflict-path-only cost:
+      // the probe runs only when zero-row part files exist at all.
+      val bare = staged.filterNot(p => byPath.contains(normPath(p)))
+      if (bare.nonEmpty)
+        require(spark.read.parquet(bare: _*).isEmpty,
+          s"staged files missing from the stats aggregate are not empty — " +
+            s"path-normalization mismatch? ${bare.take(3).mkString(", ")}")
       staged.map { p =>
         val np = normPath(p)
         // a staged part file with ZERO rows never appears in the per-file

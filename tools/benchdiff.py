@@ -115,12 +115,14 @@ def main():
         # still catches e.g. a 20% regression on a multi-second key).
         # EXCEPT at extreme ratios: a 0.06s -> 0.54s key is a 9x
         # regression that the absolute floor would swallow entirely —
-        # weather never multiplies a key 4x+ AND lands under half a
-        # second of delta at the same time, so the pure-ratio gate
-        # returns at max(thresh, 4.0) regardless of magnitude (r13
-        # advice).
+        # so the pure-ratio gate returns at max(thresh, 4.0), but paired
+        # with a SMALL absolute minimum (0.1s): at the tens-of-
+        # milliseconds scale weather DOES multiply a key 4x on pure
+        # jitter (0.02s -> 0.09s is 4.5x inside 70ms of movement — r14
+        # advice), so millisecond keys cannot trip the escape.
         if ratio >= thresh and (o >= 1.0 or (n - o) >= 0.5
-                                or ratio >= max(thresh, 4.0)):
+                                or (ratio >= max(thresh, 4.0)
+                                    and (n - o) >= 0.1)):
             movers.append((ratio, k, o, n))
     for ratio, k, o, n in sorted(movers, reverse=True):
         flagged = True

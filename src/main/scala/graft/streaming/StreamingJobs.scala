@@ -155,7 +155,10 @@ object StreamingJobs {
     // File probe is silently false and the merge would drop prior rows
     // in the touched buckets (r9 ADVICE)
     val tbl = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = tbl.getFileSystem(spark.sessionState.newHadoopConf())
+    // TxLog's per-session conf cache: newHadoopConf() copies the full
+    // conf map per call, and this runs once per micro-batch (the r11
+    // advice item, applied to the streaming merge path)
+    val fs = tbl.getFileSystem(graft.sources.TxLog.hadoopConf)
     val hasTable = fs.exists(tbl) && fs.listStatus(tbl)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val existing =

@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   *     checkpointed round, while each saved ROUND costs two scheduled
   *     jobs — at 3 jumps the per-round depth reduction is ~8× (measured:
   *     a 2000-node path converges in 5 rounds vs 11 with one jump).
-  *  3. rounds stop when Σrep stops decreasing (it strictly decreases
-  *     until the fixpoint, and the fixpoint of the combined round implies
-  *     the neighbor-min fixpoint).
+  *  3. rounds stop when the label-contracted QUOTIENT graph has no edge
+  *     left (lv ≠ lu) — that emptiness ⟺ labels constant across every
+  *     edge ⟺ the neighbor-min fixpoint. A non-empty quotient strictly
+  *     decreases Σrep within its round (min-monotone updates), so
+  *     progress per round is guaranteed and no separate convergence
+  *     aggregate is needed (r15: the old per-round Σrep job never fired
+  *     before the quotient check and was removed).
   *
   * Each round's label table is `localCheckpoint`'d: self-referencing
   * joins otherwise grow the logical plan exponentially and the
@@ -268,13 +272,11 @@ object Components {
         .join(seed, Seq("doc"), "left")
         .select(col("doc"), coalesce(col("lrep"), col("doc")).as("rep")))
     if (debug) println("[cc] labels done")
-    // one aggregate job yields BOTH the convergence seed sum and the label
-    // row count the adaptive loop sizing needs — counting `nodes` directly
-    // would re-execute its upstream plan (for g19 that is the whole exact-
-    // dedup stage), while `labels` is already checkpointed.
-    val init = labels.agg(sum("rep"), count(lit(1))).head()
-    var lastSum = init.getLong(0)
-    val labelRows = init.getLong(1)
+    // the label row count the adaptive loop sizing needs — counting
+    // `nodes` directly would re-execute its upstream plan (for g19 that
+    // is the whole exact-dedup stage), while `labels` is already
+    // checkpointed.
+    val labelRows = labels.agg(count(lit(1))).head().getLong(0)
     // everything above (contraction, und, seed labels) ran at the SESSION
     // shuffle sizing; only the per-round loop joins below are re-sized.
     // The narrowed width is scoped to a CHILD session (shared
@@ -295,7 +297,7 @@ object Components {
       s.createDataFrame(df.rdd, df.schema)
     und = rehome(und, loopSession)
     labels = rehome(labels, loopSession)
-    if (debug) println(s"[cc] init sum=$lastSum rows=$labelRows loopParts=$loopParts")
+    if (debug) println(s"[cc] init rows=$labelRows loopParts=$loopParts")
     var converged = false
     var rounds = 0
     var nonEmptyRounds = 0
@@ -356,14 +358,21 @@ object Components {
           .select(col("a.doc").as("doc"),
             least(col("a.rep"), col("rrep")).as("rep"))
       }
-      val next = freshStatsCheckpoint(jumped)
-      val s = next.agg(sum("rep")).head().getLong(0)
-      labels = next
-      converged = s == lastSum
-      lastSum = s
+      // NO per-round convergence aggregate (r15): the empty-quotient
+      // early exit above IS the fixpoint test — quotient empty ⟺ labels
+      // constant across every edge ⟺ the neighbor-min fixpoint — and a
+      // NON-empty quotient strictly decreases Σrep in this round (its
+      // (lv ≠ lu) edge hands min(lv, lu) to the larger side through
+      // neighbor-min, and every update is min-monotone), so progress
+      // per round is guaranteed and the loop always terminates via the
+      // quotient check (maxRounds backstops). The old Σrep-equality
+      // test never fired first in any CC caller (the quotient check
+      // subsumes it one round earlier) — it was one pure-overhead
+      // scheduled job per round.
+      labels = freshStatsCheckpoint(jumped)
       rounds += 1
       nonEmptyRounds += 1
-      if (debug) println(f"[cc] round $rounds sum=$s ${(System.nanoTime() - tR) / 1e9}%.2f s")
+      if (debug) println(f"[cc] round $rounds ${(System.nanoTime() - tR) / 1e9}%.2f s")
       }
     }
     lastRunNonEmptyRounds = nonEmptyRounds

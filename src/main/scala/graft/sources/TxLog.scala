@@ -670,11 +670,42 @@ object TxLog {
     // rewrite below subtracts the sidecar first) and costs at most one
     // extra rewritten file — cheaper than a merged-view probe that would
     // anti-join every sidecar just to decide touchedness.
-    val touched = read(spark, table, base)
-      .withColumn("__file", input_file_name())
-      .join(changeKeys, Seq(keyCol), "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(r => normPath(r.getString(0))).toSet
+    //
+    // STATS PRE-PRUNE (r15): before scanning, drop files whose manifest
+    // [min,max] on the merge key cannot overlap the change batch's key
+    // range — by the stats' own guarantee they contain no change key, so
+    // they are untouched without being read. One tiny aggregate on the
+    // (small) change batch buys a probe scan ∝ the clustered overlap
+    // instead of the whole table — the difference between a 0.1% nightly
+    // merge on a key-clustered 100 TB table probing ~its clustered span
+    // and probing everything. Numeric key columns only: [[statsKeep]]
+    // compares numerically when values parse, and a lexicographic
+    // min/max over string keys would not bound that order (e.g. the lex
+    // min of {"9","10"} is "10" — an unsound numeric range). Files
+    // without stats always stay candidates (statsKeep's rule).
+    val allFiles = dataLines(table, base).map(_.split('\t')(0))
+    val keyIsNumeric = changes.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    val probeFiles =
+      if (!keyIsNumeric) allFiles
+      else {
+        val r = changes
+          .agg(org.apache.spark.sql.functions.min(col(keyCol)).cast("string"),
+            org.apache.spark.sql.functions.max(col(keyCol)).cast("string"))
+          .head()
+        if (r.isNullAt(0)) Nil // an empty change batch touches nothing
+        else statsKeep(allFiles, statsOf(table, base),
+          Seq((keyCol, r.getString(0), r.getString(1))))
+      }
+    val touched =
+      if (probeFiles.isEmpty) Set.empty[String]
+      else spark.read.parquet(probeFiles: _*)
+        .withColumn("__file", input_file_name())
+        .join(changeKeys, Seq(keyCol), "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet
     val (touchedLines, keptLines) = dataLines(table, base)
       .partition(l => touched(normPath(l.split('\t')(0))))
     val touchedFiles = touchedLines.map(_.split('\t')(0))

@@ -640,6 +640,36 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto: the touched-file probe is stats-pruned — a file " +
+      "whose key range cannot overlap the change batch is never even " +
+      "scanned (proven by deleting it from disk)") {
+    val t = freshTable("merge_statsprune")
+    // two key-clustered files: ids 1..100 and 101..200, with key stats
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, $"id")
+    val v1 = TxLog.commit(t, TxLog.stage(base, t), 0, statsCols = Seq("id"))
+    assert(TxLog.files(t, v1).size === 2)
+    // physically remove the HIGH file: if the probe scanned the whole
+    // table (the pre-r15 shape) the merge would die on FileNotFound;
+    // stats-pruned, the high file is out of the change range and is
+    // carried by reference without ever being opened
+    val high = TxLog.readWhere(spark, t, v1, Seq(("id", "150", "150")))
+      .inputFiles
+    assert(high.length === 1)
+    val highPath = new java.io.File(high.head.stripPrefix("file:"))
+    assert(highPath.delete(), s"could not remove $highPath")
+    val v2 = TxLog.mergeInto(spark, t, v1,
+      Seq((5L, "V5", "upsert"), (7L, "v7", "delete")).toDF("id", "v", "op"),
+      "id", statsCols = Seq("id"))
+    // the untouched (and now absent) file rides by reference, verbatim
+    assert(TxLog.files(t, v2).map(norm).contains(norm(high.head)),
+      "the out-of-range file must be carried by reference")
+    // the touched half merged correctly
+    val low = TxLog.readWhere(spark, t, v2, Seq(("id", "1", "100")))
+      .as[(Long, String)].collect().toMap
+    assert(low(5L) === "V5" && !low.contains(7L) && low(42L) === "v42")
+  }
+
   test("mergeInto: an off-contract op fails loudly BEFORE the commit " +
       "point and commits nothing (validation rides the rewrite pass — " +
       "no dedicated probe job)") {

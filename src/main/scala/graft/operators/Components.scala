@@ -59,6 +59,21 @@ object Components {
     df.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** [[freshStatsCheckpoint]] with eager = false: the RDD is MARKED for
+    * local checkpointing but not yet computed, so the first job that
+    * consumes it materializes (and persists) it as an ordinary
+    * dependency. This is the round-fusion device (r15 verdict #1): a
+    * chain of lazily-marked intermediates collapses into the ONE
+    * scheduled job that materializes the chain's eager tail, while each
+    * link still ends up persisted + lineage-truncated exactly as the
+    * eager form — same dataflow, same per-link caching, fewer job
+    * barriers. Stats are detached the same way (class doc).
+    */
+  private def lazyStatsCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** NON-EMPTY label-loop rounds executed by the most recent
     * [[connectedComponents]] call (rounds whose quotient still had edges,
     * i.e. rounds that actually propagated labels — the empty-quotient
@@ -253,13 +268,17 @@ object Components {
                   else prev.select(col("doc"), col("lrep"))
       localContract(keyed, contractParts)
     }
-    val contracted = freshStatsCheckpoint(
+    // contracted is consumed three times (both und directions + the seed
+    // aggregate) — LAZILY marked: the seed-phase fusion below computes
+    // and persists it inside the first job that needs it, instead of
+    // paying a dedicated materialization job (r16: seed-phase fusion,
+    // same dataflow as the old eager form).
+    val contracted = lazyStatsCheckpoint(
       cascade.where(col("doc") =!= col("lrep")))
-    var und = contracted
+    val und0 = contracted
       .select(col("doc").as("v"), col("lrep").as("u"))
       .union(contracted.select(col("lrep").as("v"), col("doc").as("u")))
-      .localCheckpoint()
-    if (debug) println("[cc] und done")
+    if (debug) println("[cc] und planned")
 
     // seed labels with the locally-contracted rep where one exists.
     // contracted has one row PER PARTITION a node appears in — aggregate
@@ -267,15 +286,59 @@ object Components {
     // partitions would be duplicated in the label table (and every
     // downstream row containing them doubled).
     val seed = contracted.groupBy(col("doc")).agg(min(col("lrep")).as("lrep"))
-    var labels = freshStatsCheckpoint(
+    var labels = lazyStatsCheckpoint(
       nodes.select(col(idCol).cast("long").as("doc"))
         .join(seed, Seq("doc"), "left")
         .select(col("doc"), coalesce(col("lrep"), col("doc")).as("rep")))
-    if (debug) println("[cc] labels done")
+    if (debug) println("[cc] labels planned")
+    // QUOTIENT REWRITE (the alternating-algorithm step): map both edge
+    // endpoints through the current labels and drop self-loops, so each
+    // round propagates over the contracted quotient graph instead of
+    // the original edges. On a fixed edge set the min label walks ONE
+    // edge-hop per round — chain-shaped components (diameter = size)
+    // took O(diameter) rounds (measured: 12 on the g40 order-chain
+    // graph). Contracting through the labels merges every already-
+    // agreed run into one quotient vertex, so remaining diameter
+    // shrinks geometrically → O(log diameter) rounds (measured: 12→4
+    // on the same graph). Correctness: label(v) is always in v's
+    // component (min-monotone updates over component members only), so
+    // the quotient preserves connectivity, every und vertex is a label
+    // value — a real node id present in `labels` — and the edge set
+    // SHRINKS as components agree, so later rounds get cheaper.
+    // When the materialized quotient is OBSERVED small (≤ ~8 MB of
+    // (long, long) rows — the autoBroadcastJoinThreshold ballpark), hint
+    // BROADCAST on the quotient side of every join that consumes it:
+    // with AQE off inside the loop scope (below) the static planner sees
+    // only default LogicalRDD stats and would sort-merge every join,
+    // shuffling the LABEL table (the big side at scale) once per
+    // consumption. The election is driven by the same per-round count
+    // that decides convergence — observed data, not a config (the a37
+    // manifest-stats-elects-broadcast discipline; guide §3.1). Early
+    // at-scale rounds with a big quotient keep the sort-merge plan.
+    def quotient(u: DataFrame, l: DataFrame, small: Boolean): DataFrame = {
+      val j1 = (if (small) broadcast(u) else u)
+        .join(l.select(col("doc").as("v"), col("rep").as("lv")), "v")
+      (if (small) broadcast(j1) else j1)
+        .join(l.select(col("doc").as("u"), col("rep").as("lu")), "u")
+        .where(col("lv") =!= col("lu"))
+        .select(col("lv").as("v"), col("lu").as("u"))
+        .distinct()
+    }
+    // SEED-PHASE FUSION (r16): the FIRST quotient rewrite is the eager
+    // tail that materializes contracted → seed labels → first quotient
+    // in ONE scheduled job (the lazy marks above persist each link as an
+    // ordinary dependency of this job). It deliberately runs in the
+    // CALLER session at session width: the first quotient processes the
+    // full contracted pair set — the widest data the loop ever sees —
+    // while the narrowed loop width below is sized from the label table
+    // and applies from the first propagation round on (identical values
+    // to the pre-r16 sequence: u1 = Q(u0, l0)).
+    var und = freshStatsCheckpoint(quotient(und0, labels, small = false))
+    if (debug) println("[cc] first quotient done")
     // the label row count the adaptive loop sizing needs — counting
     // `nodes` directly would re-execute its upstream plan (for g19 that
-    // is the whole exact-dedup stage), while `labels` is already
-    // checkpointed.
+    // is the whole exact-dedup stage), while `labels` was just persisted
+    // by the fused job above, so this aggregates a cached RDD.
     val labelRows = labels.agg(count(lit(1))).head().getLong(0)
     // everything above (contraction, und, seed labels) ran at the SESSION
     // shuffle sizing; only the per-round loop joins below are re-sized.
@@ -293,62 +356,69 @@ object Components {
     val loopParts = loopShufflePartitions
       .getOrElse(loopPartitionsFor(labelRows, contractParts))
     val loopSession = scopedSession(spark, loopParts)
+    // NON-ADAPTIVE planning inside the loop scope only (r16 round
+    // fusion): with AQE, `localCheckpoint(eager = false)` is not lazy —
+    // AdaptiveSparkPlanExec materializes every intermediate stage at
+    // mark time, re-imposing the per-link job barriers the fusion
+    // exists to remove. Inside this scope AQE has nothing left to
+    // decide that the operator does not already derive from observed
+    // data: the shuffle width IS the row-count-adaptive loopParts
+    // (AQE's coalescing lever), every table is (long, long), and the
+    // round sequence is inherently serial, so the job-barrier count is
+    // the scale-dominant term (one barrier per round vs three). The
+    // caller session's AQE setting is untouched.
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     def rehome(df: DataFrame, s: org.apache.spark.sql.SparkSession) =
       s.createDataFrame(df.rdd, df.schema)
     und = rehome(und, loopSession)
     labels = rehome(labels, loopSession)
     if (debug) println(s"[cc] init rows=$labelRows loopParts=$loopParts")
-    var converged = false
+    // EARLY EXIT on an empty quotient: no edge with lv != lu remains ⟺
+    // labels are constant across every edge ⟺ the neighbor-min fixpoint
+    // (= component minima, see class doc). `und` is always an
+    // already-persisted checkpoint RDD here, so the emptiness probe is
+    // one tiny cached-scan job — never a recomputation.
+    // the per-round quotient row count serves BOTH the convergence test
+    // (0 rows ⟺ fixpoint, the old isEmpty probe) and the broadcast
+    // election above — one tiny cached-scan job either way, since `und`
+    // is always a persisted checkpoint RDD here.
+    var undRows = und.count()
+    var converged = undRows == 0L
     var rounds = 0
     var nonEmptyRounds = 0
+    // ROTATED ROUND STRUCTURE (r16, from the r15 verdict's top item):
+    // each iteration computes l_k = P(u_k, l_{k-1}) (neighbor-min +
+    // jumps) and u_{k+1} = Q(u_k, l_k) as ONE fused job — the round's
+    // eager tail is the next quotient's checkpoint, and the lazily
+    // marked l1/labels links persist as its ordinary dependencies. The
+    // produced (u, l) sequence is VALUE-IDENTICAL to the pre-r16 loop
+    // (which ran Q first, then P, as 3 checkpoint jobs per round): the
+    // first quotient moved above the loop, everything else is the same
+    // alternation. Convergence/termination argument unchanged: a
+    // NON-empty quotient strictly decreases Σrep in its round (its
+    // (lv ≠ lu) edge hands min(lv, lu) to the larger side through
+    // neighbor-min, every update is min-monotone), so progress per
+    // round is guaranteed and the loop terminates via the quotient
+    // check (maxRounds backstops). No work is wasted in any round: the
+    // final quotient — the one that comes up empty — is exactly the
+    // convergence proof the old verify round computed, and every
+    // propagation ran over a non-empty quotient.
     while (!converged && rounds < maxRounds) {
       val tR = System.nanoTime()
-      // QUOTIENT REWRITE (the alternating-algorithm step): map both edge
-      // endpoints through the current labels and drop self-loops, so each
-      // round propagates over the contracted quotient graph instead of
-      // the original edges. On a fixed edge set the min label walks ONE
-      // edge-hop per round — chain-shaped components (diameter = size)
-      // took O(diameter) rounds (measured: 12 on the g40 order-chain
-      // graph). Contracting through the labels merges every already-
-      // agreed run into one quotient vertex, so remaining diameter
-      // shrinks geometrically → O(log diameter) rounds (measured: 12→4
-      // on the same graph). Correctness: label(v) is always in v's
-      // component (min-monotone updates over component members only), so
-      // the quotient preserves connectivity, every und vertex is a label
-      // value — a real node id present in `labels` — and the sum-based
-      // fixpoint test is unchanged (labels are non-increasing integers).
-      // The edge set also SHRINKS as components agree, so later rounds
-      // get cheaper, not costlier.
-      und = freshStatsCheckpoint(
-        und
-          .join(labels.select(col("doc").as("v"), col("rep").as("lv")), "v")
-          .join(labels.select(col("doc").as("u"), col("rep").as("lu")), "u")
-          .where(col("lv") =!= col("lu"))
-          .select(col("lv").as("v"), col("lu").as("u"))
-          .distinct())
-      // EARLY EXIT on an empty quotient: no edge with lv != lu remains ⟺
-      // labels are constant across every edge ⟺ the neighbor-min fixpoint
-      // (= component minima, see class doc). The sum-based test needs one
-      // more FULL round (neighbor-min + jumps + checkpoint + aggregate)
-      // just to observe "nothing changed"; counting the already-
-      // materialized checkpoint RDD costs one tiny job and skips that
-      // entire verify round — in every CC caller (g3/g19/g40/g44), the
-      // final round was always this no-op round.
-      if (und.isEmpty) {
-        converged = true
-        rounds += 1
-        if (debug) println(f"[cc] round $rounds quotient empty ${(System.nanoTime() - tR) / 1e9}%.2f s")
-      } else {
+      // ≤ ~8 MB of (long, long) quotient rows → broadcast it into every
+      // join that consumes it (see `quotient`'s election note)
+      val small = undRows <= 500000L
       // neighbor-min: min label over each node's neighbors
-      val nbrMin = und
+      val nbrMin = (if (small) broadcast(und) else und)
         .join(labels.select(col("doc").as("u"), col("rep").as("urep")), "u")
         .groupBy(col("v").as("doc")).agg(min("urep").as("nrep"))
-      // materialize before jumping: each jump SELF-joins its input, so an
-      // unmaterialized chain doubles the (edge-join + aggregate) subtree
-      // per jump — 2^k copies. Over the checkpointed table every jump is
-      // a join of in-memory scans, and k jumps compress label-path depth
-      // by 2^k within one scheduled round.
-      val l1 = freshStatsCheckpoint(labels.join(nbrMin, Seq("doc"), "left")
+      // mark before jumping: each jump SELF-joins its input, so an
+      // unmarked chain doubles the (edge-join + aggregate) subtree per
+      // jump — 2^k copies. Over the persisted link every jump is a join
+      // of in-memory scans, and k jumps compress label-path depth by
+      // 2^k within one scheduled round.
+      val l1 = lazyStatsCheckpoint(labels
+        .join(if (small) broadcast(nbrMin) else nbrMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
       val jumped = (1 to jumpsPerRound).foldLeft(l1) { (cur, _) =>
@@ -358,22 +428,16 @@ object Components {
           .select(col("a.doc").as("doc"),
             least(col("a.rep"), col("rrep")).as("rep"))
       }
-      // NO per-round convergence aggregate (r15): the empty-quotient
-      // early exit above IS the fixpoint test — quotient empty ⟺ labels
-      // constant across every edge ⟺ the neighbor-min fixpoint — and a
-      // NON-empty quotient strictly decreases Σrep in this round (its
-      // (lv ≠ lu) edge hands min(lv, lu) to the larger side through
-      // neighbor-min, and every update is min-monotone), so progress
-      // per round is guaranteed and the loop always terminates via the
-      // quotient check (maxRounds backstops). The old Σrep-equality
-      // test never fired first in any CC caller (the quotient check
-      // subsumes it one round earlier) — it was one pure-overhead
-      // scheduled job per round.
-      labels = freshStatsCheckpoint(jumped)
+      val nextLabels = lazyStatsCheckpoint(jumped)
+      // the round's ONE eager materialization: quotient against the NEW
+      // labels — computing it schedules l1 and nextLabels on the way
+      und = freshStatsCheckpoint(quotient(und, nextLabels, small))
+      labels = nextLabels
       rounds += 1
       nonEmptyRounds += 1
-      if (debug) println(f"[cc] round $rounds ${(System.nanoTime() - tR) / 1e9}%.2f s")
-      }
+      undRows = und.count()
+      if (undRows == 0L) converged = true
+      if (debug) println(f"[cc] round $rounds${if (converged) " (converged)" else ""} ${(System.nanoTime() - tR) / 1e9}%.2f s")
     }
     lastRunNonEmptyRounds = nonEmptyRounds
     // re-home the result to the CALLER's session: downstream operators

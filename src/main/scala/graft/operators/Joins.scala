@@ -480,7 +480,11 @@ object Joins {
     spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
     // materialize the edge list ONCE: a plain CTE is inlined into every
     // recursive step, so the lead-window would be recomputed depth times
-    // — persist + temp view makes each iteration a cache-read join
+    // — persist + temp view makes each iteration a cache-read join.
+    // (r16 measured the localCheckpoint alternative — LogicalRDD scans
+    // instead of InMemoryRelation — at 3.2–3.5 s vs 2.6 s steady-state:
+    // the per-step InternalRow↔Row conversion over 8 recursion steps
+    // costs more than the columnar cache scans save. Kept as persist.)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     Tables.orders(spark, dir)

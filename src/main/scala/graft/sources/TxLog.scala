@@ -254,6 +254,36 @@ object TxLog {
         parseStats(l.substring(cut + 1)))
     }.toMap
 
+  /** Driver-side MAX over the manifest's per-file [min, max] stats for
+    * numeric column `c` at version `v` — the number callers otherwise
+    * run a full table scan to obtain (the a37 manifest-as-CBO
+    * discipline: the stats the log already carries ARE the statistics
+    * store, and a one-number probe should fold them, not schedule a
+    * scan). None when any non-empty file lacks the column's stats (a
+    * statless file could hold the true max — the caller falls back to
+    * its scan) or a value does not parse as a long (the string-key
+    * lexicographic hazard, statsKeep's rule). Zero-row files (`#rows#`
+    * = 0) cannot hold the max and are skipped. NOTE: raw-file stats —
+    * on a DV-carrying version the file max may be a deleted row, so
+    * callers use this only on plain commits (every call site's v1). */
+  def statsMaxLong(table: String, v: Int, c: String): Option[Long] = {
+    val st = statsOf(table, v)
+    val per = files(table, v).map { f =>
+      val fst = st.getOrElse(normPath(f), Map.empty)
+      if (fst.get("#rows#").exists(_._2 == "0")) Some(None)
+      else fst.get(c).map(_._2).flatMap(s =>
+        scala.util.Try(s.toLong).toOption) match {
+        case Some(mx) => Some(Some(mx))
+        case None => None
+      }
+    }
+    if (per.isEmpty || per.exists(_.isEmpty)) None
+    else per.flatten.flatten match {
+      case s if s.nonEmpty => Some(s.max)
+      case _ => None
+    }
+  }
+
   private[sources] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 

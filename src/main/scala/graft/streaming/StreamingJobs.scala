@@ -138,11 +138,18 @@ object StreamingJobs {
     import org.apache.spark.sql.expressions.Window
     val wIn = Window.partitionBy(col("user_id"))
       .orderBy(col("last_ts_us").desc, col("last_event_id").desc)
+    // NO pre-merge dedupe pass (r16): last-writer-wins over
+    // existing ∪ raw-batch elects the same per-user winner as over
+    // existing ∪ pre-deduped-batch — the single row_number pass after
+    // the union IS the dedupe (ties are impossible beyond identical
+    // rows: event_id is unique, and (last_ts_us, last_event_id) is the
+    // total order). Dropping it removes one window exchange from EVERY
+    // micro-batch — per-batch cost at any scale, since the batch is
+    // consumed twice (bucket election + merge) and paid the window both
+    // times.
     val incoming = batch
       .select(col("user_id"), col("ts_us").as("last_ts_us"),
         col("event_id").as("last_event_id"), col("cents").as("last_cents"))
-      .withColumn("rn", row_number().over(wIn)).where(col("rn") === 1)
-      .drop("rn")
       .withColumn("bucket", pmod(col("user_id"), lit(buckets)).cast("int"))
     // the touched-bucket list is a ≤`buckets`-row driver fetch steering
     // which partitions the merge reads — control flow, not data flow
@@ -163,7 +170,11 @@ object StreamingJobs {
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val existing =
       if (hasTable)
-        Some(spark.read.parquet(tablePath)
+        // explicit schema (the incoming projection + the bucket
+        // partition column it already carries): skips the per-batch
+        // footer-inference pass over the table's files — r16, the
+        // read is otherwise identical
+        Some(spark.read.schema(incoming.schema).parquet(tablePath)
           .where(col("bucket").isin(affected: _*))
           .select(incoming.columns.map(col): _*))
       else None

@@ -1803,7 +1803,7 @@ object TextAnalysis {
     * and broadcasts the offsets back. Returns (token, token_id, n) with
     * token_id identical to `row_number() over (order by n desc, token)
     * − 1` — proven by the unchanged g101/g102/g103 oracle hashes. */
-  private def rankTokens(freq: org.apache.spark.sql.DataFrame)
+  private[graft] def rankTokens(freq: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = freq.withColumn("bkt", expr("cast(log2(n) as int)"))

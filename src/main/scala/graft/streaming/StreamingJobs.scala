@@ -108,11 +108,20 @@ object StreamingJobs {
     */
   def idempotentAppend(batch: DataFrame, batchId: Long,
       tablePath: String): Unit =
-    batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(tablePath)
+    // the batch's OWN partition directory is the write target (r16):
+    // `batch_id` is constant within a call, so the dynamic-overwrite
+    // machinery — stage the whole output, diff the touched partition
+    // set, swap directories — reduced to replacing exactly this one
+    // directory anyway; writing it directly keeps the identical
+    // idempotency contract (a retried batch replaces its own partition,
+    // batches never touch each other's) and the identical read-back
+    // (partition discovery still surfaces batch_id from the directory
+    // name) at one plain overwrite per micro-batch instead of a
+    // dynamic-commit protocol pass. This is per-batch cost at any
+    // scale — the a20 dynamic mechanism remains the right tool when a
+    // batch spans MANY partitions; a constant-partition write is the
+    // degenerate case where it only adds protocol.
+    batch.write.mode("overwrite").parquet(s"$tablePath/batch_id=$batchId")
 
   /** Exactly-once micro-batch UPSERT for a foreachBatch parquet sink —
     * the keyed-table twin of [[idempotentAppend]] (which lands immutable
